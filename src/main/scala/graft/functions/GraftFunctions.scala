@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, graftcolumn}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** The engine's column-expression library (SURVEY.md §2.7).
+  *
+  * Everything here composes Spark builtins (codegen'd, pushdown-friendly)
+  * — no UDFs. The only two capabilities Spark lacks are implemented as
+  * native Catalyst expressions: [[ParseMoney]] and [[UrlJoin]].
+  */
+object GraftFunctions {
+
+  // ---- custom Catalyst expressions, exposed as Columns --------------------
+
+  /** Normalize a money string ("$5M", "₹20 Cr") to integer USD. */
+  def parse_money(c: Column): Column = graftcolumn(ParseMoney(graftcolumn.expr(c)))
+
+  /** RFC 3986 resolve of a possibly-relative href against a base URL. */
+  def url_join(base: Column, href: Column): Column =
+    graftcolumn(UrlJoin(graftcolumn.expr(base), graftcolumn.expr(href)))
+
+  /** Register the custom expressions for SQL use (`parse_money`, `url_join`). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("parse_money", es => ParseMoney(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("url_join", es => UrlJoin(es.head, es(1)), "scala_udf")
+  }
+
+  // ---- exact decimal aggregation helpers ----------------------------------
+
+  /** Cast to exact decimal so sums are order-independent (a float sum over a
+    * shuffled 100 TB dataset is not reproducible; a decimal sum is).
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Order-independent sum of a double column, returned as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  // ---- text normalization & keyword machinery (reference F1, §2.7) --------
+
+  /** Dash-normalize + lowercase, as the reference's title normalization
+    * (reference: app/ingest/rss_ingest.py:52).
+    */
+  def normTitle(c: Column): Column = lower(regexp_replace(c, "[-–—]", " "))
+
+  /** True iff any of the keywords occurs in (lowercased) `c` — the
+    * reference's keyword-set containment test (app/ingest/rss_ingest.py:54-56).
+    */
+  def kwAny(c: Column, kws: Seq[String]): Column =
+    exists(array(kws.map(lit): _*), k => contains(lower(c), k))
+
+  /** Count of keyword hits (for scoring). */
+  def kwCount(c: Column, kws: Seq[String]): Column =
+    aggregate(
+      array(kws.map(lit): _*),
+      lit(0),
+      (acc, k) => acc + when(contains(lower(c), k), 1).otherwise(0))
+
+  /** Strip legal suffixes from a company name
+    * (reference: app/resolve/domain_resolver.py:32,41).
+    */
+  def stripLegalSuffix(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\b(inc|corp|co|llc|ltd|gmbh|ag|sas|bv)\\b\\.?$", ""))
+
+  /** Lowercase, drop spaces/dots/commas (domain_resolver.py:47). */
+  def slugify(c: Column): Column = regexp_replace(lower(c), "[ .,]", "")
+
+  // ---- URL functions (reference §2.7) --------------------------------------
+
+  /** Host of a URL, `www.`-stripped (domain_resolver.py:50-61). */
+  def hostOf(c: Column): Column =
+    regexp_replace(parse_url(c, lit("HOST")), "^www\\.", "")
+
+  /** Canonical `https://host` form of any URL (domain_resolver.py:50-61). */
+  def domainNormalize(c: Column): Column =
+    concat(lit("https://"), hostOf(c))
+
+  /** First path segment — the ATS board slug (detect_ats.py:122,142). */
+  def pathSlug(c: Column): Column =
+    element_at(split(parse_url(c, lit("PATH")), "/"), 2)
+
+  /** Unwrap a DuckDuckGo `uddg=` redirect parameter (domain_resolver.py:123-125). */
+  def uddgUnwrap(c: Column): Column =
+    url_decode(parse_url(c, lit("QUERY"), lit("uddg")))
+
+  /** Canonical URL: strip query string and trailing slash (find_linkedin.py:77). */
+  def urlCanon(c: Column): Column =
+    regexp_replace(element_at(split(c, "\\?"), 1), "/$", "")
+
+  // ---- portable hashing (dedup / fingerprint machinery) -------------------
+
+  /** Stable 60-bit hash of a string under a seed, built from md5 so the
+    * DuckDB oracle can reproduce it bit-for-bit:
+    * `conv(substr(md5(seed:s),1,15),16,10)`. 15 hex digits < 2^60 always
+    * fits a signed long. Used by minhash / simhash / fingerprint.
+    */
+  def hash64(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit(":"), c)), 1, 15), 16, 10)
+      .cast(LongType)
+
+  /** Whitespace word tokens. */
+  def words(c: Column): Column = split(c, " ")
+
+  /** Word n-gram shingles: array of space-joined n-grams of `arr`. */
+  def shingles(arr: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(arr) - n, lit(0))),
+      i => concat_ws(" ", slice(arr, i + 1, lit(n))))
+
+  // ---- vector math (similarity search) -------------------------------------
+
+  /** Dot product of two equal-length float/double array columns, computed in
+    * double, sequentially in array order (deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two vector columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+}
