@@ -1,24 +1,56 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Round benchmark: run every declared query on SPARK_GRAFT_SF_DIR and emit
+  * one JSON line with per-query wall seconds.
+  *
+  * Measurement rules (round-1 verdict findings):
+  *  - execute with a `noop` write, NOT `.count()` — count() lets Catalyst
+  *    prune the projection and measures a cheaper plan than the one the
+  *    correctness gate verified;
+  *  - one untimed warmup pass (session init, codegen, Parquet footer reads)
+  *    so the first timed query isn't billed ~10 s of JVM warmup;
+  *  - JSON goes to a file (BENCH.json, or args(0)) as well as stdout —
+  *    sbt's `[info]` stdout prefix broke machine parsing in round 1.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outFile = args.headOption.getOrElse("BENCH.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def execute(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(execute) // warmup: full pass, untimed
+    val results = names.map(n => n -> execute(n))
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outFile), json + "\n")
+    println(json)
     spark.stop()
   }
 }

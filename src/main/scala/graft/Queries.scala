@@ -101,8 +101,10 @@ object Queries {
       val li = t(s, dir, "lineitem")
       val nat = t(s, dir, "nation")
       val reg = t(s, dir, "region").filter($"r_name" === "ASIA")
+      // customer scales with sf (150k rows at sf100) — no broadcast hint;
+      // AQE picks the strategy. nation/region are fixed 25/5 rows: hint OK.
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")

@@ -103,11 +103,16 @@ object GraftFunctions {
   /** Whitespace word tokens. */
   def words(c: Column): Column = split(c, " ")
 
-  /** Word n-gram shingles: array of space-joined n-grams of `arr`. */
+  /** Word n-gram shingles: array of space-joined n-grams of `arr`.
+    * Inputs shorter than `n` yield an empty array (not a truncated
+    * shingle) so short/empty documents are never spuriously similar.
+    */
   def shingles(arr: Column, n: Int): Column =
-    transform(
-      sequence(lit(0), greatest(size(arr) - n, lit(0))),
-      i => concat_ws(" ", slice(arr, i + 1, lit(n))))
+    when(size(arr) >= n,
+      transform(
+        sequence(lit(0), size(arr) - n),
+        i => concat_ws(" ", slice(arr, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   // ---- vector math (similarity search) -------------------------------------
 

@@ -2,10 +2,11 @@ package graft.functions
 
 import java.util.regex.Pattern
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `parse_money("$5M") = 5000000L` — normalize a human money string to
@@ -24,6 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ParseMoney(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+
+  // Strict input typing: fail at analysis time, not with a runtime
+  // ClassCastException / generated-code compile error.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"parse_money requires a STRING argument, got ${child.dataType.sql}")
 
   override protected def nullSafeEval(input: Any): Any =
     ParseMoney.parse(input.asInstanceOf[UTF8String].toString)
@@ -46,20 +54,33 @@ case class ParseMoney(child: Expression) extends UnaryExpression {
 }
 
 object ParseMoney {
-  // symbol → USD rate; Cr/L handle the INR magnitude words.
+  // symbol → USD rate, per the reference's prompt contract
+  // (app/extract/llm_parse.py:44-48: EUR×1.1, 1 Cr ≈ 2,400,000/20 USD).
   private val Rates = Map('$' -> 1.0, '€' -> 1.1, '£' -> 1.25, '₹' -> 0.012)
   private val Re = Pattern.compile(
     """(?i)\s*([$€£₹])?\s*([0-9][0-9,]*(?:\.[0-9]+)?)\s*(k|m|mn|million|b|bn|billion|cr|crore|l|lakh)?\s*""")
+  private val InrMagnitudes = Set("cr", "crore", "l", "lakh")
 
-  /** Static entry point shared by interpreted eval and generated code. */
+  /** Static entry point shared by interpreted eval and generated code.
+    *
+    * Pinned contract (ParseMoneySpec): crore/lakh magnitudes imply INR
+    * even without an explicit ₹ ("20 Cr" ≡ "₹20 Cr" → 2,400,000 USD);
+    * an explicit non-₹ symbol wins over the magnitude word. Malformed
+    * digit grouping ("12,34") is rejected.
+    */
   def parse(s: String): java.lang.Long = {
     val m = Re.matcher(s.trim)
     if (!m.matches()) return null
+    val numStr = m.group(2)
+    // Enforce digit grouping: commas, if present, must be thousands groups.
+    if (numStr.contains(",") &&
+        !numStr.matches("""[0-9]{1,3}(,[0-9]{3})*(\.[0-9]+)?""")) return null
     val sym = Option(m.group(1)).map(_.charAt(0))
     val num =
-      try m.group(2).replace(",", "").toDouble
+      try numStr.replace(",", "").toDouble
       catch { case _: NumberFormatException => return null }
-    val mag = Option(m.group(3)).map(_.toLowerCase) match {
+    val magWord = Option(m.group(3)).map(_.toLowerCase)
+    val mag = magWord match {
       case None                              => 1e0
       case Some("k")                         => 1e3
       case Some("m" | "mn" | "million")      => 1e6
@@ -68,7 +89,9 @@ object ParseMoney {
       case Some("l" | "lakh")                => 1e5
       case _                                 => return null
     }
-    val rate = sym.flatMap(Rates.get).getOrElse(1.0)
+    val rate = sym.flatMap(Rates.get).getOrElse {
+      if (magWord.exists(InrMagnitudes)) Rates('₹') else 1.0
+    }
     java.lang.Long.valueOf(math.round(num * mag * rate))
   }
 }

@@ -2,6 +2,7 @@ package graft.functions
 
 import java.net.URI
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -19,6 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class UrlJoin(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"url_join requires (STRING, STRING), got (${left.dataType.sql}, ${right.dataType.sql})")
 
   override protected def nullSafeEval(base: Any, href: Any): Any =
     UrlJoin.resolve(base.toString, href.toString)
@@ -43,8 +50,31 @@ case class UrlJoin(left: Expression, right: Expression) extends BinaryExpression
 }
 
 object UrlJoin {
-  /** Static entry point shared by interpreted eval and generated code. */
+  /** Static entry point shared by interpreted eval and generated code.
+    *
+    * `java.net.URI.resolve` implements RFC 2396, which drops the base
+    * path for empty and query-only references; RFC 3986 §5.3 (what
+    * browsers and Python's urljoin do) keeps it — patched here.
+    */
   def resolve(base: String, href: String): UTF8String =
-    try UTF8String.fromString(new URI(base).resolve(href).toString)
-    catch { case _: Exception => null }
+    try {
+      val b = new URI(base)
+      val resolved =
+        if (href.isEmpty) stripFragment(base)
+        else if (href.startsWith("?")) stripQueryFragment(base) + href
+        else if (href.startsWith("#")) stripFragment(base) + href
+        else b.resolve(href).toString
+      UTF8String.fromString(resolved)
+    } catch { case _: Exception => null }
+
+  private def stripFragment(u: String): String = {
+    val i = u.indexOf('#')
+    if (i < 0) u else u.substring(0, i)
+  }
+
+  private def stripQueryFragment(u: String): String = {
+    val f = stripFragment(u)
+    val i = f.indexOf('?')
+    if (i < 0) f else f.substring(0, i)
+  }
 }
