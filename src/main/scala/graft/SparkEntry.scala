@@ -8,13 +8,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.q1Agg.run(spark, "/root/testdata/sf0.001")
 
+  private def allDefs: Seq[QueryDef] = Queries.all ++ Queries2.all
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all.map(q => q.name -> q.run).toMap
+    allDefs.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Queries.all.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+    allDefs.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
 }

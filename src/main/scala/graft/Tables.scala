@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-provided testdata tables (see TESTDATA.md).
   *
@@ -9,12 +11,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * At 100 TB these would be partitioned/bucketed catalog tables; the
   * query code only ever sees a DataFrame, so swapping the physical
   * layout is a one-file change.
+  *
+  * `events.ts` is written as parquet INT64 TIMESTAMP(NANOS), which Spark
+  * rejects by default; we read nanos as long (legacy conf) and convert to
+  * a microsecond timestamp with integer division (`div`, not `/` — a
+  * double division would lose precision above 2^53). The driver data is
+  * µs-aligned, so the conversion is exact and matches what DuckDB sees.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.name == "ts" && f.dataType == LongType)
+        acc.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else acc
+    }
+  }
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Similarity search over an embedding column (SURVEY.md §0 north star).
+  *
+  * Two tiers, per the standard ANN playbook:
+  *  - [[knnExact]]: brute-force cosine top-k against a SMALL probe set.
+  *    The probe side is broadcast; the corpus streams through once. This
+  *    is the correctness baseline and the right plan whenever
+  *    |probes| × |corpus| work fits the cluster (probes ≪ corpus).
+  *  - [[hyperplaneBucket]] + [[knnLsh]]: random-hyperplane LSH. Each
+  *    vector gets a small bucket code from the signs of `planes`
+  *    deterministic pseudo-random projections; the join runs within
+  *    buckets only (shuffle on bucket code), trading recall for a
+  *    corpus-linear plan — the 100 TB path.
+  *
+  * Hyperplane components are derived from [[hash64]] so the DuckDB oracle
+  * reproduces the exact same buckets.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim),
+    * uniform-ish in [-0.5, 0.5). Same value computable in the oracle:
+    * `CAST(('0x'||substr(md5(p||':'||d),1,15)) AS BIGINT) % 1000 / 1000.0 - 0.5`.
+    */
+  private def hpComponent(plane: Int, dim: Column): Column =
+    hash64(concat(lit(s"$plane:"), dim.cast("string")), 0) % 1000 / lit(1000.0) - 0.5
+
+  /** Sign-of-projection bucket code (0 .. 2^planes-1) for a vector column. */
+  def hyperplaneBucket(vec: Column, dims: Int, planes: Int): Column = {
+    val bitVal = (0 until planes).map { p =>
+      val proj = aggregate(
+        sequence(lit(0), lit(dims - 1)),
+        lit(0.0),
+        (acc, d) => acc + element_at(vec, d + 1).cast("double") * hpComponent(p, d))
+      // Round before the sign test: the oracle recomputes this sum with
+      // its own float pipeline, and an unrounded `> 0` at the boundary
+      // could flip a bucket between engines.
+      when(round(proj, 6) > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bitVal.reduce(_ + _)
+  }
+
+  /** Brute-force cosine top-k: for each probe vector, the `k` nearest
+    * corpus vectors by cosine (ties broken by candidate id). Probe side is
+    * explicitly broadcast — it is small by contract.
+    */
+  def knnExact(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val joined = broadcast(probes).join(corpus, col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("pv"), col("cv")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "rn", "cand_id", "cos")
+  }
+
+  /** LSH-bucketed cosine top-k: probes and corpus are bucketed by
+    * [[hyperplaneBucket]]; candidates are only the corpus vectors in the
+    * probe's bucket. Approximate (a true neighbor in another bucket is
+    * missed) but corpus-linear: the join shuffles on the bucket code.
+    */
+  def knnLsh(probes: DataFrame, corpus: DataFrame, dims: Int, planes: Int, k: Int): DataFrame = {
+    val pb = probes.withColumn("bucket", hyperplaneBucket(col("pv"), dims, planes))
+    val cb = corpus.withColumn("bucket", hyperplaneBucket(col("cv"), dims, planes))
+    val joined = pb.join(cb, Seq("bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("pv"), col("cv")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "bucket", "rn", "cand_id", "cos")
+  }
+}
