@@ -29,14 +29,22 @@ object MergeUpsert {
     * @param coalesceCols  prefer the batch value unless it is null
     * @param overwriteCols take the batch value whenever the batch has the
     *                      row, even if the new value is null
+    * @param keepCols      keep the store value whenever the store has the
+    *                      row (columns absent from the reference's
+    *                      DO UPDATE list, e.g. headquarter_country —
+    *                      upsert.py:117-126 never touches them on
+    *                      conflict); batch value used only on insert
     */
   def apply(
       store: DataFrame,
       batch: DataFrame,
       keys: Seq[String],
       coalesceCols: Seq[String],
-      overwriteCols: Seq[String]): DataFrame = {
-    val s = store.select(store.columns.map(c => col(c).as(s"_s_$c")): _*)
+      overwriteCols: Seq[String],
+      keepCols: Seq[String] = Seq.empty): DataFrame = {
+    val s = store
+      .select(store.columns.map(c => col(c).as(s"_s_$c")): _*)
+      .withColumn("_s_exists", lit(true))
     val b = batch
       .select(batch.columns.map(c => col(c).as(s"_b_$c")): _*)
       .withColumn("_b_exists", lit(true))
@@ -47,14 +55,16 @@ object MergeUpsert {
     val cond = keys.map(k => col(s"_s_$k") === col(s"_b_$k")).reduce(_ && _)
     val joined = s.join(b, cond, "full_outer")
 
-    val exists = col("_b_exists").isNotNull
+    val bExists = col("_b_exists").isNotNull
+    val sExists = col("_s_exists").isNotNull
     val merged = store.columns.map { c =>
       val sc = col(s"_s_$c")
       val bc = col(s"_b_$c")
       val out =
         if (keys.contains(c)) coalesce(bc, sc)
         else if (coalesceCols.contains(c)) coalesce(bc, sc)
-        else if (overwriteCols.contains(c)) when(exists, bc).otherwise(sc)
+        else if (overwriteCols.contains(c)) when(bExists, bc).otherwise(sc)
+        else if (keepCols.contains(c)) when(sExists, sc).otherwise(bc)
         else coalesce(bc, sc)
       out.as(c)
     }

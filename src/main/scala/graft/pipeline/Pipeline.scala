@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference pipeline end to end (main.py:36-136), as one logical
+  * plan with three outputs:
+  *
+  * {{{
+  * feed_entries → F1/F2 ingest filter → J1 anti-join vs store → T1 limit
+  *   → enrich (bodies + extractions, F5) → K3 domain resolution
+  *   → K2 LinkedIn fallback → K1 hiring signal
+  *   → [J5 merge into store | P3 report | F10+W3 alerts]
+  * }}}
+  *
+  * The batch is persisted before the three-way fan-out so the enrichment
+  * joins run once (the streaming variant runs the same fan-out inside
+  * `foreachBatch` — see [[graft.streaming.StreamingPipeline]]).
+  */
+object Pipeline {
+
+  /** All side-effect-replacing fixture tables (FIXTURES.md A1-A8). */
+  case class Fixtures(
+      feedEntries: DataFrame,
+      articleBodies: DataFrame,
+      llmExtractions: DataFrame,
+      urlStatus: DataFrame,
+      pageAnchors: DataFrame,
+      atsJobs: DataFrame,
+      searchResults: DataFrame)
+
+  case class Result(
+      batch: DataFrame,
+      newStore: DataFrame,
+      report: DataFrame,
+      alerts: DataFrame)
+
+  def run(
+      fx: Fixtures,
+      store: DataFrame,
+      asOf: Column,
+      daysBack: Int = 7,
+      limit: Int = 20,
+      linkedInFallback: Boolean = true): Result = {
+
+    val ingested = Stages.ingestFilter(fx.feedEntries, asOf, daysBack)
+    val fresh = Stages.dedupAgainstStore(ingested, store)
+    val limited = Stages.safetyLimit(fresh, limit)
+    val enriched = Stages.enrich(limited, fx.articleBodies, fx.llmExtractions)
+    val resolved = Stages.resolveDomain(
+      enriched, fx.urlStatus, fx.pageAnchors, fx.searchResults)
+    val withLinkedIn =
+      if (linkedInFallback) Stages.resolveLinkedIn(resolved, fx.searchResults)
+      else resolved
+    val batch = Stages.hiringSignal(withLinkedIn, fx.pageAnchors, fx.atsJobs, asOf)
+      .persist()
+
+    Result(
+      batch = batch,
+      newStore = Stages.mergeIntoStore(store, Stages.storeProjection(batch, asOf)),
+      report = Stages.reportProjection(batch, asOf),
+      alerts = Stages.alertRows(batch))
+  }
+
+  /** Empty store with the funded_companies schema (schema.sql:1-27;
+    * investors as a real array, dates/timestamps typed — SURVEY §1.2).
+    */
+  def emptyStore(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("company_name", StringType),
+      StructField("website_url", StringType),
+      StructField("linkedin_url", StringType),
+      StructField("amount_raised_usd", LongType),
+      StructField("funding_round", StringType),
+      StructField("investors", ArrayType(StringType)),
+      StructField("lead_investor", StringType),
+      StructField("headquarter_country", StringType),
+      StructField("announcement_date", DateType),
+      StructField("hiring_tier", StringType),
+      StructField("tech_roles", IntegerType),
+      StructField("careers_url", StringType),
+      StructField("ats_provider", StringType),
+      StructField("source_url", StringType),
+      StructField("last_seen", TimestampType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+}
