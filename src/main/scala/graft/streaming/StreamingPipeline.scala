@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.{Pipeline, Stages}
+
+/** Incremental (streaming) form of the pipeline — the reference's
+  * cron-every-6h + committed-SQLite model (run.yml:8-12, SURVEY §2.10)
+  * as Structured Streaming:
+  *
+  *  - the feed is a streaming source; each micro-batch is one "cron run";
+  *  - dedup across runs stays a LEFT ANTI join against the SINK table
+  *    (not watermarked dropDuplicates state) — faithful to the
+  *    reference, whose seen-set is the store itself and never expires;
+  *  - `foreachBatch` runs the batch stages, merges into the store
+  *    (J5), and appends alert/report rows — store-then-alert per batch,
+  *    at-least-once alerts (§4.4);
+  *  - the store is swapped atomically (write staging dir, rename), the
+  *    Parquet stand-in for a transactional table commit;
+  *  - use `Trigger.AvailableNow()` for the scheduled-run shape, or the
+  *    default micro-batch trigger for continuous tailing.
+  *
+  * Scale: per-batch work is the batch pipeline's plan; the only growing
+  * state is the store table itself (shuffled once per merge on the
+  * natural key). Checkpointing covers source offsets; store writes are
+  * idempotent per batch via the staging-swap.
+  */
+class StreamingPipeline(
+    spark: SparkSession,
+    fx: Pipeline.Fixtures,
+    storeDir: String,
+    alertsDir: String,
+    asOf: String,
+    daysBack: Int = 7,
+    limit: Int = 20) {
+
+  def loadStore(): DataFrame =
+    if (Files.exists(Paths.get(storeDir)))
+      spark.read.schema(Pipeline.emptyStore(spark).schema).parquet(storeDir)
+    else Pipeline.emptyStore(spark)
+
+  /** One micro-batch = one pipeline run against the current store. */
+  def processBatch(feedBatch: DataFrame, batchId: Long): Unit = {
+    val store = loadStore()
+    val result = Pipeline.run(
+      fx.copy(feedEntries = feedBatch), store, to_timestamp(lit(asOf)),
+      daysBack, limit)
+
+    // Atomic store swap: write to a staging dir, then rename over.
+    val staging = s"$storeDir-staging-$batchId"
+    result.newStore.write.mode("overwrite").parquet(staging)
+    val target = Paths.get(storeDir)
+    if (Files.exists(target)) {
+      val old = Paths.get(s"$storeDir-old-$batchId")
+      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(staging), target)
+      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    } else {
+      Files.move(Paths.get(staging), target)
+    }
+
+    // Alerts append per batch (at-least-once, as the reference's per-row
+    // Telegram call is).
+    result.alerts
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(alertsDir)
+    result.batch.unpersist()
+  }
+
+  /** Start the stream over a streaming feed-entries DataFrame. */
+  def start(feedStream: DataFrame, checkpointDir: String,
+            availableNow: Boolean = false): StreamingQuery = {
+    val w = feedStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+}

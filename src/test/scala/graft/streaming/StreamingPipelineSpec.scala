@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.pipeline.DemoFixtures
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class FeedEntry(feed_url: String, ord: Int, title: String, link: String,
+    published_at: Option[Timestamp])
+
+/** Three simulated cron runs through the streaming pipeline:
+  * run 1 ingests, run 2 exercises cross-run dedup (same URL re-polled),
+  * run 3 merges an update under the same natural key. SURVEY §5.2 item 5.
+  */
+class StreamingPipelineSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("3-run incremental pipeline: dedup across runs, merge update, alerts per batch") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val fx = DemoFixtures(spark)
+    val sp = new StreamingPipeline(spark, fx,
+      storeDir = s"$tmp/store", alertsDir = s"$tmp/alerts",
+      asOf = DemoFixtures.AsOf)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[FeedEntry]
+    val q = sp.start(stream.toDF(), s"$tmp/checkpoint")
+
+    // ---- run 1: Acme (tier A) + Hotel (tier C)
+    stream.addData(
+      FeedEntry("https://feeds.example.com/alpha", 0,
+        "Acme Labs raises $12M Series A", DemoFixtures.urlAcme, Some(ts("2026-08-10 08:00:00"))),
+      FeedEntry("https://feeds.example.com/beta", 0,
+        "Hotel Analytics nabs angel investment of $2 million", DemoFixtures.urlHotel,
+        Some(ts("2026-08-12 06:00:00"))))
+    q.processAllAvailable()
+
+    val store1 = sp.loadStore()
+    assert(store1.count() == 2)
+    val alerts1 = spark.read.parquet(s"$tmp/alerts")
+    assert(alerts1.count() == 1) // only Acme is tier A/B
+    assert(alerts1.select("company_name").collect().head.getString(0) == "Acme Labs")
+
+    // ---- run 2: Acme URL re-polled (must dedup), nothing else
+    stream.addData(
+      FeedEntry("https://feeds.example.com/alpha", 0,
+        "Acme Labs raises $12M Series A", DemoFixtures.urlAcme, Some(ts("2026-08-10 08:00:00"))))
+    q.processAllAvailable()
+
+    val store2 = sp.loadStore()
+    assert(store2.count() == 2) // unchanged
+    assert(spark.read.parquet(s"$tmp/alerts").count() == 1) // no duplicate alert
+    val acme2 = store2.filter(col("company_name") === "Acme Labs").collect().head
+    assert(acme2.getAs[Seq[String]]("investors").toList == List("Alpha Cap", "Beta Fund"))
+
+    // ---- run 3: new URL, same natural key, updated investors → merge
+    val fx2 = DemoFixtures.secondRun(spark)
+    val sp3 = new StreamingPipeline(spark, fx2,
+      storeDir = s"$tmp/store", alertsDir = s"$tmp/alerts",
+      asOf = DemoFixtures.AsOf2)
+    val stream3 = MemoryStream[FeedEntry]
+    val q3 = sp3.start(stream3.toDF(), s"$tmp/checkpoint3")
+    stream3.addData(
+      FeedEntry("https://feeds.example.com/alpha", 0,
+        "Acme Labs raises $12M Series A - expanded coverage", DemoFixtures.urlAcme2,
+        Some(ts("2026-08-10 09:30:00"))))
+    q3.processAllAvailable()
+    q3.stop()
+    q.stop()
+
+    val store3 = sp3.loadStore()
+    assert(store3.count() == 2) // merged in place, no new row
+    val acme3 = store3.filter(col("company_name") === "Acme Labs").collect().head
+    assert(acme3.getAs[Seq[String]]("investors").toList == List("New Fund")) // overwrite
+    assert(acme3.getAs[Long]("amount_raised_usd") == 12000000L) // coalesce kept
+    assert(spark.read.parquet(s"$tmp/alerts").count() == 2) // new article → new alert
+  }
+}
