@@ -89,17 +89,25 @@ object Queries2 {
       FROM f GROUP BY 1 HAVING count(*) > 1 ORDER BY fp"""))
 
   // --------------------------------------------------------- q11_dedup_near
-  /** Near-dup detection: 3-word shingles → 8-seed MinHash → 4×2 banded
-    * LSH candidate pairs (bucket join, never all-pairs) → exact Jaccard
-    * verification on the candidates only.
+  /** Near-dup detection: word hashes → rolling 3-gram shingle hashes →
+    * 8-seed MinHash → 4×2 banded LSH candidate pairs (bucket join, never
+    * all-pairs) → exact Jaccard verification on the candidates only.
+    * One md5 pass per word; everything downstream is integer arithmetic
+    * (shingle strings are never materialized — see [[Dedup]] notes).
     */
   val q11DedupNear = QueryDef(
     "q11_dedup_near",
     (s, dir) => {
       import s.implicits._
+      // Materialize the shingle-hash table once: four plan branches
+      // consume it (signature, both jaccard sides, and the self-joined
+      // bands) — at production scale this is the standard "write the
+      // signature table, then join" LSH shape.
       val sh = t(s, dir, "documents")
-        .select($"doc_id", shingles(words($"text"), 3).as("sh"))
+        .select($"doc_id",
+          Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh"))
         .filter(size($"sh") > 0)
+        .persist()
       val sig = sh.select($"doc_id", Dedup.minhashSig($"sh", 8).as("sig"))
       val bands = Dedup.lshBands(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
       val pairs = Dedup.lshCandidatePairs(bands, "doc_id")
@@ -111,21 +119,24 @@ object Queries2 {
         .orderBy($"id_a", $"id_b")
     },
     Some(s"""
-      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      sh AS (
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               list_transform(string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+        FROM documents),
+      shf AS (
         SELECT doc_id,
-               CASE WHEN len(w) >= 3
-                    THEN list_transform(range(0, len(w) - 2),
-                           i -> array_to_string(w[i+1:i+3], ' '))
-                    ELSE [] END AS shingles
-        FROM toks),
-      shf AS (SELECT * FROM sh WHERE len(shingles) > 0),
+               list_transform(range(0, len(w) - 2), i ->
+                 ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                   * 41 + (wh[i+3] % 1073741824)) AS sh0
+        FROM toks WHERE len(w) >= 3),
+      shx AS (SELECT doc_id, list_transform(sh0, v -> v % 1073741789) AS sh FROM shf),
       mh AS (
         SELECT doc_id,
-               list_transform(range(0, 8), s ->
-                 list_min(list_transform(shingles,
-                   x -> CAST(('0x' || substr(md5(s || ':' || x), 1, 15)) AS BIGINT)))) AS sig
-        FROM shf),
+               list_transform([31, 37, 41, 43, 47, 53, 59, 61], a ->
+                 list_min(list_transform(sh,
+                   h -> (a * (h % 1073741824) + a*7 + 3) % 1073741789))) AS sig
+        FROM shx),
       bands AS (
         SELECT doc_id, b,
                md5(b || ':' || sig[2*b+1] || ',' || sig[2*b+2]) AS band_key
@@ -135,11 +146,11 @@ object Queries2 {
         FROM bands a JOIN bands c USING (b, band_key)
         WHERE a.doc_id < c.doc_id)
       SELECT id_a, id_b,
-             round(CAST(len(list_distinct(list_intersect(sa.shingles, sb.shingles))) AS DOUBLE)
-                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+             round(CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
       FROM pairs
-      JOIN shf sa ON sa.doc_id = id_a
-      JOIN shf sb ON sb.doc_id = id_b
+      JOIN shx sa ON sa.doc_id = id_a
+      JOIN shx sb ON sb.doc_id = id_b
       ORDER BY id_a, id_b"""))
 
   // -------------------------------------------------------------- q12_simhash

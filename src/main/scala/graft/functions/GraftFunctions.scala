@@ -21,6 +21,12 @@ object GraftFunctions {
   def url_join(base: Column, href: Column): Column =
     graftcolumn(UrlJoin(graftcolumn.expr(base), graftcolumn.expr(href)))
 
+  /** Per-element [[hash64]] of a string array — native fast path,
+    * bit-identical to `transform(arr, x => hash64(x, seed))`.
+    */
+  def hash64_array(arr: Column, seed: Int): Column =
+    graftcolumn(Hash64Array(graftcolumn.expr(arr), seed))
+
   /** Register the custom expressions for SQL use (`parse_money`, `url_join`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -25,16 +25,65 @@ object Dedup {
     df.groupBy(key.as("content_key"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: array of `seeds` minima over the shingle set.
-    * Pure codegen'd builtins (transform/array_min over the shingle array) —
-    * no UDF, no explode; computed in one narrow pass over the corpus.
+  /** One md5-based hash per WORD — the only expensive hashing pass in
+    * the near-dup path, done by the native [[graft.functions.Hash64Array]]
+    * expression (hashing inside a transform lambda runs the interpreted
+    * md5→substr→conv chain per element — ~30× slower). Shingle hashes
+    * derive from these arithmetically ([[shingleHashes3]]).
     */
-  def minhashSig(shinglesCol: Column, seeds: Int): Column =
-    array((0 until seeds).map(s => array_min(transform(shinglesCol, x => hash64(x, s)))): _*)
+  def wordHashes(tokens: Column): Column = hash64_array(tokens, 0)
+
+  /** Rolling 3-gram shingle hashes over the word-hash array:
+    * `((u₁·37 + u₂) mod p · 41 + u₃) mod p` with `uₖ = wh[k] mod 2³⁰` —
+    * overflow-exact in BIGINT on both engines, order-sensitive (a
+    * permuted shingle hashes differently), and empty for <3 tokens.
+    *
+    * Implemented as three shifted `slice`s combined with `zip_with`, NOT
+    * indexed access inside a transform lambda: `element_at(wh, i+k)`
+    * re-evaluates the whole `wh` expression per element (lambda bodies
+    * are interpreted and defeat subexpression elimination), turning one
+    * md5 pass into hundreds.
+    */
+  def shingleHashes3(wh: Column): Column = {
+    val n = size(wh)
+    val s1 = slice(wh, lit(1), n - 2)
+    val s2 = slice(wh, lit(2), n - 2)
+    val s3 = slice(wh, lit(3), n - 2)
+    val pair = zip_with(s1, s2,
+      (a, b) => ((a % MinhashM) * 37L + (b % MinhashM)) % MinhashP)
+    when(n >= 3,
+      zip_with(pair, s3, (t, c) => (t * 41L + (c % MinhashM)) % MinhashP))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Affine-mix multipliers for the minhash family. The mix
+    * `(a · (h mod 2³⁰) + 7a+3) mod p` stays below 2⁴⁰, so it is exact in
+    * BIGINT on both engines (DuckDB errors on 64-bit overflow; Java
+    * wraps — neither is hit).
+    */
+  private val MinhashA = Seq(31, 37, 41, 43, 47, 53, 59, 61, 67, 71, 73, 79, 83, 89, 97, 101)
+  val MinhashM = 1073741824L // 2^30
+  val MinhashP = 1073741789L // largest prime < 2^30
+
+  /** MinHash signature: per-seed minima of affine mixes of the pre-
+    * computed shingle hashes. Pure codegen'd builtins — no UDF, no
+    * explode; one narrow pass over the corpus.
+    */
+  def minhashSig(hashes: Column, seeds: Int): Column = {
+    require(seeds <= MinhashA.length, s"at most ${MinhashA.length} seeds")
+    array(MinhashA.take(seeds).map { a =>
+      array_min(transform(hashes,
+        h => (lit(a.toLong) * (h % MinhashM) + lit(a * 7L + 3L)) % MinhashP))
+    }: _*)
+  }
 
   /** Banded LSH: one row per (doc, band) with the band's bucket key.
     * `rowsPerBand` consecutive signature entries hash into one key; docs
     * agreeing on any band become candidates. Shuffle key = band_key.
+    *
+    * Implemented as ONE posexplode over the per-band key array — a
+    * union of per-band selects would re-evaluate the whole signature
+    * subtree (shingling + hashing) once per band.
     */
   def lshBands(sig: DataFrame, idCol: String, sigCol: String,
                bands: Int, rowsPerBand: Int): DataFrame = {
@@ -43,10 +92,8 @@ object Dedup {
         lit(s"$b:"),
         concat_ws(",", (0 until rowsPerBand).map(r =>
           col(sigCol).getItem(b * rowsPerBand + r)): _*)))
-    val perBand = (0 until bands).map { b =>
-      sig.select(col(idCol), lit(b).as("band"), bandKey(b).as("band_key"))
-    }
-    perBand.reduce(_ unionByName _)
+    sig.select(col(idCol),
+      posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "band_key")))
   }
 
   /** Candidate pairs from banded LSH: a self-join on (band, band_key) —
@@ -72,16 +119,20 @@ object Dedup {
   /** SimHash fingerprint over a token array: for each of `bits` bit
     * positions, sum +1/-1 votes from each token's hash; set the bit iff
     * the vote is positive. Tokens keep multiplicity (standard SimHash).
-    * Vectorized per-row over the token array — no explode, no shuffle.
+    * Vectorized per-row — ONE md5 pass over the tokens and ONE fold
+    * updating all bit votes via zip_with (per-bit folds would recompute
+    * the token hashes `bits` times: lambdas defeat subexpression
+    * elimination).
     */
   def simhash(tokens: Column, bits: Int, seed: Int): Column = {
-    val hs = transform(tokens, w => hash64(w, seed))
-    val bitVal = (0 until bits).map { b =>
-      val vote = aggregate(hs, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitVal.reduce(_ + _)
+    val masks = array((0 until bits).map(b => lit(1L << b)): _*)
+    val hs = hash64_array(tokens, seed)
+    val votes = aggregate(hs, array_repeat(lit(0), bits),
+      (acc, h) => zip_with(acc, masks,
+        (v, m) => v + when(h.bitwiseAND(m) === m, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Prefix fingerprint: hash of the first `n` tokens — a cheap rolling-

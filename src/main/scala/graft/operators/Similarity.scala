@@ -25,19 +25,25 @@ import graft.functions.GraftFunctions._
 object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim),
-    * uniform-ish in [-0.5, 0.5). Same value computable in the oracle:
-    * `CAST(('0x'||substr(md5(p||':'||d),1,15)) AS BIGINT) % 1000 / 1000.0 - 0.5`.
+    * uniform-ish in [-0.5, 0.5). The oracle computes the same value as
+    * `CAST(('0x'||substr(md5('0:'||p||':'||d),1,15)) AS BIGINT) % 1000 / 1000.0 - 0.5`;
+    * here it is PRECOMPUTED on the driver (data-independent constant —
+    * evaluating the md5 chain per (row × plane × dim) cost more than the
+    * dot products it fed).
     */
-  private def hpComponent(plane: Int, dim: Column): Column =
-    hash64(concat(lit(s"$plane:"), dim.cast("string")), 0) % 1000 / lit(1000.0) - 0.5
+  private def hpComponent(plane: Int, dim: Int): Double =
+    graft.functions.Hash64Array.hashString(s"$plane:$dim", 0) % 1000 / 1000.0 - 0.5
 
-  /** Sign-of-projection bucket code (0 .. 2^planes-1) for a vector column. */
+  /** Sign-of-projection bucket code (0 .. 2^planes-1) for a vector
+    * column: one zip_with dot product per plane against a literal
+    * hyperplane array.
+    */
   def hyperplaneBucket(vec: Column, dims: Int, planes: Int): Column = {
     val bitVal = (0 until planes).map { p =>
+      val plane = array((0 until dims).map(d => lit(hpComponent(p, d))): _*)
       val proj = aggregate(
-        sequence(lit(0), lit(dims - 1)),
-        lit(0.0),
-        (acc, d) => acc + element_at(vec, d + 1).cast("double") * hpComponent(p, d))
+        zip_with(vec, plane, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
       // Round before the sign test: the oracle recomputes this sum with
       // its own float pipeline, and an unrounded `> 0` at the boundary
       // could flip a bucket between engines.

@@ -86,6 +86,20 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(h2.head != got.head)
   }
 
+  test("hash64_array is bit-identical to per-element hash64 (both eval paths)") {
+    import spark.implicits._
+    val strs = Seq("hello", "", "spark scan", "héllo ünïcode", "0:1")
+    val df = Seq((strs, 0)).toDF("arr", "ignore")
+    for (seed <- Seq(0, 1, 7)) {
+      val native = col1[collection.Seq[Long]](df.select(hash64_array(col("arr"), seed))).head
+      val composed = col1[collection.Seq[Long]](
+        df.select(transform(col("arr"), x => hash64(x, seed)))).head
+      assert(native.toList == composed.toList, s"seed=$seed")
+    }
+    // driver-side twin matches too
+    assert(graft.functions.Hash64Array.hashString("hello", 1) == 155683129569975224L)
+  }
+
   test("words splits on whitespace") {
     import spark.implicits._
     val got = col1[collection.Seq[String]](Seq("a b c").toDF("s").select(words(col("s"))))
