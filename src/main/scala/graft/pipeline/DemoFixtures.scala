@@ -82,21 +82,23 @@ object DemoFixtures {
     val llmExtractions = Seq(
       // (url, company_name, website_url, linkedin_url, amount, round, investors, lead, country)
       (urlAcme, Some("Acme Labs"), Some("https://acme-labs.com"),
-        Some("https://linkedin.com/company/acme-labs"), Some(12000000L), Some("Series A"),
+        Some("https://linkedin.com/company/acme-labs"), Some("$12M"), Some("Series A"),
         Seq("Alpha Cap", "Beta Fund"), Some("Alpha Cap"), Some("USA")),
       (urlBorg, Some("Borg Systems Inc."), Some("https://borgsys.example"), None,
-        Some(3000000L), Some("Seed"), Seq.empty[String], None, Some("Germany")),
-      (urlGolf, None, None, None, Some(40000000L), None, Seq.empty[String], None, None),
-      (urlHotel, Some("Hotel Analytics"), None, None, Some(2000000L), Some("Angel"),
+        Some("$3 million"), Some("Seed"), Seq.empty[String], None, Some("Germany")),
+      (urlGolf, None, None, None, Some("$40M"), None, Seq.empty[String], None, None),
+      (urlHotel, Some("Hotel Analytics"), None, None, Some("$2,000,000"), Some("Angel"),
         Seq("Gamma"), Some("Gamma"), None),
-      (urlKilo, Some("Kilo"), None, None, Some(8000000L), Some("Series B"),
+      // Kilo: INR crore amount -- exercises the currency conversion
+      (urlKilo, Some("Kilo"), None, None, Some("₹67 Cr"), Some("Series B"),
         Seq("Delta P"), None, Some("India")),
-      (urlLima, Some("Lima Corp"), None, None, None, None, Seq.empty[String], None, Some("UK")),
-      (urlNova, Some("Nova.ai"), None, None, Some(4000000L), Some("Seed"),
+      (urlLima, Some("Lima Corp"), None, None, Some("Undisclosed"), None,
+        Seq.empty[String], None, Some("UK")),
+      (urlNova, Some("Nova.ai"), None, None, Some("$4M"), Some("Seed"),
         Seq("Zeta"), Some("Zeta"), Some("France")),
-      (urlEcho, Some("Echo Robotics"), None, None, Some(5000000L), Some("Series A"),
+      (urlEcho, Some("Echo Robotics"), None, None, Some("$5M"), Some("Series A"),
         Seq.empty[String], None, Some("USA"))
-    ).toDF("url", "company_name", "website_url", "linkedin_url", "amount_raised_usd",
+    ).toDF("url", "company_name", "website_url", "linkedin_url", "amount_raised_text",
       "funding_round", "investors", "lead_investor", "headquarter_country")
 
     val urlStatus = Seq(
@@ -198,11 +200,11 @@ object DemoFixtures {
       // country "Canada" must NOT replace store's "USA" (store-wins),
       // linkedin NULL must COALESCE-keep run-1 value.
       (urlAcme2, Some("Acme Labs"), Some("https://acme-labs.com"), Option.empty[String],
-        Option.empty[Long], Some("Series A"),
+        Some("Undisclosed"), Some("Series A"),
         Seq("New Fund"), Some("New Fund"), Some("Canada")),
       (urlLima2, Some("Lima Corp"), Option.empty[String], Option.empty[String],
-        Option.empty[Long], Option.empty[String], Seq.empty[String], Option.empty[String], Some("UK"))
-    ).toDF("url", "company_name", "website_url", "linkedin_url", "amount_raised_usd",
+        Option.empty[String], Option.empty[String], Seq.empty[String], Option.empty[String], Some("UK"))
+    ).toDF("url", "company_name", "website_url", "linkedin_url", "amount_raised_text",
       "funding_round", "investors", "lead_investor", "headquarter_country")
 
     fx.copy(feedEntries = feedEntries2, articleBodies = bodies2,

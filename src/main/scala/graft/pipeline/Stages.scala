@@ -105,6 +105,12 @@ object Stages {
       .filter(col("body").isNotNull && length(col("body")) > 0)
       .join(extractions, Seq("url"), "left")
       .filter(col("company_name").isNotNull)
+      // The reference delegates money normalization to its LLM prompt
+      // ("$5M"→5000000, "₹20 Cr"→~2.4M — llm_parse.py:44-48); fixture
+      // extractions carry the raw string and the engine normalizes with
+      // the native parse_money expression ("Undisclosed" → null).
+      .withColumn("amount_raised_usd", parse_money(col("amount_raised_text")))
+      .drop("amount_raised_text")
 
   // ------------------------------------------------------------------- K3 etc.
   /** Domain resolution — the reference's 4-level fallback chain

@@ -72,6 +72,14 @@ class PipelineSpec extends SparkSpec {
     assert(res("Nova.ai") == ("https://nova.ai", 0.60, "guess"))
   }
 
+  test("engine-side money normalization (parse_money in the enrich stage)") {
+    assert(batch1("Acme Labs").getAs[Long]("amount_raised_usd") == 12000000L) // "$12M"
+    assert(batch1("Hotel Analytics").getAs[Long]("amount_raised_usd") == 2000000L) // "$2,000,000"
+    assert(batch1("Kilo").getAs[Long]("amount_raised_usd") == 8040000L) // "₹67 Cr" × 0.012
+    assert(batch1("Lima Corp").isNullAt(
+      batch1("Lima Corp").fieldIndex("amount_raised_usd"))) // "Undisclosed"
+  }
+
   test("K2 LinkedIn fallback: company-page candidate wins, /in/ filtered") {
     assert(batch1("Borg Systems Inc.").getAs[String]("linkedin_url") ==
       "https://www.linkedin.com/company/borg-systems")
