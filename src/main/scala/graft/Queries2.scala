@@ -648,10 +648,107 @@ object Queries2 {
         ORDER BY doc_id"""))
   }
 
+  // --------------------------------------------------------------- q25_knn_ivf
+  /** IVF-style ANN: 8 centroid vectors (deterministic sample: vec_id ≥
+    * 990 shifted out of the probe range — a k-means quantizer in
+    * production) partition the corpus into inverted lists; probes search
+    * only their own cell (nprobe=1). Data-adaptive sibling of the
+    * hyperplane-LSH path.
+    */
+  val q25KnnIvf = {
+    def sqlDot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+    def sqlCos(a: String, b: String) =
+      s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+    QueryDef(
+      "q25_knn_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val centroids = e.filter($"vec_id" % 37 === 0 && $"vec_id" >= 100)
+          .orderBy($"vec_id").limit(8)
+          .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
+        val probes = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+        val corpus = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+        Similarity.knnIvf(probes, corpus, centroids, k = 3)
+          .select($"probe_id", $"cell", $"rn".cast("long").as("rn"), $"cand_id", $"cos")
+          .orderBy($"probe_id", $"rn")
+      },
+      Some(s"""
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid_vec
+          FROM embeddings WHERE vec_id % 37 = 0 AND vec_id >= 100
+          ORDER BY vec_id LIMIT 8),
+        pa AS (
+          SELECT probe_id, pv, centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY ${sqlCos("pv", "centroid_vec")} DESC, centroid_id) AS crn
+          FROM (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5), cent),
+        pc AS (SELECT probe_id, pv, cell FROM pa WHERE crn = 1),
+        ca AS (
+          SELECT cand_id, cv, centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY cand_id
+                   ORDER BY ${sqlCos("cv", "centroid_vec")} DESC, centroid_id) AS crn
+          FROM (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings), cent),
+        cc AS (SELECT cand_id, cv, cell FROM ca WHERE crn = 1),
+        s AS (
+          SELECT probe_id, pc.cell AS cell, cand_id, ${sqlCos("pv", "cv")} AS cos
+          FROM pc JOIN cc USING (cell) WHERE probe_id != cand_id),
+        r AS (
+          SELECT probe_id, cell, cand_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rn
+          FROM s)
+        SELECT probe_id, cell, rn, cand_id, cos FROM r
+        WHERE rn <= 3 ORDER BY probe_id, rn"""))
+  }
+
+  // ------------------------------------------------------ q26_dedup_embedding
+  /** Embedding-cosine near-dup pairs: LSH-bucketed (same hyperplanes as
+    * q15), within-bucket pairs with cosine ≥ 0.35 — the semantic-dedup
+    * member of the dedup family (exact / minhash / simhash / jaccard /
+    * embedding).
+    */
+  val q26DedupEmbedding = {
+    val planes = 4
+    def sqlProj(vec: String, p: Int) =
+      s"""round(list_reduce(list_transform(range(0, 64),
+         d -> $vec[d+1]::DOUBLE * (CAST(('0x' || substr(md5('0:$p:' || d), 1, 15)) AS BIGINT) % 1000 / 1000.0 - 0.5)),
+         (x, y) -> x + y), 6)"""
+    def sqlBucket(vec: String) = (0 until planes)
+      .map(p => s"(CASE WHEN ${sqlProj(vec, p)} > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    def sqlDot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+    QueryDef(
+      "q26_dedup_embedding",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+        Similarity.embeddingNearDupPairs(e, "embedding", "vec_id",
+          dims = 64, planes = planes, threshold = 0.35)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+          FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                 round(${sqlDot("a.embedding", "c.embedding")} /
+                       (sqrt(${sqlDot("a.embedding", "a.embedding")})
+                        * sqrt(${sqlDot("c.embedding", "c.embedding")})), 6) AS cos
+          FROM b a JOIN b c USING (bucket)
+          WHERE a.vec_id < c.vec_id)
+        SELECT id_a, id_b, cos FROM p
+        WHERE cos >= 0.35 ORDER BY id_a, id_b"""))
+  }
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q9DedupExact, q10Fingerprint, q11DedupNear, q12Simhash, q13TextQuality,
     q14KnnExact, q15KnnLsh, q16WindowTumble, q17WindowSlide, q18Sessionize,
     q19MergeUpsert, q20Rollup, q21SetOps, q22AggExtras, q23UserTier,
-    q24KeywordFilter)
+    q24KeywordFilter, q25KnnIvf, q26DedupEmbedding)
 }

@@ -57,8 +57,14 @@ object Similarity {
     * explicitly broadcast — it is small by contract.
     */
   def knnExact(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val joined = broadcast(probes).join(corpus, col("probe_id") =!= col("cand_id"))
-      .withColumn("cos", round(cosine(col("pv"), col("cv")), 6))
+    // Norms are hoisted to per-side columns below the join: cosine
+    // per pair would recompute both norms (3 dot products per pair
+    // instead of 1). Same arithmetic, so oracle parity is unchanged.
+    val pn = probes.withColumn("_pn", l2norm(col("pv")))
+    val cn = corpus.withColumn("_cn", l2norm(col("cv")))
+    val joined = broadcast(pn).join(cn, col("probe_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("pv"), col("cv")) / (col("_pn") * col("_cn")), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     joined
@@ -74,15 +80,75 @@ object Similarity {
     */
   def knnLsh(probes: DataFrame, corpus: DataFrame, dims: Int, planes: Int, k: Int): DataFrame = {
     val pb = probes.withColumn("bucket", hyperplaneBucket(col("pv"), dims, planes))
+      .withColumn("_pn", l2norm(col("pv")))
     val cb = corpus.withColumn("bucket", hyperplaneBucket(col("cv"), dims, planes))
+      .withColumn("_cn", l2norm(col("cv")))
     val joined = pb.join(cb, Seq("bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("cos", round(cosine(col("pv"), col("cv")), 6))
+      .withColumn("cos",
+        round(dot(col("pv"), col("cv")) / (col("_pn") * col("_cn")), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     joined
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("probe_id", "bucket", "rn", "cand_id", "cos")
+  }
+
+  /** IVF cell assignment: nearest centroid by cosine (ties → smallest
+    * centroid id). `centroids` must be broadcast-small — it is the IVF
+    * coarse quantizer (k-means in production; any deterministic vector
+    * sample works for the mechanism). One pass over the vectors; the
+    * output is the "inverted list" keyed by cell.
+    */
+  def ivfAssign(vectors: DataFrame, vecCol: String, idCol: String,
+                centroids: DataFrame): DataFrame = {
+    val joined = vectors.crossJoin(broadcast(centroids))
+      .withColumn("_ccos", round(cosine(col(vecCol), col("centroid_vec")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_ccos").desc, col("centroid_id"))
+    joined
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_ccos", "centroid_vec")
+      .withColumnRenamed("centroid_id", "cell")
+  }
+
+  /** IVF top-k: probes search only their own cell's inverted list
+    * (nprobe=1). Corpus-linear like LSH, but the cells adapt to the data
+    * distribution instead of being fixed hyperplane signs.
+    */
+  def knnIvf(probes: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    val pc = ivfAssign(probes, "pv", "probe_id", centroids)
+    val cc = ivfAssign(corpus, "cv", "cand_id", centroids)
+    val joined = pc.withColumn("_pn", l2norm(col("pv")))
+      .join(cc.withColumn("_cn", l2norm(col("cv"))), Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("pv"), col("cv")) / (col("_pn") * col("_cn")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "cell", "rn", "cand_id", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, emit
+    * within-bucket pairs above the similarity threshold. The dedup twin
+    * of [[knnLsh]] — never all-pairs.
+    */
+  def embeddingNearDupPairs(vectors: DataFrame, vecCol: String, idCol: String,
+                            dims: Int, planes: Int, threshold: Double): DataFrame = {
+    val b = vectors.withColumn("bucket", hyperplaneBucket(col(vecCol), dims, planes))
+      .withColumn("_n", l2norm(col(vecCol)))
+    val l = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"), col("_n").as("_na"))
+    val r = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"), col("_n").as("_nb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("_na") * col("_nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
   }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan audits: these assertions pin the plan properties the
+  * 100 TB design depends on — filter/projection pushdown to the scan,
+  * broadcast only for fixed-size dims, map-side partial aggregation,
+  * top-k without a global sort, bucket joins instead of cross products.
+  * A regression here is a scale bug even while results stay correct.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2_filter: predicate and projection reach the parquet scan") {
+    val p = plan("q2_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // pruned ReadSchema: payload columns only, not the 11-column table
+    assert(!p.contains("l_returnflag"), "scan reads columns the query never uses")
+  }
+
+  test("q1_agg: partial (map-side) aggregation before the shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_"), p) // partial_sum/partial_count before Exchange
+    assert(p.contains("Exchange hashpartitioning(l_returnflag"), p)
+  }
+
+  test("q3_join_agg: fixed-size dims broadcast; customer NOT hint-broadcast") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p) // nation/region
+    // the fact-side join keys shuffle (or AQE decides) — but no cartesian
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q6_topk: TakeOrderedAndProject, no global sort of the table") {
+    val p = plan("q6_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q14_knn_exact: probe side broadcast, corpus streams once") {
+    val p = plan("q14_knn_exact")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q11_dedup_near: candidate pairs come from an equi-join on the band key") {
+    val p = plan("q11_dedup_near")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup must never be all-pairs:\n$p")
+    assert(p.contains("band_key"), p)
+  }
+
+  test("q15_knn_lsh: bucket equi-join, not a cross join") {
+    val p = plan("q15_knn_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("bucket"), p)
+  }
+
+  test("q19_merge_upsert: single full-outer join on the key") {
+    val p = plan("q19_merge_upsert")
+    assert(p.contains("FullOuter"), p)
+  }
+}
