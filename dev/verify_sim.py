@@ -20,7 +20,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    # Normalize missing values before any stringify: float NaN renders
+    # 'nan' while object None renders 'None', which would false-FAIL on
+    # mixed-dtype columns.
+    df = df.astype(object).where(pd.notna(df), None)
+    df = df.sort_values(by=list(df.columns), ignore_index=True, key=lambda s: s.astype(str))
     return df
 
 

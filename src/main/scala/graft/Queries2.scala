@@ -745,10 +745,57 @@ object Queries2 {
         WHERE cos >= 0.35 ORDER BY id_a, id_b"""))
   }
 
+  // ----------------------------------------------------- q27_pipeline_report
+  /** The ENTIRE reference pipeline end to end (hermetic DemoFixtures —
+    * sfDir-independent): ingest filter → store anti-join → enrichment →
+    * 4-level domain resolution → LinkedIn scoring → hiring tiers → P3
+    * report. Oracle = the hand-derived golden report (every value
+    * traceable to a fixture edge; see DemoFixtures/PipelineSpec).
+    */
+  val q27PipelineReport = QueryDef(
+    "q27_pipeline_report",
+    (s, dir) => {
+      import graft.pipeline.{DemoFixtures, Pipeline}
+      val run = Pipeline.run(
+        DemoFixtures(s), DemoFixtures.initialStore(s),
+        to_timestamp(lit(DemoFixtures.AsOf)))
+      run.report.orderBy(col("company"))
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        ('Acme Labs', 'https://acme-labs.com', 'https://linkedin.com/company/acme-labs',
+         CAST(12000000 AS BIGINT), 'Series A', 'Alpha Cap, Beta Fund', 'Alpha Cap', 'USA',
+         '2026-08-10', 'A', 2, 'Greenhouse', 'https://boards.greenhouse.io/acmelabs',
+         'https://news.example.com/acme-raises', '2026-08-12 12:00:00'),
+        ('Borg Systems Inc.', 'https://borgsystems.com', 'https://www.linkedin.com/company/borg-systems',
+         CAST(3000000 AS BIGINT), 'Seed', '', CAST(NULL AS VARCHAR), 'Germany',
+         CAST(NULL AS VARCHAR), 'B', 1, 'Internal', 'https://borgsystems.com/careers',
+         'https://press.example.org/borg-seed', '2026-08-12 12:00:00'),
+        ('Hotel Analytics', 'https://hotelanalytics.io', CAST(NULL AS VARCHAR),
+         CAST(2000000 AS BIGINT), 'Angel', 'Gamma', 'Gamma', CAST(NULL AS VARCHAR),
+         '2026-08-12', 'C', 0, 'Internal', 'https://hotelanalytics.io/join',
+         'https://news.example.com/hotel-angel', '2026-08-12 12:00:00'),
+        ('Kilo', 'https://kilo.io', CAST(NULL AS VARCHAR),
+         CAST(8040000 AS BIGINT), 'Series B', 'Delta P', CAST(NULL AS VARCHAR), 'India',
+         '2026-08-07', 'C', 0, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         'https://news.example.com/kilo-series-b', '2026-08-12 12:00:00'),
+        ('Lima Corp', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), '', CAST(NULL AS VARCHAR), 'UK',
+         '2026-08-06', 'C', 0, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         'https://news.example.com/lima-valuation', '2026-08-12 12:00:00'),
+        ('Nova.ai', 'https://nova.ai', CAST(NULL AS VARCHAR),
+         CAST(4000000 AS BIGINT), 'Seed', 'Zeta', 'Zeta', 'France',
+         '2026-08-10', 'A', 1, 'Lever', 'https://jobs.lever.co/nova',
+         'https://news.example.com/nova-raises', '2026-08-12 12:00:00')
+      ) AS t(company, domain, linkedin, amount_usd, round, investors, lead_investor,
+             country, date_announced, hiring_tier, tech_roles, ats_provider,
+             careers_url, source_url, last_updated)
+      ORDER BY company"""))
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q9DedupExact, q10Fingerprint, q11DedupNear, q12Simhash, q13TextQuality,
     q14KnnExact, q15KnnLsh, q16WindowTumble, q17WindowSlide, q18Sessionize,
     q19MergeUpsert, q20Rollup, q21SetOps, q22AggExtras, q23UserTier,
-    q24KeywordFilter, q25KnnIvf, q26DedupEmbedding)
+    q24KeywordFilter, q25KnnIvf, q26DedupEmbedding, q27PipelineReport)
 }
