@@ -55,12 +55,12 @@ object GraftFunctions {
     * reference's keyword-set containment test (app/ingest/rss_ingest.py:54-56).
     */
   def kwAny(c: Column, kws: Seq[String]): Column =
-    exists(array(kws.map(lit): _*), k => contains(lower(c), k))
+    exists(typedlit(kws), k => contains(lower(c), k))
 
   /** Count of keyword hits (for scoring). */
   def kwCount(c: Column, kws: Seq[String]): Column =
     aggregate(
-      array(kws.map(lit): _*),
+      typedlit(kws),
       lit(0),
       (acc, k) => acc + when(contains(lower(c), k), 1).otherwise(0))
 

@@ -39,7 +39,7 @@ object TextAnalysis {
   /** Fraction of tokens found in `stopwords`, rounded to 6 places. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = words(lower(text))
-    val hits = size(filter(toks, t => array_contains(array(stopwords.map(lit): _*), t)))
+    val hits = size(filter(toks, t => array_contains(typedlit(stopwords), t)))
     when(size(toks) === 0, 0.0)
       .otherwise(round(hits.cast("double") / size(toks), 6))
   }
@@ -74,7 +74,7 @@ object TextAnalysis {
   def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
     val toks = words(lower(text))
     val scores = markers.map { case (lang, ms) =>
-      lang -> size(filter(toks, t => array_contains(array(ms.map(lit): _*), t)))
+      lang -> size(filter(toks, t => array_contains(typedlit(ms), t)))
     }
     // argmax with first-wins tie-break: a score wins iff strictly greater
     // than all earlier scores and >= all later ones.

@@ -79,27 +79,25 @@ object DemoFixtures {
       // urlMike: no body row → dropped
     ).toDF("url", "body")
 
+    // Raw extractor output, as an LLM would emit it: markdown fences,
+    // leading prose, trailing commas, null fields, and one malformed
+    // response. The ENGINE does all the parsing (Stages.enrich).
     val llmExtractions = Seq(
-      // (url, company_name, website_url, linkedin_url, amount, round, investors, lead, country)
-      (urlAcme, Some("Acme Labs"), Some("https://acme-labs.com"),
-        Some("https://linkedin.com/company/acme-labs"), Some("$12M"), Some("Series A"),
-        Seq("Alpha Cap", "Beta Fund"), Some("Alpha Cap"), Some("USA")),
-      (urlBorg, Some("Borg Systems Inc."), Some("https://borgsys.example"), None,
-        Some("$3 million"), Some("Seed"), Seq.empty[String], None, Some("Germany")),
-      (urlGolf, None, None, None, Some("$40M"), None, Seq.empty[String], None, None),
-      (urlHotel, Some("Hotel Analytics"), None, None, Some("$2,000,000"), Some("Angel"),
-        Seq("Gamma"), Some("Gamma"), None),
-      // Kilo: INR crore amount -- exercises the currency conversion
-      (urlKilo, Some("Kilo"), None, None, Some("₹67 Cr"), Some("Series B"),
-        Seq("Delta P"), None, Some("India")),
-      (urlLima, Some("Lima Corp"), None, None, Some("Undisclosed"), None,
-        Seq.empty[String], None, Some("UK")),
-      (urlNova, Some("Nova.ai"), None, None, Some("$4M"), Some("Seed"),
-        Seq("Zeta"), Some("Zeta"), Some("France")),
-      (urlEcho, Some("Echo Robotics"), None, None, Some("$5M"), Some("Series A"),
-        Seq.empty[String], None, Some("USA"))
-    ).toDF("url", "company_name", "website_url", "linkedin_url", "amount_raised_text",
-      "funding_round", "investors", "lead_investor", "headquarter_country")
+      // fenced output + trailing comma inside the object
+      (urlAcme, """```json
+{"company_name": "Acme Labs", "website_url": "https://acme-labs.com", "linkedin_url": "https://linkedin.com/company/acme-labs", "amount_raised": "$12M", "funding_round": "Series A", "investors": ["Alpha Cap", "Beta Fund"], "lead_investor": "Alpha Cap", "headquarter_country": "USA",}
+```"""),
+      (urlBorg, """{"company_name": "Borg Systems Inc.", "website_url": "https://borgsys.example", "linkedin_url": null, "amount_raised": "$3 million", "funding_round": "Seed", "investors": [], "lead_investor": null, "headquarter_country": "Germany"}"""),
+      // extractor found no company → F5 drop
+      (urlGolf, """{"company_name": null, "website_url": null, "linkedin_url": null, "amount_raised": "$40M", "funding_round": null, "investors": [], "lead_investor": null, "headquarter_country": null}"""),
+      // leading prose before the JSON (boundary slice)
+      (urlHotel, """Sure! Here is the extraction: {"company_name": "Hotel Analytics", "website_url": null, "linkedin_url": null, "amount_raised": "$2,000,000", "funding_round": "Angel", "investors": ["Gamma"], "lead_investor": "Gamma", "headquarter_country": null}"""),
+      // INR crore amount — exercises the currency conversion
+      (urlKilo, """{"company_name": "Kilo", "website_url": null, "linkedin_url": null, "amount_raised": "₹67 Cr", "funding_round": "Series B", "investors": ["Delta P"], "lead_investor": null, "headquarter_country": "India"}"""),
+      (urlLima, """{"company_name": "Lima Corp", "website_url": null, "linkedin_url": null, "amount_raised": "Undisclosed", "funding_round": null, "investors": [], "lead_investor": null, "headquarter_country": "UK"}"""),
+      (urlNova, """{"company_name": "Nova.ai", "website_url": null, "linkedin_url": null, "amount_raised": "$4M", "funding_round": "Seed", "investors": ["Zeta"], "lead_investor": "Zeta", "headquarter_country": "France"}"""),
+      (urlEcho, """{"company_name": "Echo Robotics", "website_url": null, "linkedin_url": null, "amount_raised": "$5M", "funding_round": "Series A", "investors": [], "lead_investor": null, "headquarter_country": "USA"}""")
+    ).toDF("url", "raw")
 
     val urlStatus = Seq(
       ("https://acme-labs.com", 200, "https://acme-labs.com/"),
@@ -196,16 +194,12 @@ object DemoFixtures {
     ).toDF("url", "body")
 
     val extractions2 = Seq(
-      // amount NULL (must COALESCE-keep 12M), investors overwritten,
-      // country "Canada" must NOT replace store's "USA" (store-wins),
-      // linkedin NULL must COALESCE-keep run-1 value.
-      (urlAcme2, Some("Acme Labs"), Some("https://acme-labs.com"), Option.empty[String],
-        Some("Undisclosed"), Some("Series A"),
-        Seq("New Fund"), Some("New Fund"), Some("Canada")),
-      (urlLima2, Some("Lima Corp"), Option.empty[String], Option.empty[String],
-        Option.empty[String], Option.empty[String], Seq.empty[String], Option.empty[String], Some("UK"))
-    ).toDF("url", "company_name", "website_url", "linkedin_url", "amount_raised_text",
-      "funding_round", "investors", "lead_investor", "headquarter_country")
+      // amount "Undisclosed" (must COALESCE-keep 12M), investors
+      // overwritten, country "Canada" must NOT replace store-wins "USA",
+      // linkedin null must COALESCE-keep the run-1 value.
+      (urlAcme2, """{"company_name": "Acme Labs", "website_url": "https://acme-labs.com", "linkedin_url": null, "amount_raised": "Undisclosed", "funding_round": "Series A", "investors": ["New Fund"], "lead_investor": "New Fund", "headquarter_country": "Canada"}"""),
+      (urlLima2, """{"company_name": "Lima Corp", "website_url": null, "linkedin_url": null, "amount_raised": null, "funding_round": null, "investors": [], "lead_investor": null, "headquarter_country": "UK"}""")
+    ).toDF("url", "raw")
 
     fx.copy(feedEntries = feedEntries2, articleBodies = bodies2,
       llmExtractions = extractions2)

@@ -93,24 +93,46 @@ object Stages {
     articles.orderBy(col("feed_source"), col("ord")).limit(n)
 
   // ------------------------------------------------------------ S2+J2+F5 (+P2)
-  /** Enrichment: attach article body (truncated to 1800 chars,
-    * llm_parse.py:20-34), drop empty bodies (llm_parse.py:115-117), attach
-    * the extraction record, drop rows without a company
-    * (llm_parse.py:122-124, main.py:76-78).
+  /** Schema of one extractor record (the LLM prompt contract,
+    * llm_parse.py:51-62 — amount kept as the raw string; the engine
+    * normalizes it).
     */
-  def enrich(articles: DataFrame, bodies: DataFrame, extractions: DataFrame): DataFrame =
+  val ExtractionSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("company_name", StringType),
+      StructField("website_url", StringType),
+      StructField("linkedin_url", StringType),
+      StructField("amount_raised", StringType),
+      StructField("funding_round", StringType),
+      StructField("investors", ArrayType(StringType)),
+      StructField("lead_investor", StringType),
+      StructField("headquarter_country", StringType)))
+  }
+
+  /** Enrichment: attach article body (truncated to 1800 chars,
+    * llm_parse.py:20-34), drop empty bodies (llm_parse.py:115-117), parse
+    * the extractor's RAW output — markdown fences / prose stripped via
+    * the `{…}` boundary slice (llm_parse.py:78-87), trailing commas fixed
+    * up, tolerant `from_json` (null on failure — llm_parse.py:89-94) —
+    * then drop rows without a company (llm_parse.py:122-124,
+    * main.py:76-78) and normalize the money string with the native
+    * parse_money expression (the prompt contract, llm_parse.py:44-48).
+    */
+  def enrich(articles: DataFrame, bodies: DataFrame, llmRaw: DataFrame): DataFrame =
     articles
       .join(bodies, Seq("url"), "left")
       .withColumn("body", substring(col("body"), 1, 1800))
       .filter(col("body").isNotNull && length(col("body")) > 0)
-      .join(extractions, Seq("url"), "left")
+      .join(llmRaw, Seq("url"), "left")
+      .withColumn("_json", regexp_extract(col("raw"), "(?s)\\{.*\\}", 0))
+      .withColumn("_ex", from_json(
+        regexp_replace(col("_json"), ",\\s*([}\\]])", "$1"), ExtractionSchema))
+      .select(col("*"), col("_ex.*"))
+      .drop("raw", "_json", "_ex")
       .filter(col("company_name").isNotNull)
-      // The reference delegates money normalization to its LLM prompt
-      // ("$5M"→5000000, "₹20 Cr"→~2.4M — llm_parse.py:44-48); fixture
-      // extractions carry the raw string and the engine normalizes with
-      // the native parse_money expression ("Undisclosed" → null).
-      .withColumn("amount_raised_usd", parse_money(col("amount_raised_text")))
-      .drop("amount_raised_text")
+      .withColumn("amount_raised_usd", parse_money(col("amount_raised")))
+      .drop("amount_raised")
 
   // ------------------------------------------------------------------- K3 etc.
   /** Domain resolution — the reference's 4-level fallback chain
