@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** The reference pipeline end to end (main.py:36-136), as one logical
@@ -29,11 +29,17 @@ object Pipeline {
       atsJobs: DataFrame,
       searchResults: DataFrame)
 
+  /** @param observations per-stage row counts (the reference's console
+    *   progress lines, main.py:44,54-55,67,131 — here as zero-cost
+    *   `observe` metrics piggybacked on whatever action runs; read with
+    *   `observations("ingested").get` after an action).
+    */
   case class Result(
       batch: DataFrame,
       newStore: DataFrame,
       report: DataFrame,
-      alerts: DataFrame)
+      alerts: DataFrame,
+      observations: Map[String, Observation])
 
   def run(
       fx: Fixtures,
@@ -43,8 +49,12 @@ object Pipeline {
       limit: Int = 20,
       linkedInFallback: Boolean = true): Result = {
 
+    val obsIngested = Observation()
+    val obsFresh = Observation()
     val ingested = Stages.ingestFilter(fx.feedEntries, asOf, daysBack)
+      .observe(obsIngested, count(lit(1)).as("rows"))
     val fresh = Stages.dedupAgainstStore(ingested, store)
+      .observe(obsFresh, count(lit(1)).as("rows"))
     val limited = Stages.safetyLimit(fresh, limit)
     val enriched = Stages.enrich(limited, fx.articleBodies, fx.llmExtractions)
     val resolved = Stages.resolveDomain(
@@ -59,7 +69,8 @@ object Pipeline {
       batch = batch,
       newStore = Stages.mergeIntoStore(store, Stages.storeProjection(batch, asOf)),
       report = Stages.reportProjection(batch, asOf),
-      alerts = Stages.alertRows(batch))
+      alerts = Stages.alertRows(batch),
+      observations = Map("ingested" -> obsIngested, "fresh" -> obsFresh))
   }
 
   /** Empty store with the funded_companies schema (schema.sql:1-27;

@@ -114,6 +114,12 @@ class PipelineSpec extends SparkSpec {
     assert(h("Nova.ai") == ("A", "Lever", 1, "recent_tech_roles=1 (≤14d)"))
   }
 
+  test("A7 stage counts come for free via observe metrics") {
+    run1.batch.count() // any action over the batch fires the metrics
+    assert(run1.observations("ingested").get("rows") == 10L)
+    assert(run1.observations("fresh").get("rows") == 9L) // Echo deduped
+  }
+
   test("J5 merge run 1: batch inserted, Echo untouched") {
     val store1 = run1.newStore
     assert(store1.count() == 7) // 6 new + Echo
