@@ -34,11 +34,15 @@ object Pipeline {
     *   `observe` metrics piggybacked on whatever action runs; read with
     *   `observations("ingested").get` after an action).
     */
+  /** @param rejects articles dropped at enrichment, with a reason — the
+    *   side-output twin of the reference's print-and-skip.
+    */
   case class Result(
       batch: DataFrame,
       newStore: DataFrame,
       report: DataFrame,
       alerts: DataFrame,
+      rejects: DataFrame,
       observations: Map[String, Observation])
 
   def run(
@@ -56,7 +60,8 @@ object Pipeline {
     val fresh = Stages.dedupAgainstStore(ingested, store)
       .observe(obsFresh, count(lit(1)).as("rows"))
     val limited = Stages.safetyLimit(fresh, limit)
-    val enriched = Stages.enrich(limited, fx.articleBodies, fx.llmExtractions)
+    val (enriched, rejects) =
+      Stages.enrichSplit(limited, fx.articleBodies, fx.llmExtractions)
     val resolved = Stages.resolveDomain(
       enriched, fx.urlStatus, fx.pageAnchors, fx.searchResults)
     val withLinkedIn =
@@ -70,6 +75,7 @@ object Pipeline {
       newStore = Stages.mergeIntoStore(store, Stages.storeProjection(batch, asOf)),
       report = Stages.reportProjection(batch, asOf),
       alerts = Stages.alertRows(batch),
+      rejects = rejects,
       observations = Map("ingested" -> obsIngested, "fresh" -> obsFresh))
   }
 

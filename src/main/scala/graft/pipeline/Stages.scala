@@ -120,19 +120,38 @@ object Stages {
     * parse_money expression (the prompt contract, llm_parse.py:44-48).
     */
   def enrich(articles: DataFrame, bodies: DataFrame, llmRaw: DataFrame): DataFrame =
-    articles
+    enrichSplit(articles, bodies, llmRaw)._1
+
+  /** Like [[enrich]], but also returns the rejected rows with a reason —
+    * the reference prints-and-skips per row (llm_parse.py:115-124); a
+    * distributed engine routes them to a side output instead (SURVEY
+    * §2.11 W1 note: badRecords over swallow).
+    */
+  def enrichSplit(articles: DataFrame, bodies: DataFrame,
+                  llmRaw: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = articles
       .join(bodies, Seq("url"), "left")
       .withColumn("body", substring(col("body"), 1, 1800))
-      .filter(col("body").isNotNull && length(col("body")) > 0)
       .join(llmRaw, Seq("url"), "left")
       .withColumn("_json", regexp_extract(col("raw"), "(?s)\\{.*\\}", 0))
       .withColumn("_ex", from_json(
         regexp_replace(col("_json"), ",\\s*([}\\]])", "$1"), ExtractionSchema))
       .select(col("*"), col("_ex.*"))
       .drop("raw", "_json", "_ex")
-      .filter(col("company_name").isNotNull)
+      .withColumn("_reject_reason",
+        when(col("body").isNull || length(col("body")) === 0, "empty_body")
+          .when(col("company_name").isNull, "no_company"))
+
+    val accepted = parsed
+      .filter(col("_reject_reason").isNull)
+      .drop("_reject_reason")
       .withColumn("amount_raised_usd", parse_money(col("amount_raised")))
       .drop("amount_raised")
+    val rejects = parsed
+      .filter(col("_reject_reason").isNotNull)
+      .select(col("url"), col("title"), col("_reject_reason").as("reason"))
+    (accepted, rejects)
+  }
 
   // ------------------------------------------------------------------- K3 etc.
   /** Domain resolution — the reference's 4-level fallback chain

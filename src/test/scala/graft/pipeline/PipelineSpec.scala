@@ -114,6 +114,15 @@ class PipelineSpec extends SparkSpec {
     assert(h("Nova.ai") == ("A", "Lever", 1, "recent_tech_roles=1 (≤14d)"))
   }
 
+  test("rejected rows surface as a side output with reasons") {
+    val rejects = run1.rejects.collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("reason")).toMap
+    assert(rejects == Map(
+      DemoFixtures.urlFox -> "empty_body",   // body ""
+      DemoFixtures.urlMike -> "empty_body",  // no body row
+      DemoFixtures.urlGolf -> "no_company")) // extractor found none
+  }
+
   test("A7 stage counts come for free via observe metrics") {
     run1.batch.count() // any action over the batch fires the metrics
     assert(run1.observations("ingested").get("rows") == 10L)
