@@ -51,8 +51,11 @@ class StreamingPipeline(
       daysBack, limit)
 
     // Atomic store swap: write to a staging dir, then rename over.
+    // Partitioned by hiring_tier — the Spark analogue of the reference's
+    // idx_hiring_tier secondary index (schema.sql:29-30): tier-filtered
+    // reads (the alert path) prune to one partition directory.
     val staging = s"$storeDir-staging-$batchId"
-    result.newStore.write.mode("overwrite").parquet(staging)
+    result.newStore.write.partitionBy("hiring_tier").mode("overwrite").parquet(staging)
     val target = Paths.get(storeDir)
     if (Files.exists(target)) {
       val old = Paths.get(s"$storeDir-old-$batchId")

@@ -42,6 +42,11 @@ class StreamingPipelineSpec extends SparkSpec {
 
     val store1 = sp.loadStore()
     assert(store1.count() == 2)
+    // tier partitioning prunes tier-filtered reads (idx_hiring_tier analogue)
+    val pruned = store1.filter(col("hiring_tier") === "A")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(hiring_tier"), "expected partition pruning")
+    assert(pruned.count() == 1)
     val alerts1 = spark.read.parquet(s"$tmp/alerts")
     assert(alerts1.count() == 1) // only Acme is tier A/B
     assert(alerts1.select("company_name").collect().head.getString(0) == "Acme Labs")
