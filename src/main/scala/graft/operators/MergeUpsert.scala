@@ -43,10 +43,10 @@ object MergeUpsert {
       overwriteCols: Seq[String],
       keepCols: Seq[String] = Seq.empty): DataFrame = {
     val s = store
-      .select(store.columns.map(c => col(c).as(s"_s_$c")): _*)
+      .select(store.columns.toIndexedSeq.map(c => col(c).as(s"_s_$c")): _*)
       .withColumn("_s_exists", lit(true))
     val b = batch
-      .select(batch.columns.map(c => col(c).as(s"_b_$c")): _*)
+      .select(batch.columns.toIndexedSeq.map(c => col(c).as(s"_b_$c")): _*)
       .withColumn("_b_exists", lit(true))
 
     // Null-key batch rows must never match (SQLite UNIQUE-NULL fidelity):
@@ -57,7 +57,7 @@ object MergeUpsert {
 
     val bExists = col("_b_exists").isNotNull
     val sExists = col("_s_exists").isNotNull
-    val merged = store.columns.map { c =>
+    val merged = store.columns.toIndexedSeq.map { c =>
       val sc = col(s"_s_$c")
       val bc = col(s"_b_$c")
       val out =

@@ -458,6 +458,19 @@ object Stages {
       col("url").as("source_url"),
       date_format(asOf, "yyyy-MM-dd HH:mm:ss").as("last_updated"))
 
+  // ------------------------------------------------------------------ P5 + W4
+  /** The per-row console progress line (main.py:99-105 fixed-width
+    * format) — cosmetic, but the format_string shape is the operator.
+    */
+  def consoleLines(batch: DataFrame): DataFrame =
+    batch.select(format_string("%-28s | $%s | %s | %s  (conf=%.2f, src=%s)",
+      col("company_name"),
+      coalesce(col("amount_raised_usd").cast("string"), lit("null")),
+      coalesce(col("funding_round"), lit("null")),
+      coalesce(col("domain"), lit("null")),
+      col("confidence"),
+      col("resolution_source")).as("line"))
+
   // ----------------------------------------------------------------- F10 + W3
   /** Alert rows: tier A/B only, with the Telegram HTML message
     * (telegram_alerts.py:26-36; amount formatted "$5,000,000" or

@@ -114,6 +114,12 @@ class PipelineSpec extends SparkSpec {
     assert(h("Nova.ai") == ("A", "Lever", 1, "recent_tech_roles=1 (≤14d)"))
   }
 
+  test("P5 console projection formats the reference's progress line") {
+    val lines = Stages.consoleLines(run1.batch).collect().map(_.getString(0))
+    val acme = lines.find(_.startsWith("Acme Labs")).get
+    assert(acme == "Acme Labs                    | $12000000 | Series A | https://acme-labs.com  (conf=0.98, src=llm_explicit)")
+  }
+
   test("rejected rows surface as a side output with reasons") {
     val rejects = run1.rejects.collect()
       .map(r => r.getAs[String]("url") -> r.getAs[String]("reason")).toMap
