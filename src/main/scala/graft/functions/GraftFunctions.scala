@@ -27,6 +27,12 @@ object GraftFunctions {
   def hash64_array(arr: Column, seed: Int): Column =
     graftcolumn(Hash64Array(graftcolumn.expr(arr), seed))
 
+  /** Per-set token membership counts in one pass — native fast path,
+    * identical to `sets.map(s => size(filter(arr, t => array_contains(s, t))))`.
+    */
+  def token_set_counts(arr: Column, sets: Seq[Seq[String]]): Column =
+    graftcolumn(TokenSetCounts(graftcolumn.expr(arr), sets))
+
   /** Register the custom expressions for SQL use (`parse_money`, `url_join`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

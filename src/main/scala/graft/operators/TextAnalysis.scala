@@ -39,7 +39,7 @@ object TextAnalysis {
   /** Fraction of tokens found in `stopwords`, rounded to 6 places. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = words(lower(text))
-    val hits = size(filter(toks, t => array_contains(typedlit(stopwords), t)))
+    val hits = element_at(token_set_counts(toks, Seq(stopwords)), 1)
     when(size(toks) === 0, 0.0)
       .otherwise(round(hits.cast("double") / size(toks), 6))
   }
@@ -73,8 +73,12 @@ object TextAnalysis {
     */
   def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
     val toks = words(lower(text))
-    val scores = markers.map { case (lang, ms) =>
-      lang -> size(filter(toks, t => array_contains(typedlit(ms), t)))
+    // one native pass over the tokens for ALL marker sets (the composed
+    // per-set filter scans were the measured hotspot; CSE shares the
+    // counts array across the argmax comparisons)
+    val counts = token_set_counts(toks, markers.map(_._2))
+    val scores = markers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(counts, i + 1)
     }
     // argmax with first-wins tie-break: a score wins iff strictly greater
     // than all earlier scores and >= all later ones.

@@ -100,6 +100,20 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(graft.functions.Hash64Array.hashString("hello", 1) == 155683129569975224L)
   }
 
+  test("token_set_counts matches the composed filter/array_contains form") {
+    import spark.implicits._
+    val sets = Seq(Seq("a", "b"), Seq("b", "c", "zz"), Seq.empty[String])
+    val df = Seq(Seq("a", "b", "b", "c", "d"), Seq.empty[String]).toDF("toks")
+    val native = df.select(token_set_counts(col("toks"), sets)).collect()
+      .map(_.getSeq[Int](0).toList)
+    val composed = df.select(array(sets.map(s =>
+      size(filter(col("toks"), t => array_contains(typedlit(s), t)))): _*)).collect()
+      .map(_.getSeq[Int](0).toList)
+    assert(native.toList == composed.toList)
+    assert(native.head == List(3, 3, 0))
+    assert(native(1) == List(0, 0, 0))
+  }
+
   test("words splits on whitespace") {
     import spark.implicits._
     val got = col1[collection.Seq[String]](Seq("a b c").toDF("s").select(words(col("s"))))
