@@ -128,21 +128,34 @@ object DemoFixtures {
       // Kilo homepage (https://kilo.io): no anchors → no careers link
     ).toDF("page_url", "ord", "href", "text")
 
-    val atsJobs = Seq(
-      // (careers_url, title, location, url, posted_dt)
-      ("https://boards.greenhouse.io/acmelabs", "Senior Software Engineer",
-        Some("Remote"), "https://boards.greenhouse.io/acmelabs/jobs/1", Some(ts("2026-08-05 00:00:00"))),
-      ("https://boards.greenhouse.io/acmelabs", "Sales Lead",
-        Some("NYC"), "https://boards.greenhouse.io/acmelabs/jobs/2", Some(ts("2026-08-01 00:00:00"))),
-      ("https://boards.greenhouse.io/acmelabs", "ML Engineer",
-        None, "https://boards.greenhouse.io/acmelabs/jobs/3", Some(ts("2026-07-01 00:00:00"))),
-      ("https://borgsystems.com/careers", "Backend Developer",
-        Some("Berlin"), "https://borgsystems.com/careers/1", None),
-      ("https://borgsystems.com/careers", "Office Manager",
-        Some("Berlin"), "https://borgsystems.com/careers/2", None),
-      ("https://jobs.lever.co/nova", "iOS Developer",
-        Some("Paris"), "https://jobs.lever.co/nova/1", Some(ts("2026-08-10 00:00:00")))
-    ).toDF("careers_url", "title", "location", "url", "posted_dt")
+    // RAW provider payloads (API JSON / page HTML) — the engine parses
+    // them (AtsParsers). Greenhouse board JSON, Lever postings JSON,
+    // internal-careers HTML anchors, and an empty internal page.
+    val atsPayloads = Seq(
+      ("https://boards.greenhouse.io/acmelabs", "Greenhouse",
+        """{"jobs": [
+  {"title": "Senior Software Engineer", "location": {"name": "Remote"},
+   "absolute_url": "https://boards.greenhouse.io/acmelabs/jobs/1",
+   "updated_at": "2026-08-05T00:00:00Z", "created_at": "2026-08-01T00:00:00Z"},
+  {"title": "Sales Lead", "location": {"name": "NYC"},
+   "absolute_url": "https://boards.greenhouse.io/acmelabs/jobs/2",
+   "updated_at": "2026-08-01T00:00:00Z", "created_at": null},
+  {"title": "ML Engineer", "location": null,
+   "absolute_url": "https://boards.greenhouse.io/acmelabs/jobs/3",
+   "updated_at": null, "created_at": "2026-07-01T00:00:00Z"}
+]}"""),
+      ("https://borgsystems.com/careers", "Internal",
+        """<html><body>
+<a href="/careers/1">Backend Developer</a>
+<a href="/careers/2">Office Manager</a>
+</body></html>"""),
+      ("https://hotelanalytics.io/join", "Internal",
+        """<html><body><a href="/about">About us</a></body></html>"""),
+      ("https://jobs.lever.co/nova", "Lever",
+        """[{"text": "iOS Developer", "categories": {"location": "Paris"},
+  "hostedUrl": "https://jobs.lever.co/nova/1",
+  "createdAt": 1786320000000}]""")
+    ).toDF("careers_url", "provider", "payload")
 
     val searchResults = Seq(
       // (query, rank, href, title) — Hotel: uddg-wrapped official-site hit
@@ -159,7 +172,7 @@ object DemoFixtures {
     ).toDF("query", "rank", "href", "title")
 
     Pipeline.Fixtures(feedEntries, articleBodies, llmExtractions, urlStatus,
-      pageAnchors, atsJobs, searchResults)
+      pageAnchors, atsPayloads, searchResults)
   }
 
   /** Store state before run 1: Echo's article URL already ingested. */

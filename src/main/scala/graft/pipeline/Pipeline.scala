@@ -19,14 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** All side-effect-replacing fixture tables (FIXTURES.md A1-A8). */
+  /** All side-effect-replacing fixture tables (FIXTURES.md A1-A8).
+    * `atsPayloads` carries the RAW provider payloads (API JSON / page
+    * HTML) — parsing is engine work ([[AtsParsers]]), not fixture work.
+    */
   case class Fixtures(
       feedEntries: DataFrame,
       articleBodies: DataFrame,
       llmExtractions: DataFrame,
       urlStatus: DataFrame,
       pageAnchors: DataFrame,
-      atsJobs: DataFrame,
+      atsPayloads: DataFrame,
       searchResults: DataFrame)
 
   /** @param observations per-stage row counts (the reference's console
@@ -67,7 +70,7 @@ object Pipeline {
     val withLinkedIn =
       if (linkedInFallback) Stages.resolveLinkedIn(resolved, fx.searchResults)
       else resolved
-    val batch = Stages.hiringSignal(withLinkedIn, fx.pageAnchors, fx.atsJobs, asOf)
+    val batch = Stages.hiringSignal(withLinkedIn, fx.pageAnchors, fx.atsPayloads, asOf)
       .persist()
 
     Result(

@@ -324,14 +324,23 @@ object Stages {
 
   // ------------------------------------------- S3..S9/K1/K4/K6/F6/F7/A1-A3/T3
   /** Hiring signal (detect_ats.py:291-336): find the careers link on the
-    * homepage (3-priority first-match), identify the ATS provider, join
-    * the jobs fixture, filter tech titles, tier by recency.
+    * homepage (3-priority first-match), identify the ATS provider, parse
+    * the provider's raw payload into job rows ([[AtsParsers]] — the K5
+    * dispatch), filter tech titles, tier by recency.
     */
   def hiringSignal(
       resolved: DataFrame,
       pageAnchors: DataFrame,
-      atsJobs: DataFrame,
+      atsPayloads: DataFrame,
       asOf: Column): DataFrame = {
+
+    // S4-S9: provider-specific payload → normalized job rows
+    val atsJobs = atsPayloads.select(
+      col("careers_url"),
+      explode(AtsParsers.parseJobs(col("provider"), col("payload"), col("careers_url"))).as("_j"))
+      .select(col("careers_url"), col("_j.title").as("title"),
+        col("_j.location").as("location"), col("_j.url").as("url"),
+        col("_j.posted_dt").as("posted_dt"))
 
     // careers-link discovery over the homepage anchors (page_url = domain)
     val absHref = url_join(col("page_url"), trim(col("href")))

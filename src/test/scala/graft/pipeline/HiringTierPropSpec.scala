@@ -13,7 +13,7 @@ import org.scalacheck.Gen
 class HiringTierPropSpec extends SparkSpec {
 
   private val asOf = to_timestamp(lit("2026-08-12 12:00:00"))
-  private val careers = "https://x.example/careers"
+  private val careers = "https://boards.greenhouse.io/xcorp"
 
   private val titleGen = Gen.oneOf(
     "Software Engineer", "ML Engineer", "Backend Developer", // tech
@@ -27,14 +27,19 @@ class HiringTierPropSpec extends SparkSpec {
   private def tierOf(jobs: List[(String, Option[Int])]): String = {
     import spark.implicits._
     val resolved = Seq(("X Corp", "https://x.example")).toDF("company_name", "domain")
-    val anchors = Seq(("https://x.example", 0, "/careers", "Careers"))
+    val anchors = Seq(("https://x.example", 0, careers, "Careers"))
       .toDF("page_url", "ord", "href", "text")
-    val ats = jobs.zipWithIndex.map { case ((t, d), i) =>
-      val posted = d.map(days => Timestamp.valueOf(
-        java.time.LocalDateTime.parse("2026-08-12T12:00:00").minusDays(days)))
-      (careers, t, Option.empty[String], s"$careers/$i", posted)
-    }.toDF("careers_url", "title", "location", "url", "posted_dt")
-    Stages.hiringSignal(resolved, anchors, ats, asOf)
+    // render the board as raw Greenhouse JSON — the engine parses it
+    val jobsJson = jobs.zipWithIndex.map { case ((t, d), i) =>
+      val updated = d.map { days =>
+        val dt = java.time.LocalDateTime.parse("2026-08-12T12:00:00").minusDays(days)
+        "\"" + dt.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")) + "Z\""
+      }.getOrElse("null")
+      s"""{"title": "$t", "location": null, "absolute_url": "$careers/jobs/$i", "updated_at": $updated, "created_at": null}"""
+    }.mkString("[", ", ", "]")
+    val payloads = Seq((careers, "Greenhouse", s"""{"jobs": $jobsJson}"""))
+      .toDF("careers_url", "provider", "payload")
+    Stages.hiringSignal(resolved, anchors, payloads, asOf)
       .select("hiring_tier").collect().head.getString(0)
   }
 
