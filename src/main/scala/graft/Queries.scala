@@ -43,17 +43,17 @@ object Queries {
         .agg(
           dsum($"l_quantity").as("sum_qty"),
           dsum($"l_extendedprice").as("sum_base_price"),
-          sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
-            .cast("double").as("sum_disc_price"),
+          round(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+            .cast("double"), 4).as("sum_disc_price"),
           (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+             round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+             round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+             round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_disc_price,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
              COUNT(*) AS count_order
       FROM lineitem
@@ -109,14 +109,14 @@ object Queries {
         .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
         .agg(
-          sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
-            .cast("double").as("revenue"),
+          round(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+            .cast("double"), 4).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"n_name")
     },
     Some("""
       SELECT n_name,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+             round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS revenue,
              COUNT(*) AS n_items
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -169,7 +169,7 @@ object Queries {
     },
     Some("""
       SELECT c_mktsegment, COUNT(*) AS n_customers,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+             round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_acctbal
       FROM customer
       WHERE NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey

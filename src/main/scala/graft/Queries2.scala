@@ -353,7 +353,7 @@ object Queries2 {
     Some("""
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value,
              round(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
       FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
 
@@ -379,7 +379,7 @@ object Queries2 {
         SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS ws FROM bounds)
       SELECT CAST(ws AS DATE) AS win_start, event_type,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+             round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
       FROM days JOIN events ON ts >= ws AND ts < ws + INTERVAL 7 DAY
       GROUP BY 1, 2 ORDER BY win_start, event_type"""))
 
@@ -487,7 +487,7 @@ object Queries2 {
     Some("""
       SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
              l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
              COUNT(*) AS n_items
       FROM lineitem
       GROUP BY ROLLUP(l_returnflag, l_linestatus)

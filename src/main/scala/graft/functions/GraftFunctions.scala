@@ -47,8 +47,13 @@ object GraftFunctions {
     */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
-  /** Order-independent sum of a double column, returned as double. */
-  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  /** Order-independent sum of a double column, returned as double.
+    * Rounded to 4 places after the cast: the exact decimal sums have
+    * scale ≤ 4, but DuckDB's wide-decimal→double conversion can be off
+    * by 1 ulp from Java's correctly-rounded one (observed on a scale-8
+    * sum at sf0.1), and the round kills that noise losslessly.
+    */
+  def dsum(c: Column): Column = round(sum(dec(c)).cast("double"), 4)
 
   // ---- text normalization & keyword machinery (reference F1, §2.7) --------
 
