@@ -84,14 +84,22 @@ object Dedup {
     * Implemented as ONE posexplode over the per-band key array — a
     * union of per-band selects would re-evaluate the whole signature
     * subtree (shingling + hashing) once per band.
+    *
+    * NULL signature entries (empty/short docs: array_min of an empty
+    * shingle array) propagate to a NULL band_key via `concat` (NOT
+    * concat_ws, which silently skips nulls and would collide every empty
+    * doc into one giant bucket). NULL keys then fall out of the
+    * equi-join in [[lshCandidatePairs]] — same as the SQL oracle's `||`.
     */
   def lshBands(sig: DataFrame, idCol: String, sigCol: String,
                bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandKey = (b: Int) =>
-      md5(concat_ws("",
-        lit(s"$b:"),
-        concat_ws(",", (0 until rowsPerBand).map(r =>
-          col(sigCol).getItem(b * rowsPerBand + r)): _*)))
+    val bandKey = (b: Int) => {
+      val entries = (0 until rowsPerBand).flatMap { r =>
+        val e = col(sigCol).getItem(b * rowsPerBand + r).cast("string")
+        if (r == 0) Seq(e) else Seq(lit(","), e)
+      }
+      md5(concat(lit(s"$b:") +: entries: _*))
+    }
     sig.select(col(idCol),
       posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "band_key")))
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** J5 — keyed merge-upsert with per-column COALESCE-vs-overwrite rules,
@@ -34,6 +35,12 @@ object MergeUpsert {
     *                      DO UPDATE list, e.g. headquarter_country —
     *                      upsert.py:117-126 never touches them on
     *                      conflict); batch value used only on insert
+    * @param batchOrder    ordering of rows within the batch for the
+    *                      duplicate-key pre-reduction (the reference
+    *                      upserts sequentially, so later rows win —
+    *                      upsert.py:88-159). Defaults to a deterministic
+    *                      all-column ordering when the caller has no
+    *                      natural sequence column.
     */
   def apply(
       store: DataFrame,
@@ -41,12 +48,15 @@ object MergeUpsert {
       keys: Seq[String],
       coalesceCols: Seq[String],
       overwriteCols: Seq[String],
-      keepCols: Seq[String] = Seq.empty): DataFrame = {
+      keepCols: Seq[String] = Seq.empty,
+      batchOrder: Option[Column] = None): DataFrame = {
+    val reduced =
+      reduceBatch(batch, keys, coalesceCols, overwriteCols, keepCols, batchOrder)
     val s = store
       .select(store.columns.toIndexedSeq.map(c => col(c).as(s"_s_$c")): _*)
       .withColumn("_s_exists", lit(true))
-    val b = batch
-      .select(batch.columns.toIndexedSeq.map(c => col(c).as(s"_b_$c")): _*)
+    val b = reduced
+      .select(reduced.columns.toIndexedSeq.map(c => col(c).as(s"_b_$c")): _*)
       .withColumn("_b_exists", lit(true))
 
     // Null-key batch rows must never match (SQLite UNIQUE-NULL fidelity):
@@ -69,5 +79,51 @@ object MergeUpsert {
       out.as(c)
     }
     joined.select(merged: _*)
+  }
+
+  /** Collapse duplicate natural keys WITHIN the batch before the merge
+    * join. The reference upserts rows one at a time, so two articles about
+    * the same (company, round, date) in a single run fold sequentially:
+    * COALESCE columns keep the last non-null value seen, overwrite columns
+    * keep the last value (even null), and keep-columns retain the FIRST
+    * row's value (set at insert, never touched on conflict). A full-outer
+    * join, by contrast, would fan the duplicates out into duplicate store
+    * rows — corrupting the key's uniqueness for every later merge.
+    *
+    * Rows with any null key column bypass the reduction entirely: SQLite
+    * UNIQUE treats NULLs as distinct, so each such row always inserts as
+    * its own store row (SURVEY §7.4).
+    *
+    * Cost: one extra shuffle on the same natural key the merge join uses
+    * (exchange reuse co-partitions them); window + row_number, no
+    * collect_list of whole rows.
+    */
+  private def reduceBatch(
+      batch: DataFrame,
+      keys: Seq[String],
+      coalesceCols: Seq[String],
+      overwriteCols: Seq[String],
+      keepCols: Seq[String],
+      batchOrder: Option[Column]): DataFrame = {
+    val nonKeyCols = batch.columns.toIndexedSeq.filterNot(keys.contains)
+    val ord = batchOrder.getOrElse(struct(nonKeyCols.map(col): _*))
+    val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
+    val keyed = batch.filter(!anyNullKey)
+    val nullKeyed = batch.filter(anyNullKey)
+
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val folded = keyed
+      .select(keys.map(col) ++ nonKeyCols.map { c =>
+        val v =
+          if (keepCols.contains(c)) first(col(c)).over(full)
+          else if (overwriteCols.contains(c)) last(col(c), ignoreNulls = false).over(full)
+          else last(col(c), ignoreNulls = true).over(full) // coalesce + default
+        v.as(c)
+      } :+ row_number().over(w).as("_rn_dup"): _*)
+      .filter(col("_rn_dup") === 1)
+      .drop("_rn_dup")
+      .select(batch.columns.toIndexedSeq.map(col): _*)
+    folded.unionByName(nullKeyed)
   }
 }

@@ -129,11 +129,20 @@ object Stages {
     */
   def enrichSplit(articles: DataFrame, bodies: DataFrame,
                   llmRaw: DataFrame): (DataFrame, DataFrame) = {
+    // Fence strip + JSON boundary slice (llm_parse.py:78-83); when the
+    // output has no {...} span at all, the reference wraps the fence-less
+    // key:value text in braces and retries (llm_parse.py:84-87) — without
+    // the fallback such rows would be wrongly rejected as no_company.
+    val cleaned = trim(regexp_replace(col("raw"), "```json|```", ""))
+    val sliced = regexp_extract(cleaned, "(?s)\\{.*\\}", 0)
+    val wrapped = concat(lit("{\n"), regexp_replace(cleaned, ",+\\s*$", ""), lit("\n}"))
     val parsed = articles
       .join(bodies, Seq("url"), "left")
       .withColumn("body", substring(col("body"), 1, 1800))
       .join(llmRaw, Seq("url"), "left")
-      .withColumn("_json", regexp_extract(col("raw"), "(?s)\\{.*\\}", 0))
+      .withColumn("_json",
+        when(sliced =!= "", sliced)
+          .when(cleaned.isNotNull && cleaned =!= "", wrapped))
       .withColumn("_ex", from_json(
         regexp_replace(col("_json"), ",\\s*([}\\]])", "$1"), ExtractionSchema))
       .select(col("*"), col("_ex.*"))

@@ -28,11 +28,13 @@ import org.apache.spark.sql.functions.udf
   */
 object HttpAdapters {
 
-  /** Simple blocking token bucket, one per executor JVM (`object` =
-    * per-JVM singleton; rate applies per executor, multiply by executor
-    * count for the aggregate).
+  /** Simple blocking token bucket. Do NOT capture an instance in a UDF
+    * closure — each task deserializes its own copy and the rate multiplies
+    * by concurrent-task count. Always go through [[limiterFor]], which
+    * keeps one shared instance per (name, rate) in a JVM-static registry,
+    * so the rate is genuinely per-executor-JVM regardless of task count.
     */
-  class RateLimiter(perSecond: Double) extends Serializable {
+  class RateLimiter(perSecond: Double) {
     private val intervalNanos = (1e9 / perSecond).toLong
     @volatile private var nextFree = 0L
     def acquire(): Unit = synchronized {
@@ -43,6 +45,16 @@ object HttpAdapters {
       if (wait > 0) Thread.sleep(wait / 1000000L, (wait % 1000000L).toInt)
     }
   }
+
+  private val limiters =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), RateLimiter]()
+
+  /** JVM-wide limiter lookup: the UDF body calls this (static object
+    * access, not closure capture), so every task on the executor shares
+    * one bucket per adapter name + rate.
+    */
+  def limiterFor(name: String, perSecond: Double): RateLimiter =
+    limiters.computeIfAbsent((name, perSecond), _ => new RateLimiter(perSecond))
 
   @transient private lazy val client: HttpClient = HttpClient.newBuilder()
     .followRedirects(HttpClient.Redirect.ALWAYS)
@@ -87,18 +99,20 @@ object HttpAdapters {
   /** Column adapters (nondeterministic: never reordered by Catalyst). */
   def fetchArticleUdf(perSecond: Double, timeoutSec: Int = 10,
                       maxChars: Int = 1800): Column => Column = {
-    val limiter = new RateLimiter(perSecond)
+    // Capture only the rate (a primitive); the limiter itself is resolved
+    // per-call from the JVM-static registry so all tasks share it.
     val f = udf((url: String) =>
       if (url == null) null
-      else fetchArticleText(url, timeoutSec, maxChars, limiter))
+      else fetchArticleText(url, timeoutSec, maxChars,
+        limiterFor("fetchArticle", perSecond)))
       .asNondeterministic()
     (c: Column) => f(c)
   }
 
   def headOkUdf(perSecond: Double, timeoutSec: Int = 8): Column => Column = {
-    val limiter = new RateLimiter(perSecond)
     val f = udf((url: String) =>
-      if (url == null) false else headOk(url, timeoutSec, limiter))
+      if (url == null) false
+      else headOk(url, timeoutSec, limiterFor("headOk", perSecond)))
       .asNondeterministic()
     (c: Column) => f(c)
   }

@@ -50,6 +50,15 @@ class StreamingPipeline(
       fx.copy(feedEntries = feedBatch), store, to_timestamp(lit(asOf)),
       daysBack, limit)
 
+    // Alerts MUST be written before the store swap: their lineage reads
+    // parquet(storeDir) via the anti-join, and persist() is best-effort —
+    // an evicted partition recomputed after the swap would anti-join
+    // against the already-merged store and silently drop every alert.
+    // Writing first pins the result while the old store dir still exists.
+    result.alerts
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(alertsDir)
+
     // Atomic store swap: write to a staging dir, then rename over.
     // Partitioned by hiring_tier — the Spark analogue of the reference's
     // idx_hiring_tier secondary index (schema.sql:29-30): tier-filtered
@@ -65,12 +74,6 @@ class StreamingPipeline(
     } else {
       Files.move(Paths.get(staging), target)
     }
-
-    // Alerts append per batch (at-least-once, as the reference's per-row
-    // Telegram call is).
-    result.alerts
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(alertsDir)
     result.batch.unpersist()
   }
 

@@ -66,6 +66,50 @@ class MergeUpsertPropSpec extends SparkSpec {
     }
   }
 
+  test("duplicate batch keys collapse to one row (no full-outer fan-out)") {
+    import spark.implicits._
+    val store = Seq(("k1", Some("sc"), Some("so"), Some("sp"))).toDF("k", "c", "o", "p")
+    val batch = Seq(
+      ("k1", Some("1"), Some("o1"), Some("p1")),
+      ("k1", Some("2"), Option.empty[String], Some("p2")))
+      .toDF("k", "c", "o", "p")
+    val out = MergeUpsert(store, batch, keys = Seq("k"),
+      coalesceCols = Seq("c"), overwriteCols = Seq("o"), keepCols = Seq("p"),
+      batchOrder = Some(col("c")))
+    val rows = out.collect()
+    assert(rows.length == 1, "duplicate keys must not fan out")
+    val r = rows.head
+    assert(r.getString(1) == "2")   // coalesce: last non-null in batch order
+    assert(r.getString(2) == null)  // overwrite: LAST batch value, even null
+    assert(r.getString(3) == "sp")  // keep: store wins on conflict
+  }
+
+  test("batched merge ≡ sequential per-row upserts (reference fidelity)") {
+    import spark.implicits._
+    val store = Seq(("k1", Some("sc"), Some("so"), Some("sp"))).toDF("k", "c", "o", "p")
+    val row1 = Seq(("k1", Option.empty[String], Some("o1"), Some("p1"))).toDF("k", "c", "o", "p")
+    val row2 = Seq(("k1", Some("c2"), Option.empty[String], Some("p2"))).toDF("k", "c", "o", "p")
+    val sequential = merge(merge(store, row1), row2)
+    // batch order: row1 then row2, keyed by an expression that sorts them so
+    val batch = row1.unionByName(row2)
+    val batched = MergeUpsert(store, batch, keys = Seq("k"),
+      coalesceCols = Seq("c"), overwriteCols = Seq("o"), keepCols = Seq("p"),
+      batchOrder = Some(col("p"))) // p1 < p2 = arrival order
+    assert(canon(batched) == canon(sequential))
+  }
+
+  test("null-key duplicate batch rows are NOT collapsed (each inserts)") {
+    import spark.implicits._
+    val store = Seq(("k1", Some("sc"), Some("so"), Some("sp"))).toDF("k", "c", "o", "p")
+    val batch = Seq(
+      (null.asInstanceOf[String], Some("b1"), Option.empty[String], Option.empty[String]),
+      (null.asInstanceOf[String], Some("b1"), Option.empty[String], Option.empty[String]))
+      .toDF("k", "c", "o", "p")
+    val out = merge(store, batch)
+    // SQLite UNIQUE treats NULLs as distinct: both rows insert
+    assert(out.filter(col("k").isNull).count() == 2)
+  }
+
   test("null-key batch rows always insert, never match") {
     import spark.implicits._
     val store = Seq(("k1", Some("sc"), Some("so"), Some("sp")),
