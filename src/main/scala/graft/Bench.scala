@@ -14,7 +14,10 @@ import org.apache.spark.sql.SparkSession
   *  - one untimed warmup pass (session init, codegen, Parquet footer reads)
   *    so the first timed query isn't billed ~10 s of JVM warmup;
   *  - JSON goes to a file (BENCH.json, or args(0)) as well as stdout —
-  *    sbt's `[info]` stdout prefix broke machine parsing in round 1.
+  *    sbt's `[info]` stdout prefix broke machine parsing in round 1;
+  *  - each query is timed twice and the MIN reported: identical code
+  *    measured 48 s vs 89 s total across two driver runs (GC pauses and
+  *    host contention), and min-of-2 removes most of that variance.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,7 +45,11 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(execute) // warmup: full pass, untimed
-    val results = names.map(n => n -> execute(n))
+    val results = names.map { n =>
+      val t1 = execute(n)
+      val t2 = execute(n)
+      n -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -38,6 +38,7 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("parse_money", es => ParseMoney(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("url_join", es => UrlJoin(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
   }
 
   // ---- exact decimal aggregation helpers ----------------------------------
@@ -134,13 +135,14 @@ object GraftFunctions {
   // ---- vector math (similarity search) -------------------------------------
 
   /** Dot product of two equal-length float/double array columns, computed in
-    * double, sequentially in array order (deterministic).
+    * double, sequentially in array order (deterministic). Native
+    * [[DotProduct]] expression — bit-identical to the
+    * `aggregate(zip_with(...))` builtin composition but ~2 orders of
+    * magnitude faster per pair (interpreted lambdas vs one codegen'd loop),
+    * which is what the within-bucket ANN joins spend their time on.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graftcolumn(DotProduct(graftcolumn.expr(a), graftcolumn.expr(b)))
 
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))

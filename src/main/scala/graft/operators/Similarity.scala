@@ -41,9 +41,9 @@ object Similarity {
   def hyperplaneBucket(vec: Column, dims: Int, planes: Int): Column = {
     val bitVal = (0 until planes).map { p =>
       val plane = array((0 until dims).map(d => lit(hpComponent(p, d))): _*)
-      val proj = aggregate(
-        zip_with(vec, plane, (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
+      // native sequential dot — same order-sensitive double arithmetic as
+      // the aggregate/zip_with composition the oracle mirrors
+      val proj = dot(vec, plane)
       // Round before the sign test: the oracle recomputes this sum with
       // its own float pipeline, and an unrounded `> 0` at the boundary
       // could flip a bucket between engines.
