@@ -1,0 +1,283 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.operators.{AsOfJoin, Multimodal, RangeJoin, ScaleJoins}
+
+/** Round-4 query surface: temporal joins (as-of, interval), the remaining
+  * grouping/reshape shapes (cube, pivot), skew-safe join machinery, the
+  * multimodal planning columns, and sequence window functions. Oracle-
+  * parity rules as in [[Queries]]/[[Queries2]]; timestamps cross the
+  * engine boundary as `epoch_us` BIGINTs (the driver testdata is
+  * µs-aligned — see [[Tables]]).
+  */
+object Queries3 {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ------------------------------------------------------------ q28_asof_join
+  /** Backward as-of join ([[AsOfJoin]]): each purchase gets the latest
+    * at-or-before view of the same user. The right side is pre-reduced to
+    * one row per (user, ts) so the attach is deterministic; DuckDB's
+    * native ASOF JOIN is the oracle.
+    */
+  val q28AsofJoin = QueryDef(
+    "q28_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val views = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"event_id").as("view_id"))
+      AsOfJoin.backward(purchases, views, Seq("user_id"), "ts", "ts", prefix = "v_")
+        .select(
+          $"event_id", $"user_id",
+          unix_micros($"ts").as("ts_us"),
+          $"v_view_id".as("view_id"),
+          unix_micros($"v_ts").as("view_ts_us"),
+          (unix_micros($"ts") - unix_micros($"v_ts")).as("gap_us"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, ts, max(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+             v.view_id, epoch_us(v.ts) AS view_ts_us,
+             epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+      ORDER BY p.event_id"""))
+
+  // -------------------------------------------------------- q29_interval_join
+  /** Interval join ([[RangeJoin]]): events of the same user in the hour
+    * before each purchase, bucketized to an equi-join (never a per-key
+    * cross product); zero-candidate purchases survive via the left join
+    * back.
+    */
+  val q29IntervalJoin = QueryDef(
+    "q29_interval_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val cands = ev.select($"user_id", $"ts", $"event_id")
+      val pairs = RangeJoin.lookbackPairs(
+        purchases, cands, Seq("user_id"), "ts", "ts", windowSec = 3600L)
+      val counts = pairs.groupBy($"event_id").agg(count(lit(1)).as("n"))
+      purchases.join(counts, Seq("event_id"), "left")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          coalesce($"n", lit(0L)).as("n_prev_hour"))
+        .orderBy($"event_id")
+    },
+    Some("""
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+             CAST(count(e.event_id) AS BIGINT) AS n_prev_hour
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN events e
+        ON e.user_id = p.user_id
+       AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+      GROUP BY 1, 2, 3 ORDER BY p.event_id"""))
+
+  // ------------------------------------------------------------------ q30_cube
+  /** CUBE over two dimensions with grouping_id — all four grouping sets
+    * in one pass (rollup's sibling; same partial-agg shuffle shape).
+    */
+  val q30Cube = QueryDef(
+    "q30_cube",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice").as("sum_price"))
+        .select($"gid", $"o_orderstatus", $"o_orderpriority", $"n_orders", $"sum_price")
+        .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    },
+    Some("""
+      SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             o_orderstatus, o_orderpriority,
+             COUNT(*) AS n_orders,
+             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  // ----------------------------------------------------------------- q31_pivot
+  /** Pivot (long → wide reshape): per-user event-type counts as columns.
+    * The pivot values are pinned (no extra distinct-collect pass — at
+    * scale an unpinned pivot is a full extra job over the input).
+    */
+  val q31Pivot = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    QueryDef(
+      "q31_pivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+          .select($"user_id" +:
+            types.map(v => coalesce(col(v), lit(0L)).cast("long").as(s"n_$v")): _*)
+          .orderBy($"user_id")
+      },
+      Some(s"""
+        SELECT user_id,
+               ${types.map(v =>
+                 s"CAST(SUM(CASE WHEN event_type = '$v' THEN 1 ELSE 0 END) AS BIGINT) AS n_$v")
+                 .mkString(",\n               ")}
+        FROM events GROUP BY user_id ORDER BY user_id"""))
+  }
+
+  // ----------------------------------------------------------- q32_salted_join
+  /** Skew-safe salted join ([[ScaleJoins.saltedJoin]]): lineitem joined
+    * to orders with an 8-way salt — the result is provably identical to
+    * the plain equi-join (the oracle), the salt only spreads each hot key
+    * across 8 shuffle partitions.
+    */
+  val q32SaltedJoin = QueryDef(
+    "q32_salted_join",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("o_orderkey"), $"l_extendedprice")
+      val ords = t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+      ScaleJoins.saltedJoin(li, ords, "o_orderkey", buckets = 8)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+             round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY o_orderpriority"""))
+
+  // ----------------------------------------------------------- q33_multimodal
+  /** Multimodal planning + decode ([[Multimodal]]): resize targets and
+    * frame-sample offsets are pure column math; n_bytes/mean_byte come
+    * out of the partition-local decode kernel (mapPartitions over the
+    * payload bytes — the stub is deterministic, so the oracle rebuilds
+    * the same values arithmetically).
+    */
+  val q33Multimodal = QueryDef(
+    "q33_multimodal",
+    (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.syntheticMedia(s, 60)
+      val feats = Multimodal.decodeFeatures(media).toDF()
+        .select($"media_id", $"n_bytes", round($"mean_byte", 6).as("mean_byte"))
+      val planned = Multimodal.withFrameSamples(
+        Multimodal.withResizePlan(media.toDF(), maxSide = 256), nFrames = 4)
+        .select($"media_id", $"kind", $"target_width", $"target_height",
+          $"needs_resize", concat_ws(",", $"frame_offsets_ms").as("frame_offsets"))
+      planned.join(feats, "media_id").orderBy($"media_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT id,
+               CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               id % 64 + 16 AS n_b,
+               CASE WHEN id % 3 = 0 THEN id % 5000 + 100 END AS width,
+               CASE WHEN id % 3 = 0 THEN id % 3000 + 100 END AS height,
+               CASE WHEN id % 3 = 2 THEN id % 90000 + 1000 END AS duration_ms
+        FROM range(0, 60) t(id))
+      SELECT id AS media_id, kind,
+             CASE WHEN width IS NOT NULL THEN
+               CAST(floor(width * least(1.0, 256.0 / greatest(width, height))) AS INTEGER) END
+               AS target_width,
+             CASE WHEN width IS NOT NULL THEN
+               CAST(floor(height * least(1.0, 256.0 / greatest(width, height))) AS INTEGER) END
+               AS target_height,
+             COALESCE(greatest(width, height) > 256, false) AS needs_resize,
+             CASE WHEN kind = 'video' THEN
+               array_to_string(list_transform(range(0, 4),
+                 i -> CAST(floor(i * duration_ms / 4.0) AS INTEGER)), ',')
+             ELSE '' END AS frame_offsets,
+             CAST(n_b AS BIGINT) AS n_bytes,
+             round(CAST(list_sum(list_transform(range(0, n_b),
+               j -> (id * 31 + j * 7) % 256)) AS DOUBLE) / n_b, 6) AS mean_byte
+      FROM m ORDER BY media_id"""))
+
+  // ------------------------------------------------------------- q34_lag_lead
+  /** Sequence window functions over per-user event streams: lag, lead,
+    * running first_value, inter-event gap. One shuffle on user_id; all
+    * four functions share the same window sort.
+    */
+  val q34LagLead = QueryDef(
+    "q34_lag_lead",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      t(s, dir, "events")
+        .select(
+          $"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          lag($"event_type", 1).over(w).as("prev_type"),
+          lead($"event_type", 1).over(w).as("next_type"),
+          first($"event_type").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_type"),
+          (unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w)).as("gap_us"))
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(event_type, 1) OVER w AS prev_type,
+             lead(event_type, 1) OVER w AS next_type,
+             first_value(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS first_type,
+             epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id"""))
+
+  // ---------------------------------------------------------- q35_percentiles
+  /** Exact linear-interpolation percentiles per group (Spark `percentile`
+    * = DuckDB `quantile_cont`). Exact, not approximate: both engines sort
+    * within the group and interpolate the same way; round(6) absorbs the
+    * last-ulp difference in interpolation order.
+    */
+  val q35Percentiles = QueryDef(
+    "q35_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          // one percentile() per COLUMN (array form): the exact aggregate
+          // builds its per-group value map once and reads both quantiles
+          // from it — four scalar calls built the map four times (2x cost)
+          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("_q"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("_p"))
+        .select($"l_returnflag",
+          round(element_at($"_q", 1), 6).as("p50_qty"),
+          round(element_at($"_q", 2), 6).as("p90_qty"),
+          round(element_at($"_p", 1), 6).as("p50_price"),
+          round(element_at($"_p", 2), 6).as("p99_price"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+             round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+             round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
+
+  /** Registry. */
+  def all: Seq[QueryDef] = Seq(
+    q28AsofJoin, q29IntervalJoin, q30Cube, q31Pivot, q32SaltedJoin,
+    q33Multimodal, q34LagLead, q35Percentiles)
+}

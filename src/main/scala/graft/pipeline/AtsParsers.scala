@@ -129,7 +129,7 @@ object AtsParsers {
     transform(
       filter(anchors(payload), a =>
         a.getField("text") =!= "" &&
-        kws.map(k => lower(a.getField("text")).contains(k)).reduce(_ || _)),
+        exists(typedlit(kws), k => contains(lower(a.getField("text")), k))),
       a => job(a.getField("text"), lit(null).cast("string"),
         url_join(baseUrl, a.getField("href")), lit(null).cast("timestamp")))
 
