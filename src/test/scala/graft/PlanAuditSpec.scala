@@ -67,4 +67,32 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q19_merge_upsert")
     assert(p.contains("FullOuter"), p)
   }
+
+  test("q28_asof_join: union + ONE window shuffle, no range join blowup") {
+    val p = plan("q28_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not be a theta join:\n$p")
+    assert(p.contains("Union"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("q29_interval_join: bucketized equi-join, no per-key cross product") {
+    val p = plan("q29_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join must stay an equi-join on (key, bucket):\n$p")
+    assert(p.contains("__range_bucket"), p)
+  }
+
+  test("q32_salted_join: equi-join includes the salt key") {
+    val p = plan("q32_salted_join")
+    assert(p.contains("_salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q31_pivot: pinned pivot values — no extra distinct-collect job") {
+    // an unpinned pivot runs a separate collect() of distinct event_type
+    // before planning; with pinned values the plan is a single aggregate
+    val p = plan("q31_pivot")
+    assert(p.contains("partial_"), p) // map-side combine survives the pivot
+  }
 }
