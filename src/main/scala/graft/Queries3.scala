@@ -276,8 +276,86 @@ object Queries3 {
              round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
       FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
 
+  // -------------------------------------------------------- q36_dedup_clusters
+  /** Near-dup CLUSTERS: the q11 LSH candidate pipeline, thresholded on
+    * exact Jaccard, then [[Dedup.connectedComponents]] turns pairs into
+    * groups (component = min reachable doc_id = the canonical keeper).
+    * Oracle: the same pair CTEs + a recursive-CTE label propagation.
+    */
+  val q36DedupClusters = QueryDef(
+    "q36_dedup_clusters",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Dedup
+      val sh = t(s, dir, "documents")
+        .select($"doc_id",
+          Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh"))
+        .filter(size($"sh") > 0)
+        .persist()
+      val sig = sh.select($"doc_id", Dedup.minhashSig($"sh", 8).as("sig"))
+      val bands = Dedup.lshBands(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
+      val near = Dedup.lshCandidatePairs(bands, "doc_id")
+        .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
+        .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
+        .filter(Dedup.jaccard($"sh_a", $"sh_b") >= 0.4)
+        .select($"id_a", $"id_b")
+      Dedup.connectedComponents(near, "id_a", "id_b")
+        .groupBy($"component")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          concat_ws(",",
+            transform(sort_array(collect_list($"id")), _.cast("string")))
+            .as("members"))
+        .orderBy($"component")
+    },
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               list_transform(string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+        FROM documents),
+      shf AS (
+        SELECT doc_id,
+               list_transform(range(0, len(w) - 2), i ->
+                 ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                   * 41 + (wh[i+3] % 1073741824)) AS sh0
+        FROM toks WHERE len(w) >= 3),
+      shx AS (SELECT doc_id, list_transform(sh0, v -> v % 1073741789) AS sh FROM shf),
+      mh AS (
+        SELECT doc_id,
+               list_transform([31, 37, 41, 43, 47, 53, 59, 61], a ->
+                 list_min(list_transform(sh,
+                   h -> (a * (h % 1073741824) + a*7 + 3) % 1073741789))) AS sig
+        FROM shx),
+      bands AS (
+        SELECT doc_id, b,
+               md5(b || ':' || sig[2*b+1] || ',' || sig[2*b+2]) AS band_key
+        FROM mh, unnest(range(0, 4)) AS tt(b)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM bands a JOIN bands c USING (b, band_key)
+        WHERE a.doc_id < c.doc_id),
+      near AS (
+        SELECT id_a, id_b FROM pairs
+        JOIN shx sa ON sa.doc_id = id_a
+        JOIN shx sb ON sb.doc_id = id_b
+        WHERE CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.4),
+      e AS (
+        SELECT id_a AS s, id_b AS d FROM near
+        UNION
+        SELECT id_b, id_a FROM near),
+      reach(id, lab) AS (
+        SELECT DISTINCT s, s FROM e
+        UNION
+        SELECT e.d, r.lab FROM reach r JOIN e ON e.s = r.id),
+      comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+      SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+             array_to_string(list_sort(list(id)), ',') AS members
+      FROM comp GROUP BY component ORDER BY component"""))
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q28AsofJoin, q29IntervalJoin, q30Cube, q31Pivot, q32SaltedJoin,
-    q33Multimodal, q34LagLead, q35Percentiles)
+    q33Multimodal, q34LagLead, q35Percentiles, q36DedupClusters)
 }

@@ -148,4 +148,51 @@ object Dedup {
     */
   def prefixFingerprint(tokens: Column, n: Int, seed: Int): Column =
     hash64(concat_ws(" ", slice(tokens, 1, n)), seed)
+
+  /** Connected components over an undirected edge list — the clustering
+    * step that turns near-dup PAIRS into dedup GROUPS (one canonical doc
+    * per component). Returns `(id, component)` where `component` is the
+    * minimum vertex id reachable from `id`.
+    *
+    * Distributed min-label propagation: every iteration each vertex
+    * takes the min of its own label and its neighbors' labels — one
+    * shuffle per iteration, O(graph diameter) iterations. Near-dup
+    * graphs are overwhelmingly tiny cliques/chains, so this converges in
+    * a handful of rounds; for adversarial long-chain graphs switch to
+    * the large-star/small-star formulation (same building blocks,
+    * O(log n) rounds). `localCheckpoint` truncates the per-iteration
+    * lineage so the plan does not grow with iteration count (at cluster
+    * scale use reliable `checkpoint` with a checkpoint dir instead).
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .unionByName(edges.select(col(dstCol).as("_s"), col(srcCol).as("_d")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("_s").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "_d")
+          .withColumnRenamed("component", "_nc"), "_d")
+        .groupBy(col("_s").as("id"))
+        .agg(min(col("_nc")).as("_nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("_nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("component", "_old"), "id")
+        .filter(col("component") =!= col("_old"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
 }
