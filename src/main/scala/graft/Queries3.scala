@@ -354,8 +354,101 @@ object Queries3 {
              array_to_string(list_sort(list(id)), ',') AS members
       FROM comp GROUP BY component ORDER BY component"""))
 
+  // ----------------------------------------------------------------- q37_tfidf
+  /** TF-IDF top-3 terms per document. Three shuffles (doc-term counts,
+    * doc frequencies, per-doc window) — all on bounded keys; N comes
+    * from a broadcast 1-row aggregate, never a driver collect. Scores
+    * are rounded to 6 places BEFORE ranking so both engines rank
+    * identical values (ln() may differ in the last ulp across libm
+    * implementations); ties break on the term.
+    */
+  val q37Tfidf = QueryDef(
+    "q37_tfidf",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val tok = docs.select($"doc_id", explode(words($"text")).as("term"))
+      val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .select($"doc_id", $"term",
+          round($"tf" * log($"n".cast("double") / $"df"), 6).as("tfidf"))
+      val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term".asc)
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"doc_id", $"rn", $"term", $"tfidf")
+        .orderBy($"doc_id", $"rn")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      s AS (
+        SELECT doc_id, term,
+               round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      r AS (
+        SELECT doc_id, term, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS BIGINT) AS rn
+        FROM s)
+      SELECT doc_id, rn, term, tfidf FROM r WHERE rn <= 3
+      ORDER BY doc_id, rn"""))
+
+  // ----------------------------------------------------------- q38_hash_sample
+  /** Deterministic 10% sample by key hash — the reproducible-sampling
+    * primitive for training-data pipelines (rand()-based sampling can't
+    * be re-run, audited, or oracle-checked; a key-hash cut can). The
+    * predicate is scan-adjacent: no shuffle before the sample filter.
+    */
+  val q38HashSample = QueryDef(
+    "q38_hash_sample",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter(hash64($"l_orderkey".cast("string"), 11) % 100 < 10)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_items,
+             round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+      FROM lineitem
+      WHERE CAST(('0x' || substr(md5('11:' || CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
+      GROUP BY 1 ORDER BY l_returnflag"""))
+
+  // ------------------------------------------------------------ q39_histogram
+  /** Fixed-width value histogram (bin = floor(value/width)) — one
+    * partial-agg shuffle on the bin id; the standard distribution sketch
+    * before choosing quality-score cutoffs.
+    */
+  val q39Histogram = QueryDef(
+    "q39_histogram",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(floor($"value" / 50).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .withColumn("bin_lo", ($"bin" * 50).cast("double"))
+        .select($"bin", $"bin_lo", $"n", $"sum_value")
+        .orderBy($"bin")
+    },
+    Some("""
+      SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+             CAST(CAST(floor(value / 50) AS BIGINT) * 50 AS DOUBLE) AS bin_lo,
+             COUNT(*) AS n,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+      FROM events GROUP BY 1 ORDER BY bin"""))
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q28AsofJoin, q29IntervalJoin, q30Cube, q31Pivot, q32SaltedJoin,
-    q33Multimodal, q34LagLead, q35Percentiles, q36DedupClusters)
+    q33Multimodal, q34LagLead, q35Percentiles, q36DedupClusters,
+    q37Tfidf, q38HashSample, q39Histogram)
 }
