@@ -182,15 +182,16 @@ object Dedup {
           .withColumnRenamed("component", "_nc"), "_d")
         .groupBy(col("_s").as("id"))
         .agg(min(col("_nc")).as("_nmin"))
+      // carry the previous label alongside the new one so convergence is
+      // a filter over the already-checkpointed frame, not another join
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("_nmin"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("component").as("_prev"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("component", "_old"), "id")
-        .filter(col("component") =!= col("_old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("component") =!= col("_prev")).isEmpty
+      labels = next.select("id", "component")
       i += 1
     }
     labels
