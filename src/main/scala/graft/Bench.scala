@@ -43,7 +43,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Optional subset for dev soak runs: SPARK_GRAFT_QUERIES=q1_agg,q11_…
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => subset.forall(_.contains(n)))
     names.foreach(execute) // warmup: full pass, untimed
     val results = names.map { n =>
       val t1 = execute(n)

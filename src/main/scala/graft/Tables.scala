@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided testdata tables (see TESTDATA.md).
   *
@@ -29,6 +29,12 @@ object Tables {
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.name == "ts" && f.dataType == LongType)
         acc.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else if (f.name == "ts" && f.dataType == TimestampNTZType)
+        // Writers that don't adjust to UTC (isAdjustedToUTC=false) read
+        // back as TIMESTAMP_NTZ, which unix_micros()/window() reject.
+        // The session runs in UTC, so the wall-clock reinterpretation is
+        // lossless.
+        acc.withColumn("ts", col("ts").cast(TimestampType))
       else acc
     }
   }
