@@ -446,9 +446,135 @@ object Queries3 {
              round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
       FROM events GROUP BY 1 ORDER BY bin"""))
 
+  // -------------------------------------------------------- q40_dedup_pipeline
+  /** The PRODUCTION dedup pipeline shape, end to end: exact-collapse by
+    * content hash FIRST (recrawls and mirror copies are the common case
+    * — collapsing them up front shrinks the expensive near-dup stage to
+    * unique contents only), then LSH near-dup + connected components on
+    * the representatives, then expand the cluster ids back over every
+    * member. Corpus = documents ∪ a simulated recrawl (ids +10000), so
+    * every content has an exact-dup group of 2 and the near-dup stage
+    * runs on the 500 uniques, not the 1000 rows.
+    */
+  val q40DedupPipeline = QueryDef(
+    "q40_dedup_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Dedup
+      val d = t(s, dir, "documents").select($"doc_id", $"text")
+      val corpus = d.unionByName(d.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+      val keyed = corpus.select($"doc_id", md5($"text").as("ck"), $"text")
+      // exact collapse: one representative (min id) per content hash
+      val reps = keyed.groupBy($"ck")
+        .agg(min($"doc_id").as("rep_id"), first($"text").as("text"))
+        .persist()
+      val sh = reps
+        .select($"rep_id", Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh"))
+        .filter(size($"sh") > 0)
+        .persist()
+      val sig = sh.select($"rep_id", Dedup.minhashSig($"sh", 8).as("sig"))
+      val bands = Dedup.lshBands(sig, "rep_id", "sig", bands = 4, rowsPerBand = 2)
+      val near = Dedup.lshCandidatePairs(bands, "rep_id")
+        .join(sh.select($"rep_id".as("id_a"), $"sh".as("sh_a")), "id_a")
+        .join(sh.select($"rep_id".as("id_b"), $"sh".as("sh_b")), "id_b")
+        .filter(Dedup.jaccard($"sh_a", $"sh_b") >= 0.4)
+        .select($"id_a", $"id_b")
+      val comp = Dedup.connectedComponents(near, "id_a", "id_b")
+      val repComp = reps.join(comp, reps("rep_id") === comp("id"), "left")
+        .select($"ck", coalesce($"component", $"rep_id").as("component"))
+      keyed.join(repComp, "ck")
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keep_id"))
+        .orderBy($"component")
+    },
+    Some("""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, text FROM documents),
+      keyed AS (SELECT doc_id, md5(text) AS ck, text FROM corpus),
+      reps AS (SELECT ck, min(doc_id) AS rep_id, min(text) AS text
+               FROM keyed GROUP BY ck),
+      toks AS (
+        SELECT rep_id, string_split(text, ' ') AS w,
+               list_transform(string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+        FROM reps),
+      shf AS (
+        SELECT rep_id,
+               list_transform(range(0, len(w) - 2), i ->
+                 ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                   * 41 + (wh[i+3] % 1073741824)) AS sh0
+        FROM toks WHERE len(w) >= 3),
+      shx AS (SELECT rep_id, list_transform(sh0, v -> v % 1073741789) AS sh FROM shf),
+      mh AS (
+        SELECT rep_id,
+               list_transform([31, 37, 41, 43, 47, 53, 59, 61], a ->
+                 list_min(list_transform(sh,
+                   h -> (a * (h % 1073741824) + a*7 + 3) % 1073741789))) AS sig
+        FROM shx),
+      bands AS (
+        SELECT rep_id, b,
+               md5(b || ':' || sig[2*b+1] || ',' || sig[2*b+2]) AS band_key
+        FROM mh, unnest(range(0, 4)) AS tt(b)),
+      pairs AS (
+        SELECT DISTINCT a.rep_id AS id_a, c.rep_id AS id_b
+        FROM bands a JOIN bands c USING (b, band_key)
+        WHERE a.rep_id < c.rep_id),
+      near AS (
+        SELECT id_a, id_b FROM pairs
+        JOIN shx sa ON sa.rep_id = id_a
+        JOIN shx sb ON sb.rep_id = id_b
+        WHERE CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.4),
+      e AS (
+        SELECT id_a AS s, id_b AS d FROM near
+        UNION
+        SELECT id_b, id_a FROM near),
+      reach(id, lab) AS (
+        SELECT DISTINCT s, s FROM e
+        UNION
+        SELECT e.d, r.lab FROM reach r JOIN e ON e.s = r.id),
+      ccomp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+      repc AS (
+        SELECT r.ck, COALESCE(c.component, r.rep_id) AS component
+        FROM reps r LEFT JOIN ccomp c ON c.id = r.rep_id)
+      SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+             min(k.doc_id) AS keep_id
+      FROM keyed k JOIN repc USING (ck)
+      GROUP BY component ORDER BY component"""))
+
+  // ------------------------------------------------------------ q41_range_frame
+  /** RANGE window frame (value-based, not row-based): per-customer
+    * 30-day moving spend — every order sees the decimal-exact sum of
+    * that customer's orders in [date-30d, date], peers included. The
+    * one frame type q8's running windows don't cover.
+    */
+  val q41RangeFrame = QueryDef(
+    "q41_range_frame",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      t(s, dir, "orders")
+        .withColumn("moving_spend_30d",
+          round(sum(dec($"o_totalprice")).over(w).cast("double"), 4))
+        .select($"o_orderkey", $"o_custkey",
+          unix_micros($"o_orderdate").as("date_us"), $"moving_spend_30d")
+        .orderBy($"o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS date_us,
+             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+             ) AS DOUBLE), 4) AS moving_spend_30d
+      FROM orders ORDER BY o_orderkey"""))
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q28AsofJoin, q29IntervalJoin, q30Cube, q31Pivot, q32SaltedJoin,
     q33Multimodal, q34LagLead, q35Percentiles, q36DedupClusters,
-    q37Tfidf, q38HashSample, q39Histogram)
+    q37Tfidf, q38HashSample, q39Histogram, q40DedupPipeline, q41RangeFrame)
 }

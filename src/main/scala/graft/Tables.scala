@@ -29,12 +29,13 @@ object Tables {
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.name == "ts" && f.dataType == LongType)
         acc.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else if (f.name == "ts" && f.dataType == TimestampNTZType)
+      else if (f.dataType == TimestampNTZType)
         // Writers that don't adjust to UTC (isAdjustedToUTC=false) read
-        // back as TIMESTAMP_NTZ, which unix_micros()/window() reject.
-        // The session runs in UTC, so the wall-clock reinterpretation is
-        // lossless.
-        acc.withColumn("ts", col("ts").cast(TimestampType))
+        // back as TIMESTAMP_NTZ, which unix_micros()/cast-to-long/window
+        // reject (seen on events.ts in external parquet and on the
+        // driver's o_orderdate). The session runs in UTC, so the
+        // wall-clock reinterpretation is lossless.
+        acc.withColumn(f.name, col(f.name).cast(TimestampType))
       else acc
     }
   }
