@@ -85,4 +85,25 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(acme3.getAs[Long]("amount_raised_usd") == 12000000L) // coalesce kept
     assert(spark.read.parquet(s"$tmp/alerts").count() == 2) // new article → new alert
   }
+
+  test("Trigger.AvailableNow: drains queued input, runs the batch, then stops itself") {
+    val tmp = Files.createTempDirectory("graft-stream-an").toString
+    val fx = DemoFixtures(spark)
+    val sp = new StreamingPipeline(spark, fx,
+      storeDir = s"$tmp/store", alertsDir = s"$tmp/alerts",
+      asOf = DemoFixtures.AsOf)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[FeedEntry]
+    // data queued BEFORE the query starts — the scheduled-cron-run shape:
+    // each invocation drains what accumulated and terminates
+    stream.addData(
+      FeedEntry("https://feeds.example.com/alpha", 0,
+        "Acme Labs raises $12M Series A", DemoFixtures.urlAcme, Some(ts("2026-08-10 08:00:00"))))
+    val q = sp.start(stream.toDF(), s"$tmp/checkpoint", availableNow = true)
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(sp.loadStore().count() == 1)
+    assert(spark.read.parquet(s"$tmp/alerts").count() == 1)
+  }
 }
