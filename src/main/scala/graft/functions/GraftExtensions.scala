@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => ContainsAnyRewrite)
     ext.injectFunction((
       FunctionIdentifier("parse_money"),
       info("parse_money", "parse_money(str) - money string to integer USD"),
