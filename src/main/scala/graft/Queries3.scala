@@ -572,9 +572,42 @@ object Queries3 {
              ) AS DOUBLE), 4) AS moving_spend_30d
       FROM orders ORDER BY o_orderkey"""))
 
+  // ------------------------------------------------------------ q42_token_budget
+  /** Token-budget corpus selection ([[graft.operators.TokenBudget]]):
+    * keep documents in deterministic hash order until 10k cumulative
+    * tokens. Engine-side this is the two-phase prefix sum (range
+    * partitions + per-partition totals + broadcast offsets) — NEVER the
+    * single-partition global window the oracle can afford at 500 rows.
+    */
+  val q42TokenBudget = QueryDef(
+    "q42_token_budget",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{TextAnalysis, TokenBudget}
+      val d = t(s, dir, "documents")
+        .select($"doc_id", TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+      TokenBudget.take(d, "doc_id", "n_tokens", budget = 10000L, numParts = 8)
+        .select($"doc_id", $"n_tokens", $"cum_tokens")
+        .orderBy($"cum_tokens")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(('0x' || substr(md5('17:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM t)
+      SELECT doc_id, n_tokens, cum_tokens FROM c
+      WHERE cum_tokens <= 10000 ORDER BY cum_tokens"""))
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q28AsofJoin, q29IntervalJoin, q30Cube, q31Pivot, q32SaltedJoin,
     q33Multimodal, q34LagLead, q35Percentiles, q36DedupClusters,
-    q37Tfidf, q38HashSample, q39Histogram, q40DedupPipeline, q41RangeFrame)
+    q37Tfidf, q38HashSample, q39Histogram, q40DedupPipeline, q41RangeFrame,
+    q42TokenBudget)
 }
