@@ -48,10 +48,18 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => subset.forall(_.contains(n)))
-    names.foreach(execute) // warmup: full pass, untimed
+    // Queries that persist() intermediates (LSH signature tables) would
+    // otherwise accumulate 40+ cached datasets over the run, evicting
+    // each other and skewing later timings. Clearing BETWEEN queries
+    // keeps memory flat; within a query, timed run 1 rebuilds its own
+    // cache and run 2 reuses it, so min-of-2 still reports the warm
+    // number.
+    def clearCache(): Unit = spark.sharedState.cacheManager.clearCache()
+    names.foreach { n => execute(n); clearCache() } // warmup: untimed
     val results = names.map { n =>
       val t1 = execute(n)
       val t2 = execute(n)
+      clearCache()
       n -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
     }
 

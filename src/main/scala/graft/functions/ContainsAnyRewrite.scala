@@ -41,8 +41,11 @@ object ContainsAnyRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case or: Or =>
       val terms = orTerms(or)
+      // deterministic-child guard: collapsing N disjuncts into one
+      // evaluation is only sound when re-evaluating the child cannot
+      // change its value (Catalyst's own rewrites guard the same way)
       val (containsTerms, rest) = terms.partition {
-        case Contains(_, p) => isStringLit(p)
+        case Contains(c, p) => isStringLit(p) && c.deterministic
         case _ => false
       }
       val groups = containsTerms.groupBy {

@@ -69,6 +69,15 @@ object GraftFunctions {
   def kwAny(c: Column, kws: Seq[String]): Column =
     exists(typedlit(kws), k => contains(lower(c), k))
 
+  /** True iff any pattern occurs in `c` (case-preserving). One `exists`
+    * over one array literal, NOT an OR-fold of `c.contains(p)` — the
+    * fold duplicates `c`'s whole expression tree per pattern (~20x plan
+    * blowup on a 21-entry blocklist over a parse_url chain). Same
+    * three-valued null semantics as the fold (null `c` → null).
+    */
+  def containsAny(c: Column, pats: Seq[String]): Column =
+    exists(typedlit(pats), p => c.contains(p))
+
   /** Count of keyword hits (for scoring). */
   def kwCount(c: Column, kws: Seq[String]): Column =
     aggregate(

@@ -166,7 +166,7 @@ object Dedup {
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
       .unionByName(edges.select(col(dstCol).as("_s"), col(srcCol).as("_d")))
       .distinct()
@@ -194,6 +194,13 @@ object Dedup {
       labels = next.select("id", "component")
       i += 1
     }
+    // A silent cap would SPLIT real clusters (the oracle iterates to
+    // fixpoint) — fail loudly instead; graphs deeper than maxIter need
+    // the large-star/small-star formulation, not a bigger cap.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter iterations " +
+          "(graph diameter too large); use a large-star/small-star variant")
     labels
   }
 }

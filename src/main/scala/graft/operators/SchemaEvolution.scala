@@ -25,10 +25,14 @@ object SchemaEvolution {
     * likewise never deletes, only adds).
     */
   def conformTo(df: DataFrame, target: StructType): DataFrame = {
-    val present = df.columns.toSet
+    // resolve the way Spark does by default — case-insensitively — or a
+    // store written as "Linkedin_URL" would silently conform to null
+    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
     df.select(target.fields.toSeq.map { f =>
-      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      byLower.get(f.name.toLowerCase) match {
+        case Some(actual) => col(actual).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }: _*)
   }
 

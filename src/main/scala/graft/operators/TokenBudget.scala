@@ -66,17 +66,21 @@ object TokenBudget {
     val offsets = partTotals.scanLeft(0L)(_ + _.getAs[Long]("_ptot"))
     val offsetMap = partTotals.map(_.getAs[Int]("_pid")).zip(offsets).toMap
 
-    val offsetCol = offsetMap.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("_pid") === pid, lit(off)).otherwise(acc)
-    }
+    // offsets attach via a broadcast equi-join on _pid — O(1) per row at
+    // any partition count (a when-chain of numParts branches would cost
+    // O(numParts) comparisons per row and overflow codegen method limits
+    // at cluster-sized partition counts)
+    val offsetsDf = broadcast(
+      df.sparkSession.createDataFrame(offsetMap.toSeq).toDF("_pid", "_offset"))
     val w = Window.partitionBy("_pid")
       .orderBy(col("_h").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parted
+      .join(offsetsDf, Seq("_pid"))
       .withColumn("cum_tokens",
-        sum(col(tokenCol).cast("long")).over(w) + offsetCol)
+        sum(col(tokenCol).cast("long")).over(w) + col("_offset"))
       .filter(col("cum_tokens") <= budget)
-      .drop("_pid")
+      .drop("_pid", "_offset")
       .sortWithinPartitions(col("_h"), col(idCol))
       .drop("_h")
   }

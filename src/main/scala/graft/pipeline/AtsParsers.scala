@@ -129,7 +129,7 @@ object AtsParsers {
     transform(
       filter(anchors(payload), a =>
         a.getField("text") =!= "" &&
-        exists(typedlit(kws), k => contains(lower(a.getField("text")), k))),
+        graft.functions.GraftFunctions.containsAny(lower(a.getField("text")), kws)),
       a => job(a.getField("text"), lit(null).cast("string"),
         url_join(baseUrl, a.getField("href")), lit(null).cast("timestamp")))
 

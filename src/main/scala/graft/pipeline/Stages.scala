@@ -25,16 +25,6 @@ import Vocab._
   */
 object Stages {
 
-  /** True iff any pattern occurs in `c`. `exists` over one array literal,
-    * NOT an OR-fold of `c.contains(p)`: the fold duplicates the whole
-    * expression tree of `c` per pattern — with `c` a nested parse_url
-    * host chain and ~21 blocklist entries, that inflated the resolver
-    * stage's plan ~20x (optimizer + codegen time dominated q27). Same
-    * three-valued null semantics as the fold (null c → null).
-    */
-  private def containsAny(c: Column, pats: Seq[String]): Column =
-    exists(typedlit(pats), p => c.contains(p))
-
   /** Lowercased, `www.`-stripped host (reference lowercases netloc and
     * strips every "www." occurrence — domain_resolver.py:58).
     */

@@ -33,6 +33,11 @@ object AlertOnce {
 
   /** State-transition function: first batch with the key emits one
     * [[FirstAlert]]; every later sighting bumps the suppression count.
+    *
+    * The emitted row is the MINIMUM candidate by (tier, detail), not
+    * "whichever arrived first": the group iterator's order is shuffle
+    * order, which varies with partitioning — a deterministic pick keeps
+    * reruns and retries bit-identical.
     */
   def onGroup(
       key: String,
@@ -44,7 +49,8 @@ object AlertOnce {
       Iterator.empty
     } else {
       state.update(SeenState(batch.size - 1L)) // duplicates within batch 1
-      batch.headOption.map(c => FirstAlert(c.key, c.tier, c.detail)).iterator
+      batch.sortBy(c => (c.tier, c.detail)).headOption
+        .map(c => FirstAlert(c.key, c.tier, c.detail)).iterator
     }
   }
 

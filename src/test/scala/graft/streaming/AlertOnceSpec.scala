@@ -32,8 +32,9 @@ class AlertOnceSpec extends SparkSpec {
       q.processAllAvailable()
       val b0 = spark.table("alerts_once").as[FirstAlert].collect()
       assert(b0.map(_.key).sorted.toSeq == Seq("acme|A", "borg|B"))
-      assert(b0.find(_.key == "acme|A").get.detail == "first",
-        "the FIRST row of the batch must be the one emitted")
+      assert(b0.find(_.key == "acme|A").get.detail == "dup-in-batch",
+        "the emitted row is the deterministic MIN by (tier, detail), " +
+          "not shuffle-order-first")
 
       // batch 1: acme again (re-crawl) + a new company
       in.addData(
