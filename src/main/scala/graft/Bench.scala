@@ -60,7 +60,9 @@ object Bench {
       val t1 = execute(n)
       val t2 = execute(n)
       clearCache()
-      n -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+      // if EITHER timed run failed, report the failure marker — taking
+      // the surviving run's time would mask a 50%-flaky query
+      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -102,12 +102,15 @@ object Queries2 {
       // Materialize the shingle-hash table once: four plan branches
       // consume it (signature, both jaccard sides, and the self-joined
       // bands) — at production scale this is the standard "write the
-      // signature table, then join" LSH shape.
+      // signature table, then join" LSH shape. localCheckpoint (eager)
+      // rather than persist: the blocks are freed by GC when the query
+      // completes, so repeated runs never hit "already cached" and the
+      // cache manager never accumulates leaked entries.
       val sh = t(s, dir, "documents")
         .select($"doc_id",
           Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh"))
         .filter(size($"sh") > 0)
-        .persist()
+        .localCheckpoint(true)
       val sig = sh.select($"doc_id", Dedup.minhashSig($"sh", 8).as("sig"))
       val bands = Dedup.lshBands(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
       val pairs = Dedup.lshCandidatePairs(bands, "doc_id")

@@ -143,9 +143,13 @@ object Queries3 {
 
   // ----------------------------------------------------------- q32_salted_join
   /** Skew-safe salted join ([[ScaleJoins.saltedJoin]]): lineitem joined
-    * to orders with an 8-way salt — the result is provably identical to
-    * the plain equi-join (the oracle), the salt only spreads each hot key
-    * across 8 shuffle partitions.
+    * to orders, two-phase — keys the left-side sample estimates as hot
+    * are salted 8 ways (only THEIR right rows replicate); everything
+    * else takes the plain join untouched. Result is provably identical
+    * to the plain equi-join (the oracle) whatever the hot/cold split:
+    * at sf0.1 no orderkey is skewed, so the hot branch is empty and the
+    * query measures the two-phase overhead, while ScaleJoinsSpec drives
+    * genuinely skewed data through the hot branch.
     */
   val q32SaltedJoin = QueryDef(
     "q32_salted_join",
@@ -299,7 +303,12 @@ object Queries3 {
         .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
         .filter(Dedup.jaccard($"sh_a", $"sh_b") >= 0.4)
         .select($"id_a", $"id_b")
-      Dedup.connectedComponents(near, "id_a", "id_b")
+      // connectedComponents consumes `near` EAGERLY (it localCheckpoints
+      // the edge list on entry), so the shingle cache can be released
+      // here — the returned labels no longer reference it.
+      val comp = Dedup.connectedComponents(near, "id_a", "id_b")
+      sh.unpersist()
+      comp
         .groupBy($"component")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -369,7 +378,12 @@ object Queries3 {
       val docs = t(s, dir, "documents")
       val tok = docs.select($"doc_id", explode(words($"text")).as("term"))
       val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+      // df(term) = |{doc: term ∈ doc}| = row count per term in tf — so
+      // derive it FROM tf instead of re-aggregating tok: both consumers
+      // share tf's (doc_id, term) exchange, which ReuseExchange computes
+      // once, so the corpus is tokenized in a single pass (the old
+      // two-branch shape ran the explode+regexp scan twice).
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val scored = tf.join(df, "term")
         .crossJoin(broadcast(n))
@@ -464,10 +478,13 @@ object Queries3 {
       val d = t(s, dir, "documents").select($"doc_id", $"text")
       val corpus = d.unionByName(d.select(($"doc_id" + 10000).as("doc_id"), $"text"))
       val keyed = corpus.select($"doc_id", md5($"text").as("ck"), $"text")
-      // exact collapse: one representative (min id) per content hash
+      // exact collapse: one representative (min id) per content hash.
+      // localCheckpoint (eager): reps feeds both the near-dup chain and
+      // the final expand join, and the blocks free themselves by GC —
+      // no cache-manager entry to leak across queries.
       val reps = keyed.groupBy($"ck")
         .agg(min($"doc_id").as("rep_id"), first($"text").as("text"))
-        .persist()
+        .localCheckpoint(true)
       val sh = reps
         .select($"rep_id", Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh"))
         .filter(size($"sh") > 0)
@@ -480,6 +497,8 @@ object Queries3 {
         .filter(Dedup.jaccard($"sh_a", $"sh_b") >= 0.4)
         .select($"id_a", $"id_b")
       val comp = Dedup.connectedComponents(near, "id_a", "id_b")
+      // CC consumed `near` eagerly; the shingle cache is dead weight now
+      sh.unpersist()
       val repComp = reps.join(comp, reps("rep_id") === comp("id"), "left")
         .select($"ck", coalesce($"component", $"rep_id").as("component"))
       keyed.join(repComp, "ck")

@@ -13,23 +13,67 @@ import org.apache.spark.sql.functions._
   */
 object ScaleJoins {
 
-  /** Salted inner equi-join for a skewed LEFT side: left rows get a
-    * random salt in [0, buckets); the (small-enough-to-replicate but
-    * too-big-to-broadcast) right side is replicated `buckets` times.
-    * One skewed key then lands in `buckets` different shuffle
-    * partitions instead of one straggler task.
+  /** Skew-aware salted inner equi-join — two-phase:
     *
-    * `rand(seed)` is fine here: the salt only chooses a partition, it
-    * never changes the join result, so nondeterminism does not affect
-    * correctness (retries may route rows differently — same output).
+    *  1. SAMPLE the left side and estimate per-key row counts. Keys
+    *     whose estimated count exceeds `skewFactor ×` the average
+    *     shuffle-partition share are HOT (capped at `maxHotKeys`; the
+    *     per-key frequency table is persisted spill-safely only within
+    *     this call, and phase-1 cost is proportional to
+    *     `sampleFraction`, not to the left side).
+    *  2. COLD keys — almost all of them — take the plain shuffled join
+    *     with ZERO replication. HOT left rows get a random salt in
+    *     [0, buckets); only the right rows whose key is hot are
+    *     replicated `buckets` times. The result is the union of the
+    *     two joins.
+    *
+    * This replaces naive full-replication salting (entire right side
+    * ×buckets — 8× the shuffle volume for every row, hot or not):
+    * replication cost is now `buckets × |right rows at hot keys|`,
+    * proportional to the actual skew. The hot-key table (≤ maxHotKeys
+    * rows) is localCheckpoint'ed and broadcast into the semi/anti
+    * guards, so phase 1 runs once, not per branch.
+    *
+    * `rand(seed)` is fine for the salt: it only picks a partition and
+    * never changes the join result, so retries routing rows
+    * differently still produce the same output. Null join keys land in
+    * the cold branch and fall out of the inner join — exactly as in
+    * the plain join.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-                 buckets: Int, seed: Long = 42L): DataFrame = {
-    val saltedLeft = left.withColumn("_salt",
-      (rand(seed) * buckets).cast("int"))
-    val explodedRight = right.withColumn("_salt",
-      explode(sequence(lit(0), lit(buckets - 1))))
-    saltedLeft.join(explodedRight, Seq(key, "_salt")).drop("_salt")
+                 buckets: Int, seed: Long = 42L,
+                 sampleFraction: Double = 0.05,
+                 skewFactor: Double = 4.0,
+                 maxHotKeys: Int = 10000): DataFrame = {
+    require(buckets > 1, "buckets must be > 1")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      "sampleFraction must be in (0, 1]")
+    val numParts =
+      left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sampled =
+      if (sampleFraction < 1.0) left.sample(sampleFraction, seed) else left
+    val freq = sampled.groupBy(col(key)).count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val estTotal =
+        freq.agg(coalesce(sum("count"), lit(0L))).head().getLong(0)
+      // a key is hot when one task would carry skewFactor× the average
+      // partition share of the (estimated) left side
+      val hotCut = math.max(1.0, skewFactor * estTotal.toDouble / numParts)
+      val hot = freq.filter(col("count") >= hotCut)
+        .orderBy(col("count").desc).limit(maxHotKeys)
+        .select(col(key))
+        .localCheckpoint(true)
+
+      val coldJoin = left.join(broadcast(hot), Seq(key), "left_anti")
+        .join(right, Seq(key))
+      val hotLeft = left.join(broadcast(hot), Seq(key), "left_semi")
+        .withColumn("_salt", (rand(seed) * buckets).cast("int"))
+      val hotRight = right.join(broadcast(hot), Seq(key), "left_semi")
+        .withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
+      val hotJoin = hotLeft.join(hotRight, Seq(key, "_salt")).drop("_salt")
+      coldJoin.unionByName(hotJoin)
+    } finally freq.unpersist()
   }
 
   /** Write both sides bucketed by the join key so subsequent joins are

@@ -83,10 +83,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("__range_bucket"), p)
   }
 
-  test("q32_salted_join: equi-join includes the salt key") {
+  test("q32_salted_join: two-phase salting — right side is NOT fully replicated") {
     val p = plan("q32_salted_join")
     assert(p.contains("_salt"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // the skew-aware shape: a hot/cold split (anti + semi against the
+    // broadcast hot-key table) instead of exploding the whole right side
+    assert(p.contains("LeftAnti"), s"cold branch must plain-join:\n$p")
+    assert(p.contains("LeftSemi"), s"explode must be guarded by the hot-key semi-join:\n$p")
   }
 
   test("q31_pivot: pinned pivot values — no extra distinct-collect job") {

@@ -2,8 +2,10 @@ package graft.operators
 
 import graft.SparkSpec
 
-/** Unit tests for min-label connected components — chains (multi-hop
-  * propagation), disjoint components, and self-loop/duplicate edges.
+/** Unit tests for large-star/small-star connected components — chains
+  * (multi-hop propagation), disjoint components, self-loop/duplicate
+  * edges, and the adversarial long-chain case that O(diameter)
+  * min-label propagation cannot finish in bounded rounds.
   */
 class ConnectedComponentsSpec extends SparkSpec {
 
@@ -33,5 +35,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     // min vertex only ever appears as destination
     val got = comps(Seq((9L, 1L), (8L, 9L)))
     assert(got == Map(1L -> 1L, 8L -> 1L, 9L -> 1L))
+  }
+
+  test("self-loops and isolated-by-self-loop vertices keep their own label") {
+    val got = comps(Seq((7L, 7L), (1L, 2L)))
+    assert(got == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("a 300-node chain converges within O(log n) rounds (diameter 299)") {
+    // min-label propagation needs 299 rounds here — far past any sane
+    // maxIter; large-star/small-star halves the chain every round.
+    val edges = (1L until 300L).map(i => (i + 1, i))
+    val got = comps(edges)
+    assert(got.size == 300 && got.values.forall(_ == 1L))
+  }
+
+  test("random graphs match a driver-side union-find oracle") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      assert(comps(edges) == expect, s"trial $trial")
+    }
   }
 }

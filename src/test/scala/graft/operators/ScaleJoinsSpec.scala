@@ -34,6 +34,19 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(salted.count() == 8000)
   }
 
+  test("two-phase shape: hot/cold split present, uniform data takes the cold path") {
+    import spark.implicits._
+    // perfectly uniform keys → the sampled histogram finds nothing hot →
+    // every row flows through the plain (unreplicated) cold join
+    val left = spark.range(0, 1000).select(($"id" % 500).as("k"), $"id".as("payload"))
+    val right = (0L until 500L).map(k => (k, s"d$k")).toDF("k", "attr")
+    val joined = ScaleJoins.saltedJoin(left, right, "k", buckets = 8)
+    assert(joined.count() == 1000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"cold branch must be a plain join:\n$plan")
+    assert(plan.contains("LeftSemi"), s"salted branch must be hot-key guarded:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-wh")
