@@ -284,19 +284,23 @@ object Queries2 {
   }
 
   // -------------------------------------------------------------- q15_knn_lsh
-  /** LSH-bucketed ANN: 4 deterministic random hyperplanes → 16 buckets;
-    * top-3 within the probe's bucket only. The join shuffles on the
-    * bucket code — corpus-linear, the 100 TB path.
+  /** LSH-bucketed ANN: deterministic random hyperplanes, AUTO-SIZED to
+    * the corpus ([[Similarity.autoPlanes]]: smallest p with
+    * 64·2^p ≥ n — integer-exact, so the oracle derives the identical p
+    * from its own count(*)); top-3 within the probe's bucket only. The
+    * join shuffles on the bucket code — corpus-linear, the 100 TB path.
     */
   val q15KnnLsh = {
-    val planes = 4
-    def sqlProj(vec: String, p: Int) =
-      s"""round(list_reduce(list_transform(range(0, 64),
-         d -> $vec[d+1]::DOUBLE * (CAST(('0x' || substr(md5('0:$p:' || d), 1, 15)) AS BIGINT) % 1000 / 1000.0 - 0.5)),
-         (x, y) -> x + y), 6)"""
-    def sqlBucket(vec: String) = (0 until planes)
-      .map(p => s"(CASE WHEN ${sqlProj(vec, p)} > 0 THEN ${1 << p} ELSE 0 END)")
-      .mkString(" + ")
+    // the oracle derives planes from the same shift-compare: smallest
+    // p in [1,16] with 64·2^p ≥ count(*) — no float log anywhere
+    val sqlPlanes =
+      """(SELECT CAST(min(p) AS INT) FROM range(1, 17) t(p)
+          WHERE 64 * (1 << p) >= (SELECT count(*) FROM embeddings))"""
+    def sqlBucket(vec: String) =
+      s"""list_sum(list_transform(range(0, $sqlPlanes), p ->
+         CASE WHEN round(list_reduce(list_transform(range(0, 64),
+           d -> $vec[d+1]::DOUBLE * (CAST(('0x' || substr(md5('0:' || p || ':' || d), 1, 15)) AS BIGINT) % 1000 / 1000.0 - 0.5)),
+           (x, y) -> x + y), 6) > 0 THEN (1 << p) ELSE 0 END))"""
     def sqlDot(a: String, b: String) =
       s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
     QueryDef(
@@ -304,6 +308,7 @@ object Queries2 {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
+        val planes = Similarity.autoPlanes(e.count(), targetBucket = 64)
         val probes = e.filter($"vec_id" < 10)
           .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
         val corpus = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
@@ -707,20 +712,22 @@ object Queries2 {
   }
 
   // ------------------------------------------------------ q26_dedup_embedding
-  /** Embedding-cosine near-dup pairs: LSH-bucketed (same hyperplanes as
-    * q15), within-bucket pairs with cosine ≥ 0.35 — the semantic-dedup
-    * member of the dedup family (exact / minhash / simhash / jaccard /
-    * embedding).
+  /** Embedding-cosine near-dup pairs: LSH-bucketed (same hyperplane
+    * family as q15, plane count auto-sized to the corpus via
+    * [[Similarity.autoPlanes]] so candidate generation stays
+    * corpus-linear at any scale), within-bucket pairs with cosine ≥
+    * 0.35 — the semantic-dedup member of the dedup family (exact /
+    * minhash / simhash / jaccard / embedding).
     */
   val q26DedupEmbedding = {
-    val planes = 4
-    def sqlProj(vec: String, p: Int) =
-      s"""round(list_reduce(list_transform(range(0, 64),
-         d -> $vec[d+1]::DOUBLE * (CAST(('0x' || substr(md5('0:$p:' || d), 1, 15)) AS BIGINT) % 1000 / 1000.0 - 0.5)),
-         (x, y) -> x + y), 6)"""
-    def sqlBucket(vec: String) = (0 until planes)
-      .map(p => s"(CASE WHEN ${sqlProj(vec, p)} > 0 THEN ${1 << p} ELSE 0 END)")
-      .mkString(" + ")
+    val sqlPlanes =
+      """(SELECT CAST(min(p) AS INT) FROM range(1, 17) t(p)
+          WHERE 64 * (1 << p) >= (SELECT count(*) FROM embeddings))"""
+    def sqlBucket(vec: String) =
+      s"""list_sum(list_transform(range(0, $sqlPlanes), p ->
+         CASE WHEN round(list_reduce(list_transform(range(0, 64),
+           d -> $vec[d+1]::DOUBLE * (CAST(('0x' || substr(md5('0:' || p || ':' || d), 1, 15)) AS BIGINT) % 1000 / 1000.0 - 0.5)),
+           (x, y) -> x + y), 6) > 0 THEN (1 << p) ELSE 0 END))"""
     def sqlDot(a: String, b: String) =
       s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
     QueryDef(
@@ -729,6 +736,7 @@ object Queries2 {
         import s.implicits._
         val e = t(s, dir, "embeddings")
           .select($"vec_id", $"embedding")
+        val planes = Similarity.autoPlanes(e.count(), targetBucket = 64)
         Similarity.embeddingNearDupPairs(e, "embedding", "vec_id",
           dims = 64, planes = planes, threshold = 0.35)
           .orderBy($"id_a", $"id_b")

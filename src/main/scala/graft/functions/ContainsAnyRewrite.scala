@@ -18,11 +18,18 @@ import org.apache.spark.sql.types.StringType
   * code now writes `exists` directly; this rule repairs the pattern
   * wherever USER queries contain it.
   *
-  * Semantics are unchanged: OR is commutative under three-valued logic
-  * and `ArrayExists` follows the same 3VL (null child → null element
-  * results → null overall unless a true exists; string literals are
-  * never null). Only groups of at least [[MinTerms]] rewrite — below
-  * that the fold is harmless and the plan churn isn't worth it.
+  * Semantics are EXACTLY preserved, including evaluation order: only
+  * CONTIGUOUS runs of contains-on-the-same-child collapse, and the
+  * `exists` replaces the run in place. `ArrayExists` evaluates the
+  * literal array left-to-right with the same short-circuit and 3VL as
+  * the OR chain it replaces (null child → null element results → null
+  * overall unless a true exists; string literals are never null), so
+  * under ANSI mode an error-throwing or nondeterministic disjunct
+  * elsewhere in the chain still evaluates exactly when it did before —
+  * a non-contiguous rewrite could short-circuit it away (run true
+  * before the interleaved term) or reorder it. Only runs of at least
+  * [[MinTerms]] rewrite — below that the fold is harmless and the plan
+  * churn isn't worth it.
   */
 object ContainsAnyRewrite extends Rule[LogicalPlan] {
 
@@ -38,33 +45,43 @@ object ContainsAnyRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Collapsible term: contains(deterministic child, non-null string
+    * literal). The deterministic-child guard matches Catalyst's own
+    * rewrites — collapsing N disjuncts into one evaluation is only
+    * sound when re-evaluating the child cannot change its value.
+    */
+  private def runKey(e: Expression): Option[Expression] = e match {
+    case Contains(c, p) if isStringLit(p) && c.deterministic =>
+      Some(c.canonicalized)
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case or: Or =>
       val terms = orTerms(or)
-      // deterministic-child guard: collapsing N disjuncts into one
-      // evaluation is only sound when re-evaluating the child cannot
-      // change its value (Catalyst's own rewrites guard the same way)
-      val (containsTerms, rest) = terms.partition {
-        case Contains(c, p) => isStringLit(p) && c.deterministic
-        case _ => false
-      }
-      val groups = containsTerms.groupBy {
-        case Contains(c, _) => c.canonicalized
-      }
-      if (!groups.exists(_._2.size >= MinTerms)) or
-      else {
-        val rewritten = groups.toSeq.flatMap { case (_, grp) =>
-          if (grp.size < MinTerms) grp
-          else {
-            val child = grp.head.asInstanceOf[Contains].left
-            val lits = grp.map(_.asInstanceOf[Contains].right)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Expression]
+      var fired = false
+      var i = 0
+      while (i < terms.length) {
+        val k = runKey(terms(i))
+        if (k.isEmpty) { out += terms(i); i += 1 }
+        else {
+          // maximal contiguous run on the same canonicalized child
+          var j = i + 1
+          while (j < terms.length && runKey(terms(j)) == k) j += 1
+          val run = terms.slice(i, j)
+          if (run.size >= MinTerms) {
+            val child = run.head.asInstanceOf[Contains].left
+            val lits = run.map(_.asInstanceOf[Contains].right)
             val x = NamedLambdaVariable("x", StringType, nullable = false)
-            Seq(ArrayExists(
+            out += ArrayExists(
               CreateArray(lits),
-              LambdaFunction(Contains(child, x), Seq(x))))
-          }
+              LambdaFunction(Contains(child, x), Seq(x)))
+            fired = true
+          } else out ++= run
+          i = j
         }
-        (rewritten ++ rest).reduceLeft(Or(_, _))
       }
+      if (!fired) or else out.reduceLeft(Or(_, _))
   }
 }

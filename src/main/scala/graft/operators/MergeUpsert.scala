@@ -106,7 +106,15 @@ object MergeUpsert {
       keepCols: Seq[String],
       batchOrder: Option[Column]): DataFrame = {
     val nonKeyCols = batch.columns.toIndexedSeq.filterNot(keys.contains)
-    val ord = batchOrder.getOrElse(struct(nonKeyCols.map(col): _*))
+    // Default order: the non-key payload as a struct — DETERMINISTIC but
+    // arbitrary w.r.t. arrival order; callers whose duplicate keys must
+    // fold in arrival order (the reference's row-at-a-time semantics)
+    // must pass an explicit batchOrder (e.g. an ingest timestamp). A
+    // keys-only batch has no payload to order by (struct() of zero
+    // columns fails at runtime in the window orderBy) — every duplicate
+    // is identical, so any constant order is correct.
+    val ord = batchOrder.getOrElse(
+      if (nonKeyCols.isEmpty) lit(1) else struct(nonKeyCols.map(col): _*))
     val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
     val keyed = batch.filter(!anyNullKey)
     val nullKeyed = batch.filter(anyNullKey)

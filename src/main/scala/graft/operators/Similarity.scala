@@ -34,6 +34,26 @@ object Similarity {
   private def hpComponent(plane: Int, dim: Int): Double =
     graft.functions.Hash64Array.hashString(s"$plane:$dim", 0) % 1000 / 1000.0 - 0.5
 
+  /** Number of hyperplanes sized so the expected bucket occupancy is
+    * ~`targetBucket`: the smallest p ≥ 1 with `targetBucket · 2^p ≥ n`.
+    * Within-bucket pair generation is then O(n · targetBucket) —
+    * corpus-LINEAR in expectation, which is the guard against the
+    * quadratic blowup the 10× soak measured for a FIXED plane count
+    * (BASELINE.md round-4 notes: planes=4 goes quadratic by 50k
+    * vectors). Integer-exact on purpose: a float `ceil(log2(n/target))`
+    * could disagree with the SQL oracle's libm by one ulp at exact
+    * powers of two and flip every bucket; a shift-compare cannot.
+    * More planes trade recall for speed — callers wanting higher recall
+    * at the same cost should band multiple independent tables (as the
+    * MinHash path does) rather than lower the plane count.
+    */
+  def autoPlanes(n: Long, targetBucket: Long = 64L, maxPlanes: Int = 16): Int = {
+    require(targetBucket > 0 && maxPlanes >= 1)
+    var p = 1
+    while (p < maxPlanes && (targetBucket << p) < n) p += 1
+    p
+  }
+
   /** Sign-of-projection bucket code (0 .. 2^planes-1) for a vector
     * column: one zip_with dot product per plane against a literal
     * hyperplane array.

@@ -33,7 +33,11 @@ object TokenBudget {
     * @param budget    inclusive cumulative-token cap
     * @param numParts  range partitions for phase 1 (cluster-sized)
     * @return kept rows with `cum_tokens` (running total INCLUDING the
-    *         row), ordered by the deterministic hash order
+    *         row). Rows are hash-ordered WITHIN each partition only —
+    *         after the window the frame is partitioned by `_pid`, so
+    *         global iteration order is not the hash order; callers that
+    *         need a globally ordered result must add their own
+    *         `orderBy` (as q42 does).
     */
   def take(
       df: DataFrame,

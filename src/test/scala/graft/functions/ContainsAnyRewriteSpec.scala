@@ -65,6 +65,24 @@ class ContainsAnyRewriteSpec extends SparkSpec {
     }
   }
 
+  test("an interleaved non-contains term splits the run (order preserved)") {
+    withExtSession { s =>
+      import s.implicits._
+      // 5 contains + an unrelated predicate + 4 contains: neither run
+      // reaches MinTerms, so NOTHING rewrites — collapsing across the
+      // interleaved term would let a later-true contains short-circuit
+      // a disjunct that previously evaluated (visible under ANSI
+      // errors / nondeterminism)
+      val df = Seq(("iota x", 0L), ("plain", 99L)).toDF("t", "n")
+      val (front, back) = kws.map(k => col("t").contains(k)).splitAt(5)
+      val pred = (front :+ (col("n") > 50)) ++ back
+      val q = df.filter(pred.reduce(_ || _))
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(!p.contains("exists("), s"must not collapse across the run break:\n$p")
+      assert(q.count() == 2)
+    }
+  }
+
   test("null input keeps three-valued OR semantics (row dropped, no error)") {
     withExtSession { s =>
       import s.implicits._

@@ -26,6 +26,14 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(row.getLong(0) == 5000000L)
       assert(row.getString(1) == "https://a.example/careers")
       assert(row.getDouble(2) == 11.0)
+      // wrong arity → clean AnalysisException naming the function, not
+      // an IndexOutOfBoundsException from the builder
+      val err = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT dot_product(array(1.0D))").head()
+      }
+      assert(err.getMessage.contains("dot_product"), err.getMessage)
+      assert(err.getCondition != null &&
+        err.getCondition.startsWith("WRONG_NUM_ARGS"), err.getCondition)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
