@@ -623,10 +623,50 @@ object Queries3 {
       SELECT doc_id, n_tokens, cum_tokens FROM c
       WHERE cum_tokens <= 10000 ORDER BY cum_tokens"""))
 
+  // --------------------------------------------------- q43_percentiles_approx
+  /** The 100 TB companion to q35: `percentile_approx` (a rank-sketch
+    * aggregate) instead of exact `percentile`. WHEN TO USE WHICH: exact
+    * `percentile` buffers every distinct value per group (memory ∝
+    * group cardinality — fine for bounded domains like l_quantity,
+    * fatal for, say, per-group price percentiles over billions of
+    * distinct values); the sketch holds O(accuracy) entries per group
+    * regardless of cardinality, with rank error ≤ n/accuracy — here
+    * accuracy=10000 ⇒ the returned value's rank is within 0.01% · n of
+    * the true rank. The sketch also merges associatively, so partial
+    * aggregation works map-side (exact percentile ships whole value
+    * multisets through the shuffle).
+    *
+    * No SQL oracle ON PURPOSE: the sketch's picked element is
+    * engine-specific (DuckDB's approx_quantile is a t-digest — close
+    * but not bit-equal), so the driver records the rows-only check;
+    * ApproxPercentileSpec pins the rank-error bound against the exact
+    * aggregate instead, which is the meaningful contract.
+    */
+  val q43PercentilesApprox = QueryDef(
+    "q43_percentiles_approx",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          percentile_approx($"l_quantity",
+            array(lit(0.5), lit(0.9)), lit(10000)).as("_q"),
+          percentile_approx($"l_extendedprice",
+            array(lit(0.5), lit(0.99)), lit(10000)).as("_p"))
+        .select($"l_returnflag",
+          round(element_at($"_q", 1), 6).as("p50_qty"),
+          round(element_at($"_q", 2), 6).as("p90_qty"),
+          round(element_at($"_p", 1), 6).as("p50_price"),
+          round(element_at($"_p", 2), 6).as("p99_price"))
+        .orderBy($"l_returnflag")
+    },
+    None,
+    notes = "rows-only: sketch output is engine-specific; see ApproxPercentileSpec")
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q28AsofJoin, q29IntervalJoin, q30Cube, q31Pivot, q32SaltedJoin,
     q33Multimodal, q34LagLead, q35Percentiles, q36DedupClusters,
     q37Tfidf, q38HashSample, q39Histogram, q40DedupPipeline, q41RangeFrame,
-    q42TokenBudget)
+    q42TokenBudget, q43PercentilesApprox)
 }

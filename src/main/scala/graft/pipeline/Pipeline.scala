@@ -48,13 +48,19 @@ object Pipeline {
       rejects: DataFrame,
       observations: Map[String, Observation])
 
+  /** @param extractor structured-extraction adapter; defaults to the
+    *   fixture table in `fx` (offline/hermetic). Plug a [[UdfExtractor]]
+    *   with a provider transport for a live run — every other stage is
+    *   unchanged.
+    */
   def run(
       fx: Fixtures,
       store: DataFrame,
       asOf: Column,
       daysBack: Int = 7,
       limit: Int = 20,
-      linkedInFallback: Boolean = true): Result = {
+      linkedInFallback: Boolean = true,
+      extractor: Extractor = null): Result = {
 
     val obsIngested = Observation()
     val obsFresh = Observation()
@@ -63,8 +69,11 @@ object Pipeline {
     val fresh = Stages.dedupAgainstStore(ingested, store)
       .observe(obsFresh, count(lit(1)).as("rows"))
     val limited = Stages.safetyLimit(fresh, limit)
+    val ex =
+      if (extractor != null) extractor else new FixtureExtractor(fx.llmExtractions)
     val (enriched, rejects) =
-      Stages.enrichSplit(limited, fx.articleBodies, fx.llmExtractions)
+      Stages.enrichSplit(limited, fx.articleBodies,
+        ex.rawOutputs(limited, fx.articleBodies))
     val resolved = Stages.resolveDomain(
       enriched, fx.urlStatus, fx.pageAnchors, fx.searchResults)
     val withLinkedIn =
