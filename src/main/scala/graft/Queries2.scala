@@ -102,15 +102,17 @@ object Queries2 {
       // Materialize the shingle-hash table once: four plan branches
       // consume it (signature, both jaccard sides, and the self-joined
       // bands) — at production scale this is the standard "write the
-      // signature table, then join" LSH shape. localCheckpoint (eager)
-      // rather than persist: the blocks are freed by GC when the query
-      // completes, so repeated runs never hit "already cached" and the
-      // cache manager never accumulates leaked entries.
-      val sh = t(s, dir, "documents")
+      // signature table, then join" LSH shape. persist is guarded by a
+      // cache-manager lookup so a re-run of the same plan reuses the
+      // existing entry instead of warning "already cached"; callers
+      // owning the session lifecycle clear the cache between queries
+      // (as Bench/Verify do).
+      val shBase = t(s, dir, "documents")
         .select($"doc_id",
           Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh"))
         .filter(size($"sh") > 0)
-        .localCheckpoint(true)
+      val sh = if (shBase.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        shBase.persist() else shBase
       val sig = sh.select($"doc_id", Dedup.minhashSig($"sh", 8).as("sig"))
       val bands = Dedup.lshBands(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
       val pairs = Dedup.lshCandidatePairs(bands, "doc_id")

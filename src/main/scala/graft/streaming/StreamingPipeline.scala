@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.pipeline.{Pipeline, Stages}
+import graft.sources.PushSinks
 
 /** Incremental (streaming) form of the pipeline — the reference's
   * cron-every-6h + committed-SQLite model (run.yml:8-12, SURVEY §2.10)
@@ -29,6 +30,15 @@ import graft.pipeline.{Pipeline, Stages}
   * natural key). Checkpointing covers source offsets; store writes are
   * idempotent per batch via the staging-swap.
   */
+/** @param alertPush  optional outbound alert delivery: (poster, api
+  *   url, chat id) — each batch's alert rows POST through
+  *   [[PushSinks.telegramPayload]] AFTER the durable parquet append,
+  *   so a failed POST fails the batch and replays having already
+  *   recorded the alert (at-least-once outward, no loss).
+  * @param reportPush optional outbound report append: (poster, url) —
+  *   the batch's report rows push as chunked append_rows payloads
+  *   from the executors ([[PushSinks.pushReport]]).
+  */
 class StreamingPipeline(
     spark: SparkSession,
     fx: Pipeline.Fixtures,
@@ -36,7 +46,9 @@ class StreamingPipeline(
     alertsDir: String,
     asOf: String,
     daysBack: Int = 7,
-    limit: Int = 20) {
+    limit: Int = 20,
+    alertPush: Option[(PushSinks.HttpPoster, String, String)] = None,
+    reportPush: Option[(PushSinks.HttpPoster, String)] = None) {
 
   def loadStore(): DataFrame =
     if (Files.exists(Paths.get(storeDir)))
@@ -55,9 +67,25 @@ class StreamingPipeline(
     // an evicted partition recomputed after the swap would anti-join
     // against the already-merged store and silently drop every alert.
     // Writing first pins the result while the old store dir still exists.
-    result.alerts
+    val alerts = result.alerts
       .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(alertsDir)
+      .localCheckpoint(true) // pin: one computation feeds append + POST
+    alerts.write.mode("append").parquet(alertsDir)
+    // outbound delivery AFTER the durable append: a failed POST fails
+    // the batch and the replay re-delivers (at-least-once, W3 live half)
+    alertPush.foreach { case (poster, apiUrl, chatId) =>
+      alerts.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val status = poster.post(apiUrl,
+            PushSinks.telegramPayload(chatId, r.getAs[String]("message")))
+          if (status < 200 || status >= 300)
+            throw new IllegalStateException(s"alert POST failed: HTTP $status")
+        }
+      }
+    }
+    reportPush.foreach { case (poster, url) =>
+      PushSinks.pushReport(result.report, poster, url)
+    }
 
     // Atomic store swap: write to a staging dir, then rename over.
     // Partitioned by hiring_tier — the Spark analogue of the reference's

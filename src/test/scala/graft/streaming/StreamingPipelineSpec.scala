@@ -106,4 +106,47 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(sp.loadStore().count() == 1)
     assert(spark.read.parquet(s"$tmp/alerts").count() == 1)
   }
+
+  test("alert push sink delivers at least once across a failed batch (W3 live half)") {
+    import graft.sources.{PushSinksSpec => _, RecordingPoster}
+    val tmp = Files.createTempDirectory("graft-stream-push").toString
+    val fx = DemoFixtures(spark)
+    RecordingPoster.reset()
+    // the POST attempt in batch 0 dies on the wire → the batch fails
+    // AFTER the durable alert append → the restarted query replays the
+    // batch and re-delivers: at-least-once outward, never lost
+    RecordingPoster.failuresToInject.set(1)
+    def pipeline() = new StreamingPipeline(spark, fx,
+      storeDir = s"$tmp/store", alertsDir = s"$tmp/alerts",
+      asOf = DemoFixtures.AsOf,
+      alertPush = Some((new RecordingPoster, "https://api.test/bot/sendMessage", "chat42")))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[FeedEntry]
+    stream.addData(
+      FeedEntry("https://feeds.example.com/alpha", 0,
+        "Acme Labs raises $12M Series A", DemoFixtures.urlAcme, Some(ts("2026-08-10 08:00:00"))))
+    val q1 = pipeline().start(stream.toDF(), s"$tmp/checkpoint")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    assert(!q1.isActive)
+
+    val q2 = pipeline().start(stream.toDF(), s"$tmp/checkpoint") // the retry
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val bodies = RecordingPoster.sent.asScala.map(_._2).toSeq
+    assert(bodies.nonEmpty && bodies.forall(_.contains("Acme Labs")), bodies)
+    assert(bodies.head.contains("\"parse_mode\":\"HTML\""), bodies.head)
+    // the replayed batch also re-appended durably — dedup downstream is
+    // the documented at-least-once contract; the store itself stays
+    // correct because the merge is idempotent
+    assert(sp_storeCount(s"$tmp/store") == 1)
+  }
+
+  private def sp_storeCount(dir: String): Long =
+    spark.read.parquet(dir).count()
 }
