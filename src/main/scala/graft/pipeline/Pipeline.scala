@@ -52,6 +52,12 @@ object Pipeline {
     *   fixture table in `fx` (offline/hermetic). Plug a [[UdfExtractor]]
     *   with a provider transport for a live run — every other stage is
     *   unchanged.
+    * @param search web-search adapter; defaults to the fixture table in
+    *   `fx`. A live [[graft.sources.HtmlSearchAdapter]] is queried in
+    *   two waves — S11 "official site" before domain resolution, the
+    *   S12 LinkedIn triple after (the reference's ordering) — with the
+    *   query strings derived from the batch by the same expressions
+    *   the resolvers join on.
     */
   def run(
       fx: Fixtures,
@@ -60,7 +66,8 @@ object Pipeline {
       daysBack: Int = 7,
       limit: Int = 20,
       linkedInFallback: Boolean = true,
-      extractor: Extractor = null): Result = {
+      extractor: Extractor = null,
+      search: graft.sources.SearchAdapter = null): Result = {
 
     val obsIngested = Observation()
     val obsFresh = Observation()
@@ -74,10 +81,16 @@ object Pipeline {
     val (enriched, rejects) =
       Stages.enrichSplit(limited, fx.articleBodies,
         ex.rawOutputs(limited, fx.articleBodies))
+    val sa =
+      if (search != null) search
+      else new graft.sources.FixtureSearchAdapter(fx.searchResults)
     val resolved = Stages.resolveDomain(
-      enriched, fx.urlStatus, fx.pageAnchors, fx.searchResults)
+      enriched, fx.urlStatus, fx.pageAnchors,
+      sa.results(Stages.officialSiteQueries(enriched)))
     val withLinkedIn =
-      if (linkedInFallback) Stages.resolveLinkedIn(resolved, fx.searchResults)
+      if (linkedInFallback)
+        Stages.resolveLinkedIn(resolved,
+          sa.results(Stages.linkedInSearchQueries(resolved)))
       else resolved
     val batch = Stages.hiringSignal(withLinkedIn, fx.pageAnchors, fx.atsPayloads, asOf)
       .persist()

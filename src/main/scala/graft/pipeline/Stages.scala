@@ -272,16 +272,50 @@ object Stages {
     * queries, dedup by canonical URL (first occurrence wins), score with
     * the additive heuristic, keep the top positive score.
     */
-  def resolveLinkedIn(resolved: DataFrame, searchResults: DataFrame): DataFrame = {
-    val name = col("company_name")
-    val domainHost = parse_url(col("domain"), lit("HOST"))
-    val queries = array(
+  /** The three LinkedIn search queries (find_linkedin.py:55-59) as an
+    * array of (qord, q) structs — shared by [[resolveLinkedIn]] and
+    * [[searchQueries]] so live and fixture modes issue byte-identical
+    * query strings.
+    */
+  private[pipeline] def linkedInQueries(name: Column, domain: Column): Column = {
+    val domainHost = parse_url(domain, lit("HOST"))
+    array(
       struct(lit(0).as("qord"),
         concat(lit("\""), name, lit("\" site:linkedin.com/company")).as("q")),
       struct(lit(1).as("qord"),
-        when(col("domain").isNotNull,
+        when(domain.isNotNull,
           concat(lit("\""), name, lit("\" \""), domainHost, lit("\" site:linkedin.com"))).as("q")),
       struct(lit(2).as("qord"), concat(name, lit(" linkedin company")).as("q")))
+  }
+
+  /** The S11 "official site" query set for a batch — what a live
+    * [[graft.sources.SearchAdapter]] must answer BEFORE domain
+    * resolution. Derived with the same expression [[resolveDomain]]
+    * joins on, so a live run requests exactly the strings the join
+    * will look up. (The reference searches sequentially per row,
+    * main.py:80-87; here the whole wave is one relation.)
+    */
+  def officialSiteQueries(enriched: DataFrame): DataFrame =
+    enriched
+      .select(concat(col("company_name"), lit(" official site")).as("query"))
+      .filter(col("query").isNotNull)
+      .distinct()
+
+  /** The S12 LinkedIn query set — needs the RESOLVED domain, so this
+    * second search wave runs after [[resolveDomain]], exactly the
+    * reference's ordering (find_linkedin.py is called with the
+    * resolved domain, main.py:91-96).
+    */
+  def linkedInSearchQueries(resolved: DataFrame): DataFrame =
+    resolved.filter(col("linkedin_url").isNull)
+      .select(explode(linkedInQueries(col("company_name"), col("domain"))).as("_qq"))
+      .select(col("_qq.q").as("query"))
+      .filter(col("query").isNotNull)
+      .distinct()
+
+  def resolveLinkedIn(resolved: DataFrame, searchResults: DataFrame): DataFrame = {
+    val name = col("company_name")
+    val queries = linkedInQueries(name, col("domain"))
 
     val needs = resolved.filter(col("linkedin_url").isNull)
       .select(col("url").as("_lk_url"), name.as("_lk_name"), col("domain").as("_lk_domain"),

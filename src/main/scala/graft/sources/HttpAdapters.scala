@@ -86,6 +86,19 @@ object HttpAdapters {
       }
     } catch { case _: Exception => null }
 
+  /** GET a page and return the raw body — null on any failure. The
+    * building block for adapters that parse their own payload shape
+    * (search result pages, ATS JSON) rather than paragraph text.
+    */
+  def getBody(url: String, timeoutSec: Int, limiter: RateLimiter): String =
+    try {
+      limiter.acquire()
+      val req = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofSeconds(timeoutSec)).GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() >= 400) null else resp.body()
+    } catch { case _: Exception => null }
+
   /** HEAD-probe reachability: status < 400 after redirects. */
   def headOk(url: String, timeoutSec: Int, limiter: RateLimiter): Boolean =
     try {
