@@ -27,6 +27,18 @@ object GraftFunctions {
   def hash64_array(arr: Column, seed: Int): Column =
     graftcolumn(Hash64Array(graftcolumn.expr(arr), seed))
 
+  /** All minhash-seed minima in one native pass — value-identical to
+    * the per-seed `array_min(transform(...))` composition.
+    */
+  def minhash_sig(hashes: Column, seeds: Int): Column =
+    graftcolumn(MinHashSig(graftcolumn.expr(hashes), seeds))
+
+  /** Rolling 3-gram shingle hashes in one native pass — value-identical
+    * to the slice/zip_with composition.
+    */
+  def shingle_hash3(wordHashes: Column): Column =
+    graftcolumn(ShingleHash3(graftcolumn.expr(wordHashes)))
+
   /** Per-set token membership counts in one pass — native fast path,
     * identical to `sets.map(s => size(filter(arr, t => array_contains(s, t))))`.
     */

@@ -37,45 +37,29 @@ object Dedup {
     * `((u₁·37 + u₂) mod p · 41 + u₃) mod p` with `uₖ = wh[k] mod 2³⁰` —
     * overflow-exact in BIGINT on both engines, order-sensitive (a
     * permuted shingle hashes differently), and empty for <3 tokens.
-    *
-    * Implemented as three shifted `slice`s combined with `zip_with`, NOT
-    * indexed access inside a transform lambda: `element_at(wh, i+k)`
-    * re-evaluates the whole `wh` expression per element (lambda bodies
-    * are interpreted and defeat subexpression elimination), turning one
-    * md5 pass into hundreds.
+    * One native codegen'd pass ([[graft.functions.ShingleHash3]]); the
+    * equivalent slice/zip_with composition allocates three array
+    * copies and interprets two lambdas per row.
     */
-  def shingleHashes3(wh: Column): Column = {
-    val n = size(wh)
-    val s1 = slice(wh, lit(1), n - 2)
-    val s2 = slice(wh, lit(2), n - 2)
-    val s3 = slice(wh, lit(3), n - 2)
-    val pair = zip_with(s1, s2,
-      (a, b) => ((a % MinhashM) * 37L + (b % MinhashM)) % MinhashP)
-    when(n >= 3,
-      zip_with(pair, s3, (t, c) => (t * 41L + (c % MinhashM)) % MinhashP))
-      .otherwise(array().cast("array<bigint>"))
-  }
+  def shingleHashes3(wh: Column): Column = shingle_hash3(wh)
 
-  /** Affine-mix multipliers for the minhash family. The mix
-    * `(a · (h mod 2³⁰) + 7a+3) mod p` stays below 2⁴⁰, so it is exact in
-    * BIGINT on both engines (DuckDB errors on 64-bit overflow; Java
+  /** Minhash modulus constants (shared with the native
+    * [[graft.functions.MinHashSig]] expression): the affine mix
+    * `(a · (h mod 2³⁰) + 7a+3) mod p` stays below 2⁴⁰, so it is exact
+    * in BIGINT on both engines (DuckDB errors on 64-bit overflow; Java
     * wraps — neither is hit).
     */
-  private val MinhashA = Seq(31, 37, 41, 43, 47, 53, 59, 61, 67, 71, 73, 79, 83, 89, 97, 101)
-  val MinhashM = 1073741824L // 2^30
-  val MinhashP = 1073741789L // largest prime < 2^30
+  val MinhashM = graft.functions.MinHashSig.M // 2^30
+  val MinhashP = graft.functions.MinHashSig.P // largest prime < 2^30
 
   /** MinHash signature: per-seed minima of affine mixes of the pre-
-    * computed shingle hashes. Pure codegen'd builtins — no UDF, no
-    * explode; one narrow pass over the corpus.
+    * computed shingle hashes, in ONE native codegen'd pass over the
+    * shingle array ([[graft.functions.MinHashSig]]) — the composed
+    * per-seed `array_min(transform(...))` form walks the array once
+    * per seed with an interpreted lambda (measured 34 s vs ~1.5 s for
+    * the 8-seed signature at the 10× soak).
     */
-  def minhashSig(hashes: Column, seeds: Int): Column = {
-    require(seeds <= MinhashA.length, s"at most ${MinhashA.length} seeds")
-    array(MinhashA.take(seeds).map { a =>
-      array_min(transform(hashes,
-        h => (lit(a.toLong) * (h % MinhashM) + lit(a * 7L + 3L)) % MinhashP))
-    }: _*)
-  }
+  def minhashSig(hashes: Column, seeds: Int): Column = minhash_sig(hashes, seeds)
 
   /** Banded LSH: one row per (doc, band) with the band's bucket key.
     * `rowsPerBand` consecutive signature entries hash into one key; docs
