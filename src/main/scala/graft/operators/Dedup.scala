@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -144,12 +146,13 @@ object Dedup {
     * number of rounds is O(log n) in the WORST case — an adversarial
     * million-node chain converges in ~20 rounds where plain min-label
     * propagation needs a million (O(diameter)). Each round is two
-    * groupBy-min + join passes over the current edge set, whose size
+    * window-min star passes over the current edge set, whose size
     * never grows above the input edge count; the only per-round driver
     * work is one (count, hash-sum) aggregate over the just-checkpointed
     * edges for the fixpoint test — O(1) result rows, no `collect` of
-    * data. `localCheckpoint` truncates lineage each round (at cluster
-    * scale use reliable `checkpoint` with a checkpoint dir instead).
+    * data. [[Checkpoints.pin]] truncates lineage each round — a
+    * reliable checkpoint when the session has a checkpoint dir (the
+    * cluster deployment), localCheckpoint otherwise.
     *
     *  - large-star: every node connects its LARGER neighbors to the min
     *    of its closed neighborhood — long tails fold in half;
@@ -175,13 +178,13 @@ object Dedup {
       .select(greatest(col("_a"), col("_b")).as("u"),
               least(col("_a"), col("_b")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .pipe(Checkpoints.pin)
     // every vertex ever seen — re-attached at the end so self-loop-only
     // and isolated-after-contraction vertices keep their own label
     val verts = canon.select(col("u").as("id"))
       .unionByName(canon.select(col("v").as("id")))
       .distinct()
-    var e = canon.filter(col("u") =!= col("v")).localCheckpoint(true)
+    var e = Checkpoints.pin(canon.filter(col("u") =!= col("v")))
 
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(
@@ -219,7 +222,7 @@ object Dedup {
         .select(col("_e.u").as("u"), col("_e.v").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+        .pipe(Checkpoints.pin)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig

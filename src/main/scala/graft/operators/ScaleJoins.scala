@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,7 +33,7 @@ object ScaleJoins {
     * ×buckets — 8× the shuffle volume for every row, hot or not):
     * replication cost is now `buckets × |right rows at hot keys|`,
     * proportional to the actual skew. The hot-key table (≤ maxHotKeys
-    * rows) is localCheckpoint'ed and broadcast into the semi/anti
+    * rows) is pinned ([[Checkpoints.pin]]) and broadcast into the semi/anti
     * guards, so phase 1 runs once, not per branch.
     *
     * `rand(seed)` is fine for the salt: it only picks a partition and
@@ -63,7 +65,7 @@ object ScaleJoins {
       val hot = freq.filter(col("count") >= hotCut)
         .orderBy(col("count").desc).limit(maxHotKeys)
         .select(col(key))
-        .localCheckpoint(true)
+        .pipe(Checkpoints.pin)
 
       val coldJoin = left.join(broadcast(hot), Seq(key), "left_anti")
         .join(right, Seq(key))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -53,13 +55,13 @@ object TokenBudget {
     // seed from the underlying RDD id, which differs per job. Without
     // pinning, large inputs (where the sampler subsamples) could range-
     // partition DIFFERENTLY in the second job, mis-assigning offsets.
-    // localCheckpoint materializes one layout for both reads; having no
-    // lineage, a lost partition fails the job loudly instead of silently
-    // recomputing under a different partitioning (use reliable
-    // checkpoint() on a real cluster).
+    // Checkpoints.pin materializes one layout for both reads (reliable
+    // checkpoint when the session has a checkpoint dir; localCheckpoint
+    // otherwise, where a lost partition fails loudly instead of
+    // silently recomputing under a different partitioning).
     val parted = keyed.repartitionByRange(numParts, col("_h"), col(idCol))
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
+      .pipe(Checkpoints.pin)
 
     // tiny: one row per partition; collect is O(numParts), never O(rows)
     val partTotals = parted.groupBy("_pid")

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.net.URLEncoder
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -91,6 +93,6 @@ final class HtmlSearchAdapter(
       .select(col("query"), explode(search(col("query"))).as("_h"))
       .select(col("query"), col("_h.rank").as("rank"),
         col("_h.href").as("href"), col("_h.title").as("title"))
-      .localCheckpoint(true)
+      .pipe(graft.operators.Checkpoints.pin)
   }
 }
