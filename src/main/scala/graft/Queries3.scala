@@ -663,10 +663,68 @@ object Queries3 {
     None,
     notes = "rows-only: sketch output is engine-specific; see ApproxPercentileSpec")
 
+  // --------------------------------------------------- q44_knn_ivf_multiprobe
+  /** Multi-probe IVF ANN: q25's quantizer and inverted lists, but each
+    * probe searches its TWO nearest cells (nprobe=2) — the standard
+    * recall dial for IVF at scale: cost grows only on the probe side
+    * (nprobe × the per-probe join fan-out), never on the corpus, and a
+    * true neighbor just across the probe's cell boundary is no longer
+    * missed. Candidates cannot duplicate across probed cells (each
+    * lives in exactly one list).
+    */
+  val q44KnnIvfMultiprobe = {
+    def sqlDot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+    def sqlCos(a: String, b: String) =
+      s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+    QueryDef(
+      "q44_knn_ivf_multiprobe",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Similarity
+        val e = t(s, dir, "embeddings")
+        val centroids = e.filter($"vec_id" % 37 === 0 && $"vec_id" >= 100)
+          .orderBy($"vec_id").limit(8)
+          .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
+        val probes = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+        val corpus = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+        Similarity.knnIvf(probes, corpus, centroids, k = 3, nprobe = 2)
+          .select($"probe_id", $"cell", $"rn".cast("long").as("rn"), $"cand_id", $"cos")
+          .orderBy($"probe_id", $"rn")
+      },
+      Some(s"""
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid_vec
+          FROM embeddings WHERE vec_id % 37 = 0 AND vec_id >= 100
+          ORDER BY vec_id LIMIT 8),
+        pa AS (
+          SELECT probe_id, pv, centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY ${sqlCos("pv", "centroid_vec")} DESC, centroid_id) AS crn
+          FROM (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5), cent),
+        pc AS (SELECT probe_id, pv, cell FROM pa WHERE crn <= 2),
+        ca AS (
+          SELECT cand_id, cv, centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY cand_id
+                   ORDER BY ${sqlCos("cv", "centroid_vec")} DESC, centroid_id) AS crn
+          FROM (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings), cent),
+        cc AS (SELECT cand_id, cv, cell FROM ca WHERE crn = 1),
+        s AS (
+          SELECT probe_id, pc.cell AS cell, cand_id, ${sqlCos("pv", "cv")} AS cos
+          FROM pc JOIN cc USING (cell) WHERE probe_id != cand_id),
+        r AS (
+          SELECT probe_id, cell, cand_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rn
+          FROM s)
+        SELECT probe_id, cell, rn, cand_id, cos FROM r
+        WHERE rn <= 3 ORDER BY probe_id, rn"""))
+  }
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q28AsofJoin, q29IntervalJoin, q30Cube, q31Pivot, q32SaltedJoin,
     q33Multimodal, q34LagLead, q35Percentiles, q36DedupClusters,
     q37Tfidf, q38HashSample, q39Histogram, q40DedupPipeline, q41RangeFrame,
-    q42TokenBudget, q43PercentilesApprox)
+    q42TokenBudget, q43PercentilesApprox, q44KnnIvfMultiprobe)
 }

@@ -115,31 +115,40 @@ object Similarity {
       .select("probe_id", "bucket", "rn", "cand_id", "cos")
   }
 
-  /** IVF cell assignment: nearest centroid by cosine (ties → smallest
-    * centroid id). `centroids` must be broadcast-small — it is the IVF
-    * coarse quantizer (k-means in production; any deterministic vector
-    * sample works for the mechanism). One pass over the vectors; the
-    * output is the "inverted list" keyed by cell.
+  /** IVF cell assignment: the `nprobe` nearest centroids by cosine
+    * (ties → smallest centroid id). With the default nprobe=1 this is
+    * the inverted-list builder (each vector in exactly one cell); with
+    * nprobe>1 it is the PROBE-side multi-cell assignment (one row per
+    * (vector, probed cell)). `centroids` must be broadcast-small — it
+    * is the IVF coarse quantizer (k-means in production; any
+    * deterministic vector sample works for the mechanism). One pass
+    * over the vectors.
     */
   def ivfAssign(vectors: DataFrame, vecCol: String, idCol: String,
-                centroids: DataFrame): DataFrame = {
+                centroids: DataFrame, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val joined = vectors.crossJoin(broadcast(centroids))
       .withColumn("_ccos", round(cosine(col(vecCol), col("centroid_vec")), 6))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("_ccos").desc, col("centroid_id"))
     joined
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+      .filter(col("_rn") <= nprobe)
       .drop("_rn", "_ccos", "centroid_vec")
       .withColumnRenamed("centroid_id", "cell")
   }
 
-  /** IVF top-k: probes search only their own cell's inverted list
-    * (nprobe=1). Corpus-linear like LSH, but the cells adapt to the data
-    * distribution instead of being fixed hyperplane signs.
+  /** IVF top-k: probes search the inverted lists of their `nprobe`
+    * nearest cells (the corpus side is always single-cell — a candidate
+    * lives in exactly one list, so multi-probe never duplicates it).
+    * Corpus-linear like LSH, but the cells adapt to the data
+    * distribution instead of being fixed hyperplane signs; raising
+    * nprobe buys recall for `nprobe ×` the probe-side join fan-out —
+    * the standard IVF recall/cost dial, NOT a corpus-side cost.
     */
-  def knnIvf(probes: DataFrame, corpus: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
-    val pc = ivfAssign(probes, "pv", "probe_id", centroids)
+  def knnIvf(probes: DataFrame, corpus: DataFrame, centroids: DataFrame,
+             k: Int, nprobe: Int = 1): DataFrame = {
+    val pc = ivfAssign(probes, "pv", "probe_id", centroids, nprobe)
     val cc = ivfAssign(corpus, "cv", "cand_id", centroids)
     val joined = pc.withColumn("_pn", l2norm(col("pv")))
       .join(cc.withColumn("_cn", l2norm(col("cv"))), Seq("cell"))

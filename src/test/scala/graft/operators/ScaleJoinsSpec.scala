@@ -47,6 +47,16 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"salted branch must be hot-key guarded:\n$plan")
   }
 
+  test("null join keys behave exactly as in the plain inner join (dropped)") {
+    import spark.implicits._
+    val left = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (1L, "c"), (null, "d"))
+      .toDF("k", "payload")
+    val right = Seq((1L, "dim")).toDF("k", "attr")
+    val salted = ScaleJoins.saltedJoin(left, right, "k", buckets = 4)
+    val plain = left.join(right, "k")
+    assert(salted.count() == plain.count() && plain.count() == 2)
+  }
+
   test("bucketed tables join without a shuffle") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-wh")
