@@ -29,6 +29,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // delete reliable checkpoint data when its RDD is GC'd — the
+      // cleanup half of Checkpoints.pin that release() can't do for
+      // the final frame an operator returns (Checkpoints scaladoc)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

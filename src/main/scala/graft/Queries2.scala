@@ -294,9 +294,11 @@ object Queries2 {
     */
   val q15KnnLsh = {
     // the oracle derives planes from the same shift-compare: smallest
-    // p in [1,16] with 64·2^p ≥ count(*) — no float log anywhere
+    // p in [1,16] with 64·2^p ≥ count(*) — no float log anywhere; the
+    // coalesce mirrors the Scala maxPlanes=16 cap past 64·2^16 rows
+    // (min over an empty range is NULL, which would NULL every bucket)
     val sqlPlanes =
-      """(SELECT CAST(min(p) AS INT) FROM range(1, 17) t(p)
+      """(SELECT CAST(coalesce(min(p), 16) AS INT) FROM range(1, 17) t(p)
           WHERE 64 * (1 << p) >= (SELECT count(*) FROM embeddings))"""
     def sqlBucket(vec: String) =
       s"""list_sum(list_transform(range(0, $sqlPlanes), p ->
@@ -723,7 +725,7 @@ object Queries2 {
     */
   val q26DedupEmbedding = {
     val sqlPlanes =
-      """(SELECT CAST(min(p) AS INT) FROM range(1, 17) t(p)
+      """(SELECT CAST(coalesce(min(p), 16) AS INT) FROM range(1, 17) t(p)
           WHERE 64 * (1 << p) >= (SELECT count(*) FROM embeddings))"""
     def sqlBucket(vec: String) =
       s"""list_sum(list_transform(range(0, $sqlPlanes), p ->

@@ -26,10 +26,48 @@ object Checkpoints {
 
   /** Eagerly materialize `df`: reliable `checkpoint` if the session has
     * a checkpoint dir, else `localCheckpoint`. Both truncate lineage.
+    *
+    * Storage lifecycle: a pinned frame's checkpoint data lives until
+    * [[release]] deletes it (iterative operators release each round's
+    * pin once the next round is materialized — bounded storage instead
+    * of one leaked dir per round). The FINAL pin an operator returns to
+    * its caller cannot be released eagerly (the returned DataFrame
+    * reads it lazily); deployments should set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so those
+    * are deleted when the backing RDD is garbage-collected.
     */
   def pin(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = true)
     else
       df.localCheckpoint(eager = true)
+
+  /** Unpersisting a localCheckpoint'd RDD warns that its lineage cannot
+    * be recomputed — which is exactly [[release]]'s contract (the frame
+    * is dead). Quiet that one logger so iterative operators don't emit
+    * a scary-looking WARN per released round.
+    */
+  private lazy val quietLocalUnpersistWarn: Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+
+  /** Free the storage behind a frame previously returned by [[pin]]:
+    * deletes the reliable checkpoint directory (or unpersists the
+    * localCheckpoint blocks). ONLY call once nothing will read `pinned`
+    * again — a later read fails loudly on the missing data. No-op for
+    * frames that did not come from [[pin]].
+    */
+  def release(pinned: DataFrame): Unit =
+    org.apache.spark.sql.graftrdd.backingRdd(pinned).foreach { rdd =>
+      rdd.getCheckpointFile match {
+        case Some(file) =>
+          val p = new org.apache.hadoop.fs.Path(file)
+          p.getFileSystem(pinned.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        case None =>
+          quietLocalUnpersistWarn
+          rdd.unpersist(blocking = false)
+      }
+    }
 }

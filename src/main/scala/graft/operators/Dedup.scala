@@ -226,6 +226,14 @@ object Dedup {
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
+      // `next` is fully materialized (eager pin), so the previous
+      // round's checkpoint data is dead weight — delete it now instead
+      // of leaking one checkpoint dir per round for the session's
+      // lifetime. `canon` is NOT released: `verts` reads it lazily in
+      // the final join. The last `e` is likewise kept alive for the
+      // returned frame (cleaned by the ContextCleaner when
+      // spark.cleaner.referenceTracking.cleanCheckpoints is set).
+      Checkpoints.release(e)
       e = next
       i += 1
     }

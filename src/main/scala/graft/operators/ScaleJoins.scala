@@ -50,8 +50,12 @@ object ScaleJoins {
     require(buckets > 1, "buckets must be > 1")
     require(sampleFraction > 0 && sampleFraction <= 1,
       "sampleFraction must be in (0, 1]")
-    val numParts =
-      left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // "spark.sql.shuffle.partitions" can hold a non-numeric value on
+    // AQE-managed platforms (e.g. "auto"); fall back to the context's
+    // default parallelism rather than throwing on the parse
+    val numParts = scala.util
+      .Try(left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(left.sparkSession.sparkContext.defaultParallelism)
     val sampled =
       if (sampleFraction < 1.0) left.sample(sampleFraction, seed) else left
     val freq = sampled.groupBy(col(key)).count()

@@ -117,6 +117,10 @@ object PushSinks {
           (0 until r.length).map { i =>
             r.get(i) match {
               case null                => "\"\""
+              // NaN/Infinity are not JSON tokens; a blank cell (like a
+              // null) beats a permanently-4xx-ing payload on every retry
+              case d: java.lang.Double if d.isNaN || d.isInfinite => "\"\""
+              case f: java.lang.Float if f.isNaN || f.isInfinite  => "\"\""
               case n: java.lang.Number => n.toString
               case b: java.lang.Boolean => b.toString
               case other               => jsonStr(other.toString)

@@ -34,7 +34,9 @@ import graft.sources.PushSinks
   *   url, chat id) — each batch's alert rows POST through
   *   [[PushSinks.telegramPayload]] AFTER the durable parquet append,
   *   so a failed POST fails the batch and replays having already
-  *   recorded the alert (at-least-once outward, no loss).
+  *   recorded the alert (at-least-once outward, no loss). The durable
+  *   append itself is idempotent per (query, batch): replays overwrite
+  *   their own partition, so alertsDir stays effectively-once.
   * @param reportPush optional outbound report append: (poster, url) —
   *   the batch's report rows push as chunked append_rows payloads
   *   from the executors ([[PushSinks.pushReport]]).
@@ -55,8 +57,16 @@ class StreamingPipeline(
       spark.read.schema(Pipeline.emptyStore(spark).schema).parquet(storeDir)
     else Pipeline.emptyStore(spark)
 
-  /** One micro-batch = one pipeline run against the current store. */
-  def processBatch(feedBatch: DataFrame, batchId: Long): Unit = {
+  /** One micro-batch = one pipeline run against the current store.
+    *
+    * `runKey` identifies the QUERY LINEAGE (stable across restarts from
+    * the same checkpoint — [[start]] derives it from the checkpoint
+    * location): (runKey, batchId) is the idempotency key for the alert
+    * append, so a replayed batch overwrites its own alert partition
+    * while distinct queries sharing an alertsDir still accumulate.
+    */
+  def processBatch(feedBatch: DataFrame, batchId: Long,
+                   runKey: String = "run"): Unit = {
     val store = loadStore()
     val result = Pipeline.run(
       fx.copy(feedEntries = feedBatch), store, to_timestamp(lit(asOf)),
@@ -69,8 +79,16 @@ class StreamingPipeline(
     // Writing first pins the result while the old store dir still exists.
     val alerts = result.alerts
       .withColumn("batch_id", lit(batchId))
+      .withColumn("batch_key", lit(s"$runKey-$batchId"))
       .localCheckpoint(true) // pin: one computation feeds append + POST
-    alerts.write.mode("append").parquet(alertsDir)
+    // Idempotent per batch: a replayed batch (e.g. after a failed
+    // outbound POST below) OVERWRITES its own (runKey, batchId)
+    // partition instead of appending duplicate rows — alertsDir keeps
+    // its effectively-once property even when the push path flakes.
+    alerts.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_key")
+      .parquet(alertsDir)
     // outbound delivery AFTER the durable append: a failed POST fails
     // the batch and the replay re-delivers (at-least-once, W3 live half)
     alertPush.foreach { case (poster, apiUrl, chatId) =>
@@ -108,9 +126,13 @@ class StreamingPipeline(
   /** Start the stream over a streaming feed-entries DataFrame. */
   def start(feedStream: DataFrame, checkpointDir: String,
             availableNow: Boolean = false): StreamingQuery = {
+    // stable across restarts from the same checkpoint (the streaming
+    // runId is NOT — it changes per restart, which would defeat the
+    // replay-overwrite idempotency of the alert append)
+    val runKey = f"${scala.util.hashing.MurmurHash3.stringHash(checkpointDir)}%08x"
     val w = feedStream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
+      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id, runKey))
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 }

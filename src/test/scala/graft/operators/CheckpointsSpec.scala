@@ -38,4 +38,42 @@ class CheckpointsSpec extends SparkSpec {
     }
     assert(sc.getCheckpointDir.isEmpty)
   }
+
+  test("iterative operators release superseded checkpoints (bounded storage)") {
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-hyg")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      // a 33-node chain: multiple large/small-star rounds, so the loop
+      // pins (and must release) several per-round edge frames
+      val edges = (0L until 32L).map(i => (i + 1, i)).toDF("a", "b")
+      val labels = Dedup.connectedComponents(edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.size == 33 && labels.values.forall(_ == 0L))
+
+      // only the pins the RETURNED frame still reads may remain on
+      // disk: canon (feeds verts) and the final edge frame — every
+      // superseded round's checkpoint must have been deleted
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("rdd-") &&
+          java.nio.file.Files.isDirectory(p))
+        .toList
+      assert(rddDirs.size == 2,
+        s"expected exactly canon + final edge checkpoints, got: $rddDirs")
+
+      // release() frees the rest once the caller is done with the result
+      val pinned = Checkpoints.pin(Seq(1, 2).toDF("x"))
+      assert(pinned.count() == 2)
+      Checkpoints.release(pinned)
+      val after = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("rdd-") &&
+          java.nio.file.Files.isDirectory(p))
+        .toList
+      assert(after.size == 2, s"release must delete the pinned dir: $after")
+    } finally {
+      org.apache.spark.GraftCheckpointTestHook.clear(sc)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
 }

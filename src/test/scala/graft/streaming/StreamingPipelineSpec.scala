@@ -141,9 +141,10 @@ class StreamingPipelineSpec extends SparkSpec {
     val bodies = RecordingPoster.sent.asScala.map(_._2).toSeq
     assert(bodies.nonEmpty && bodies.forall(_.contains("Acme Labs")), bodies)
     assert(bodies.head.contains("\"parse_mode\":\"HTML\""), bodies.head)
-    // the replayed batch also re-appended durably — dedup downstream is
-    // the documented at-least-once contract; the store itself stays
-    // correct because the merge is idempotent
+    // the replayed batch OVERWRITES its own (query, batch) alert
+    // partition rather than appending a duplicate: outward delivery is
+    // at-least-once, but alertsDir itself stays effectively-once
+    assert(spark.read.parquet(s"$tmp/alerts").count() == 1)
     assert(sp_storeCount(s"$tmp/store") == 1)
   }
 
