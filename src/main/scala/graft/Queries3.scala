@@ -249,27 +249,35 @@ object Queries3 {
 
   // ---------------------------------------------------------- q35_percentiles
   /** Exact linear-interpolation percentiles per group (Spark `percentile`
-    * = DuckDB `quantile_cont`). Exact, not approximate: both engines sort
-    * within the group and interpolate the same way; round(6) absorbs the
-    * last-ulp difference in interpolation order.
+    * = DuckDB `quantile_cont`). Exact, not approximate — but computed by
+    * [[graft.operators.Percentiles.exactCont]] (range-partition +
+    * two-phase rank selection), NOT the built-in `percentile()`
+    * aggregate, whose per-group value map puts an entire group's values
+    * on one reducer (memory ∝ group cardinality: with 3 groups at
+    * 100 TB that is the whole table on 3 tasks). Same answer, bounded
+    * memory; round(6) absorbs the last-ulp interpolation difference.
     */
   val q35Percentiles = QueryDef(
     "q35_percentiles",
     (s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem")
+      import graft.operators.Percentiles
+      // melt both value columns into (flag, metric, v) rows so ONE
+      // exactCont pass (one scan, one range shuffle) covers all four
+      // requested quantiles; the long result pivots back to columns
+      val long = t(s, dir, "lineitem").select($"l_returnflag",
+          explode(array(
+            struct(lit("qty").as("metric"), $"l_quantity".cast("double").as("v")),
+            struct(lit("price").as("metric"), $"l_extendedprice".cast("double").as("v"))))
+            .as("x"))
+        .select($"l_returnflag", $"x.metric".as("metric"), $"x.v".as("v"))
+      def pick(metric: String, p: Double, name: String) =
+        round(min(when($"metric" === metric && $"p" === p, $"value")), 6).as(name)
+      Percentiles.exactCont(long, Seq("l_returnflag", "metric"), "v",
+          Seq(0.5, 0.9, 0.99))
         .groupBy($"l_returnflag")
-        .agg(
-          // one percentile() per COLUMN (array form): the exact aggregate
-          // builds its per-group value map once and reads both quantiles
-          // from it — four scalar calls built the map four times (2x cost)
-          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("_q"),
-          expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("_p"))
-        .select($"l_returnflag",
-          round(element_at($"_q", 1), 6).as("p50_qty"),
-          round(element_at($"_q", 2), 6).as("p90_qty"),
-          round(element_at($"_p", 1), 6).as("p50_price"),
-          round(element_at($"_p", 2), 6).as("p99_price"))
+        .agg(pick("qty", 0.5, "p50_qty"), pick("qty", 0.9, "p90_qty"),
+          pick("price", 0.5, "p50_price"), pick("price", 0.99, "p99_price"))
         .orderBy($"l_returnflag")
     },
     Some("""
@@ -624,17 +632,18 @@ object Queries3 {
       WHERE cum_tokens <= 10000 ORDER BY cum_tokens"""))
 
   // --------------------------------------------------- q43_percentiles_approx
-  /** The 100 TB companion to q35: `percentile_approx` (a rank-sketch
-    * aggregate) instead of exact `percentile`. WHEN TO USE WHICH: exact
-    * `percentile` buffers every distinct value per group (memory ∝
-    * group cardinality — fine for bounded domains like l_quantity,
-    * fatal for, say, per-group price percentiles over billions of
-    * distinct values); the sketch holds O(accuracy) entries per group
-    * regardless of cardinality, with rank error ≤ n/accuracy — here
-    * accuracy=10000 ⇒ the returned value's rank is within 0.01% · n of
-    * the true rank. The sketch also merges associatively, so partial
-    * aggregation works map-side (exact percentile ships whole value
-    * multisets through the shuffle).
+  /** The one-pass companion to q35: `percentile_approx` (a rank-sketch
+    * aggregate). WHEN TO USE WHICH of the three percentile paths:
+    * the built-in exact `percentile` buffers every distinct value per
+    * group on one reducer (memory ∝ group cardinality — only for
+    * known-small groups); [[graft.operators.Percentiles.exactCont]]
+    * (q35) is exact with bounded memory but costs a full range shuffle
+    * of the (group, value) pairs; the sketch here holds O(accuracy)
+    * entries per group regardless of cardinality in a SINGLE pass,
+    * with rank error ≤ n/accuracy — here accuracy=10000 ⇒ the returned
+    * value's rank is within 0.01% · n of the true rank. The sketch
+    * also merges associatively, so partial aggregation works map-side
+    * — the cheapest option when approximate answers suffice.
     *
     * No SQL oracle ON PURPOSE: the sketch's picked element is
     * engine-specific (DuckDB's approx_quantile is a t-digest — close
@@ -721,10 +730,93 @@ object Queries3 {
         WHERE rn <= 3 ORDER BY probe_id, rn"""))
   }
 
+  // ------------------------------------------------------ q45_stratified_sample
+  /** Stratified deterministic sampling ([[graft.operators.Sampling]]):
+    * rebalance the language mix by downsampling over-represented
+    * strata with a per-stratum key-hash cut — reproducible and
+    * auditable where `sampleBy(rand)` is neither. The predicate is
+    * scan-adjacent (no join, no shuffle before the filter); the output
+    * aggregates the sample per stratum to keep the check compact.
+    */
+  val q45StratifiedSample = QueryDef(
+    "q45_stratified_sample",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Sampling
+      Sampling.stratifiedByHash(
+        t(s, dir, "documents"),
+        key = $"doc_id".cast("string"), stratum = $"lang",
+        rates = Map("en" -> 0.3, "zh" -> 0.2, "es" -> 0.5),
+        default = 1.0, seed = 23)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("long").as("sum_chars"))
+        .orderBy($"lang")
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents
+      WHERE CAST(('0x' || substr(md5('23:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+            < CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 2000
+                        WHEN 'es' THEN 5000 ELSE 10000 END
+      GROUP BY 1 ORDER BY lang"""))
+
+  // ------------------------------------------------------------ q46_repetition
+  /** Intra-document repetition scoring: the duplicate-shingle fraction
+    * (1 − distinct/total over the rolling 3-gram shingle hashes) — the
+    * within-document twin of the cross-document near-dup family, and
+    * the standard "repetitious document" quality gate for training
+    * corpora. Entirely narrow: one codegen'd shingle pass per row
+    * ([[graft.operators.Dedup.shingleHashes3]]), two array ops, no
+    * shuffle before the final ORDER BY.
+    */
+  val q46Repetition = QueryDef(
+    "q46_repetition",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Dedup
+      t(s, dir, "documents")
+        .select($"doc_id",
+          Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh"))
+        .select($"doc_id",
+          size($"sh").cast("long").as("n_shingles"),
+          size(array_distinct($"sh")).cast("long").as("n_distinct"))
+        .select($"doc_id", $"n_shingles", $"n_distinct",
+          when($"n_shingles" === 0, lit(0.0)).otherwise(
+            round(lit(1.0) - $"n_distinct".cast("double") / $"n_shingles", 6))
+            .as("dup_frac"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               list_transform(string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+        FROM documents),
+      shx AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3 THEN
+                 list_transform(
+                   list_transform(range(0, len(w) - 2), i ->
+                     ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                       * 41 + (wh[i+3] % 1073741824)),
+                   v -> v % 1073741789)
+               ELSE CAST([] AS BIGINT[]) END AS sh
+        FROM toks)
+      SELECT doc_id,
+             CAST(len(sh) AS BIGINT) AS n_shingles,
+             CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+             CASE WHEN len(sh) = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+             END AS dup_frac
+      FROM shx ORDER BY doc_id"""))
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q28AsofJoin, q29IntervalJoin, q30Cube, q31Pivot, q32SaltedJoin,
     q33Multimodal, q34LagLead, q35Percentiles, q36DedupClusters,
     q37Tfidf, q38HashSample, q39Histogram, q40DedupPipeline, q41RangeFrame,
-    q42TokenBudget, q43PercentilesApprox, q44KnnIvfMultiprobe)
+    q42TokenBudget, q43PercentilesApprox, q44KnnIvfMultiprobe,
+    q45StratifiedSample, q46Repetition)
 }

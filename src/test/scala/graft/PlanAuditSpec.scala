@@ -93,6 +93,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"explode must be guarded by the hot-key semi-join:\n$p")
   }
 
+  test("q35_percentiles: rank selection, not the per-group value-map aggregate") {
+    val p = plan("q35_percentiles")
+    // the built-in exact percentile() buffers a whole group's values on
+    // one reducer — the plan must use range partitioning + rank joins
+    assert(!p.toLowerCase.contains("percentile("),
+      s"q35 must not use the value-map percentile aggregate:\n$p")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), s"target-rank join must broadcast:\n$p")
+  }
+
   test("q31_pivot: pinned pivot values — no extra distinct-collect job") {
     // an unpinned pivot runs a separate collect() of distinct event_type
     // before planning; with pinned values the plan is a single aggregate
