@@ -812,11 +812,104 @@ object Queries3 {
              END AS dup_frac
       FROM shx ORDER BY doc_id"""))
 
+  // --------------------------------------------------------- q47_contamination
+  /** Benchmark-contamination detection: flag training documents whose
+    * 3-gram shingle sets overlap a held-out test set (here: every 97th
+    * doc stands in for the benchmark suite). The test-set shingle index
+    * is SMALL by construction (benchmarks are), so it broadcasts and
+    * the training side is scanned map-side — at 100 TB the corpus is
+    * never shuffled for this check. Output: contaminated train docs
+    * with the shared-shingle count and overlap fraction.
+    */
+  val q47Contamination = QueryDef(
+    "q47_contamination",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Dedup
+      val sh = t(s, dir, "documents")
+        .select($"doc_id",
+          Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh"))
+        .filter(size($"sh") > 0)
+      val test = sh.filter($"doc_id" % 97 === 0)
+        .select(explode($"sh").as("h")).distinct()
+      val train = sh.filter($"doc_id" % 97 =!= 0)
+        .select($"doc_id".as("train_id"), explode($"sh").as("h")).distinct()
+      val totals = train.groupBy($"train_id").agg(count(lit(1)).as("n_shingles"))
+      train.join(broadcast(test), "h")
+        .groupBy($"train_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .join(totals, "train_id")
+        .select($"train_id", $"n_shared", $"n_shingles",
+          round($"n_shared".cast("double") / $"n_shingles", 6).as("overlap_frac"))
+        .orderBy($"train_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               list_transform(string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+        FROM documents),
+      shx AS (
+        SELECT doc_id,
+               list_transform(
+                 list_transform(range(0, len(w) - 2), i ->
+                   ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                     * 41 + (wh[i+3] % 1073741824)),
+                 v -> v % 1073741789) AS sh
+        FROM toks WHERE len(w) >= 3),
+      test AS (
+        SELECT DISTINCT unnest(sh) AS h FROM shx WHERE doc_id % 97 = 0),
+      train AS (
+        SELECT DISTINCT doc_id AS train_id, unnest(sh) AS h
+        FROM shx WHERE doc_id % 97 != 0),
+      tot AS (SELECT train_id, count(*) AS n_shingles FROM train GROUP BY 1),
+      hit AS (
+        SELECT train_id, count(*) AS n_shared
+        FROM train JOIN test USING (h) GROUP BY 1)
+      SELECT train_id, n_shared, n_shingles,
+             round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS overlap_frac
+      FROM hit JOIN tot USING (train_id)
+      ORDER BY train_id"""))
+
+  // ------------------------------------------------------ q48_shard_assignment
+  /** Deterministic corpus shuffle + sharding for training order: shard
+    * by one key hash, order within the shard by a second — the
+    * reproducible replacement for ORDER BY rand() that any re-run (or
+    * any engine) can replay bit-for-bit. One shuffle on the shard id;
+    * shards are SIZED so one shard ≈ one task's worth of output (at
+    * 100 TB: tens of thousands of shards, each a file), so the
+    * within-shard window never sees more than a shard.
+    */
+  val q48ShardAssignment = QueryDef(
+    "q48_shard_assignment",
+    (s, dir) => {
+      import s.implicits._
+      val n = 8
+      val key = $"doc_id".cast("string")
+      t(s, dir, "documents")
+        .select($"doc_id",
+          (hash64(key, 5) % n).cast("long").as("shard"),
+          hash64(key, 6).as("_ord"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy($"shard").orderBy($"_ord", $"doc_id")).cast("long"))
+        .select($"doc_id", $"shard", $"pos")
+        .orderBy($"shard", $"pos")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+               CAST(('0x' || substr(md5('6:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS ord
+        FROM documents)
+      SELECT doc_id, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+      FROM h ORDER BY shard, pos"""))
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q28AsofJoin, q29IntervalJoin, q30Cube, q31Pivot, q32SaltedJoin,
     q33Multimodal, q34LagLead, q35Percentiles, q36DedupClusters,
     q37Tfidf, q38HashSample, q39Histogram, q40DedupPipeline, q41RangeFrame,
     q42TokenBudget, q43PercentilesApprox, q44KnnIvfMultiprobe,
-    q45StratifiedSample, q46Repetition)
+    q45StratifiedSample, q46Repetition, q47Contamination, q48ShardAssignment)
 }

@@ -103,6 +103,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"target-rank join must broadcast:\n$p")
   }
 
+  test("q47_contamination: test-set index broadcasts; corpus side not shuffled for the probe") {
+    val p = plan("q47_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark shingle index must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q31_pivot: pinned pivot values — no extra distinct-collect job") {
     // an unpinned pivot runs a separate collect() of distinct event_type
     // before planning; with pinned values the plan is a single aggregate
