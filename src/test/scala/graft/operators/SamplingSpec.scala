@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Sampling.stratifiedByHash]]: deterministic (same input → same
+  * sample), per-stratum rates honored approximately, rate-0/1 edges
+  * exact, and the unlisted-stratum default applied.
+  */
+class SamplingSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private val rows = (0 until 4000).map { i =>
+    (i.toLong, Seq("en", "fr", "zh")(i % 3))
+  }
+  private def df = rows.toDF("id", "lang")
+
+  test("deterministic, rates honored, edges exact") {
+    def sample() = Sampling.stratifiedByHash(
+      df, key = $"id".cast("string"), stratum = $"lang",
+      rates = Map("en" -> 0.25, "fr" -> 0.0), default = 1.0, seed = 7)
+    val s1 = sample().collect().map(_.getLong(0)).toSet
+    val s2 = sample().collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "hash sampling must be reproducible")
+
+    val byLang = sample().groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perStratum = rows.size / 3
+    assert(!byLang.contains("fr"), "rate 0.0 must drop the stratum entirely")
+    assert(byLang("zh") == perStratum, "default 1.0 must keep every row")
+    // 25% of ~1334, hash-binomial: allow a generous band, exactness is
+    // pinned by the q45 oracle hash-match, not by this distribution check
+    val en = byLang("en").toDouble / perStratum
+    assert(en > 0.15 && en < 0.35, s"en keep-rate $en far from 0.25")
+  }
+
+  test("subsets nest: a lower rate samples a subset of a higher rate") {
+    // same key+seed ⇒ the 10% sample is contained in the 30% sample —
+    // the property that makes hash sampling auditable across reruns
+    def ids(rate: Double) = Sampling.stratifiedByHash(
+      df, $"id".cast("string"), $"lang", Map.empty, rate, seed = 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(0.1).subsetOf(ids(0.3)))
+  }
+
+  test("invalid rates rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedByHash(df, $"id", $"lang", Map("en" -> 1.5), 1.0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedByHash(df, $"id", $"lang", Map.empty, -0.1, 1)
+    }
+  }
+}
