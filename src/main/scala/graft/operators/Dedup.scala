@@ -164,6 +164,9 @@ object Dedup {
     * unchanged (count + XOR of xxhash64 over the distinct set — XOR is
     * overflow-free under ANSI mode, order-independent, and exact on a
     * set; a collision needs two DIFFERENT sets agreeing on both, ~2⁻⁶⁴).
+    * The signature rides the pin's OWN action as `observe` metrics, so
+    * a round is exactly one job — no second pass re-reading the
+    * just-written checkpoint for the fixpoint test.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -184,14 +187,19 @@ object Dedup {
     val verts = canon.select(col("u").as("id"))
       .unionByName(canon.select(col("v").as("id")))
       .distinct()
-    var e = Checkpoints.pin(canon.filter(col("u") =!= col("v")))
-
-    def signature(df: DataFrame): (Long, Long) = {
-      val r = df.agg(
-        count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // pin + fixpoint signature in ONE action: the (count, xor) metrics
+    // are observed while the checkpoint itself materializes, so the
+    // edge set is written and fingerprinted in a single pass
+    def pinWithSig(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val pinned = Checkpoints.pin(df.observe(obs,
+        count(lit(1)).as("cnt"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("sig")))
+      (pinned, (obs.get("cnt").asInstanceOf[Long],
+        obs.get("sig").asInstanceOf[Long]))
     }
+
+    var (e, sig) = pinWithSig(canon.filter(col("u") =!= col("v")))
 
     // per-center min via an unbounded window: ONE shuffle per star pass
     // (a groupBy-min + equi-join formulation costs two, plus a distinct
@@ -199,7 +207,6 @@ object Dedup {
     val wholePart = org.apache.spark.sql.expressions.Window.partitionBy("u")
       .rowsBetween(Long.MinValue, Long.MaxValue)
 
-    var sig = signature(e)
     var converged = sig._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
@@ -214,16 +221,14 @@ object Dedup {
       // small-star: edges now oriented u > v, so the window min IS the
       // min of the closed smaller-neighborhood; u and every smaller
       // neighbor re-point at it (the (mn, mn) self-edge filters out).
-      val next = large
+      val (next, nextSig) = pinWithSig(large
         .withColumn("_mn", min(col("v")).over(wholePart))
         .select(explode(array(
           struct(col("u"), col("_mn").as("v")),
           struct(col("v").as("u"), col("_mn").as("v")))).as("_e"))
         .select(col("_e.u").as("u"), col("_e.v").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
-        .pipe(Checkpoints.pin)
-      val nextSig = signature(next)
+        .distinct())
       converged = nextSig == sig
       sig = nextSig
       // `next` is fully materialized (eager pin), so the previous
