@@ -905,11 +905,92 @@ object Queries3 {
              CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
       FROM h ORDER BY shard, pos"""))
 
+  // ----------------------------------------------------------- q49_kmeans_ivf
+  /** Trained IVF codebook: spherical k-means
+    * ([[graft.operators.Similarity.kmeans]] — deterministic hash init,
+    * cosine argmax assignment, exact-decimal mean update, 2 Lloyd
+    * iterations) over the embedding corpus, then one inverted-list
+    * assignment against the trained centroids. Output: per-cell member
+    * count and mean within-cell cosine (the codebook-quality summary).
+    * The oracle replays BOTH training iterations in SQL — every step of
+    * the operator is engine-portable by construction, so the codebooks
+    * agree bit-for-bit.
+    */
+  val q49KmeansIvf = {
+    def sqlDot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+    def sqlCos(a: String, b: String) =
+      s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+    // one Lloyd iteration: assign to the argmax-cosine centroid of `cin`,
+    // then per-dimension exact-decimal mean, empty cells keeping their
+    // previous centroid — mirrors Similarity.kmeans step for step
+    def sqlIter(i: Int, cin: String) = s"""
+      a$i AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT vec_id, embedding, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM (SELECT e.vec_id, e.embedding, $cin.cid,
+                       ${sqlCos("e.embedding", s"$cin.c")} AS cos
+                FROM e, $cin))
+        WHERE rn = 1),
+      u$i AS (
+        SELECT cid, d,
+               round(CAST(SUM(CAST(embedding[d] AS DECIMAL(27,12))) AS DOUBLE)
+                     / COUNT(*), 9) AS m
+        FROM a$i, unnest(range(1, 65)) AS t$i(d) GROUP BY cid, d),
+      c$i AS (SELECT cid, list(m ORDER BY d) AS c FROM u$i GROUP BY cid),
+      cc$i AS (
+        SELECT cid, c FROM c$i
+        UNION ALL
+        SELECT cid, c FROM $cin WHERE cid NOT IN (SELECT cid FROM c$i))"""
+    QueryDef(
+      "q49_kmeans_ivf",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Similarity
+        val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val ePinned =
+          if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            e.persist() else e
+        val cent = Similarity.kmeans(ePinned, "embedding", "vec_id",
+          k = 8, iters = 2, seed = 31)
+        Similarity.ivfAssign(ePinned, "embedding", "vec_id", cent)
+          .join(cent, col("cell") === cent("centroid_id"))
+          .withColumn("_cos", round(cosine($"embedding", $"centroid_vec"), 6))
+          .groupBy($"cell")
+          .agg(count(lit(1)).as("n_members"),
+            round(sum($"_cos".cast("decimal(18,6)")).cast("double")
+              / count(lit(1)), 6).as("mean_cos"))
+          .orderBy($"cell")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        init AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
+                 list_transform(embedding, x -> x::DOUBLE) AS c
+          FROM (SELECT vec_id, embedding,
+                       CAST(('0x' || substr(md5('31:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM e ORDER BY h, vec_id LIMIT 8)),
+        ${sqlIter(1, "init")},
+        ${sqlIter(2, "cc1")},
+        fin AS (
+          SELECT vec_id, cid, cos FROM (
+            SELECT vec_id, cid, cos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM (SELECT e.vec_id, cc2.cid, ${sqlCos("e.embedding", "cc2.c")} AS cos
+                  FROM e, cc2))
+          WHERE rn = 1)
+        SELECT cid AS cell, COUNT(*) AS n_members,
+               round(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cos
+        FROM fin GROUP BY 1 ORDER BY cell"""))
+  }
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q28AsofJoin, q29IntervalJoin, q30Cube, q31Pivot, q32SaltedJoin,
     q33Multimodal, q34LagLead, q35Percentiles, q36DedupClusters,
     q37Tfidf, q38HashSample, q39Histogram, q40DedupPipeline, q41RangeFrame,
     q42TokenBudget, q43PercentilesApprox, q44KnnIvfMultiprobe,
-    q45StratifiedSample, q46Repetition, q47Contamination, q48ShardAssignment)
+    q45StratifiedSample, q46Repetition, q47Contamination, q48ShardAssignment,
+    q49KmeansIvf)
 }

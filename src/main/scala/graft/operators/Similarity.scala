@@ -163,6 +163,73 @@ object Similarity {
       .select("probe_id", "cell", "rn", "cand_id", "cos")
   }
 
+  /** Spherical k-means (Lloyd's) — the trained coarse quantizer for
+    * [[knnIvf]]: returns `(centroid_id, centroid_vec)` in exactly the
+    * shape `knnIvf`/`ivfAssign` consume, so
+    * `knnIvf(probes, corpus, kmeans(corpus, …), k)` is the production
+    * IVF pipeline (a hash-picked centroid sample bootstraps the
+    * mechanism; a trained codebook is what makes the cells balanced).
+    *
+    * Every step is deterministic and engine-portable, so a re-run (or
+    * the SQL oracle) reproduces the identical codebook:
+    *  - init: the `k` vectors with the smallest `hash64(id, seed)`
+    *    (ties by id) — no `rand()`;
+    *  - assign: argmax cosine against the broadcast centroids
+    *    ([[ivfAssign]] — cosine rounded to 6 before the argmax, so a
+    *    boundary tie cannot flip between engines), one corpus pass per
+    *    iteration;
+    *  - update: per-dimension arithmetic mean via an EXACT decimal sum
+    *    (float addition is order-sensitive; a plain double `avg` would
+    *    differ across partitionings), cast to double and rounded to 9
+    *    places — cosine-argmax against the unnormalized mean equals the
+    *    spherical-k-means normalized update, so no normalization step;
+    *  - empty cells keep their previous centroid.
+    *
+    * Scale: per iteration one broadcast-assign pass (n·k dot products,
+    * map-side) + one (cell, dim) shuffle of exploded coordinates —
+    * bounded by rows × dims, never by cell size. The tiny codebook is
+    * pinned per iteration (lineage otherwise grows per round) and the
+    * superseded pin released. Callers should persist `vectors` across
+    * the `iters` passes.
+    */
+  def kmeans(vectors: DataFrame, vecCol: String, idCol: String,
+             k: Int, iters: Int, seed: Int = 0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 0, "iters must be >= 0")
+    val h = hash64(col(idCol).cast("string"), seed)
+    // The id-assignment window runs on ≤ k rows, so one task is fine —
+    // partition on a constant-valued (but non-foldable, else the
+    // optimizer erases it and WindowExec warns about a global window
+    // every call) expression to say so explicitly.
+    val w0 = Window.partitionBy(col(idCol) % 1).orderBy(h, col(idCol))
+    val init = vectors
+      .orderBy(h, col(idCol)).limit(k)
+      .select((row_number().over(w0) - 1).cast("long").as("centroid_id"),
+        col(vecCol).as("centroid_vec"))
+    var cent = Checkpoints.pin(init)
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(
+        vectors.select(col(idCol), col(vecCol)), vecCol, idCol, cent)
+      val updated = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("_d", "_x")))
+        .groupBy(col("cell"), col("_d"))
+        .agg(round(sum(col("_x").cast("decimal(27,12)")).cast("double")
+          / count(lit(1)), 9).as("_m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("_d"), col("_m")))),
+          s => s.getField("_m")).as("centroid_vec"))
+        .select(col("cell").as("centroid_id"), col("centroid_vec"))
+      val keptEmpty = cent.join(
+        updated.select(col("centroid_id")), Seq("centroid_id"), "left_anti")
+      val next = Checkpoints.pin(
+        updated.unionByName(keptEmpty.select(col("centroid_id"),
+          transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))))
+      Checkpoints.release(cent)
+      cent = next
+    }
+    cent
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, emit
     * within-bucket pairs above the similarity threshold. The dedup twin
     * of [[knnLsh]] — never all-pairs.
