@@ -985,6 +985,118 @@ object Queries3 {
         FROM fin GROUP BY 1 ORDER BY cell"""))
   }
 
+  // ------------------------------------------------------------ q50_ann_recall
+  /** ANN recall measurement: recall@3 of the two approximate kNN paths
+    * (hyperplane-LSH, IVF) against the exact baseline over the same
+    * probe set — "measure, don't guess" applied to the ANN family
+    * itself: the recall/cost dial (planes, nprobe) should be turned
+    * against a number, not a hunch. The exact side is the broadcast-
+    * probe brute force; hits = |approx ∩ exact| per method; `possible`
+    * comes from a broadcast 1-row aggregate, never a driver count.
+    */
+  val q50AnnRecall = {
+    def sqlDot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+    def sqlCos(a: String, b: String) =
+      s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+    val sqlPlanes =
+      """(SELECT CAST(coalesce(min(p), 16) AS INT) FROM range(1, 17) t(p)
+          WHERE 64 * (1 << p) >= (SELECT count(*) FROM embeddings))"""
+    def sqlBucket(vec: String) =
+      s"""list_sum(list_transform(range(0, $sqlPlanes), p ->
+         CASE WHEN round(list_reduce(list_transform(range(0, 64),
+           d -> $vec[d+1]::DOUBLE * (CAST(('0x' || substr(md5('0:' || p || ':' || d), 1, 15)) AS BIGINT) % 1000 / 1000.0 - 0.5)),
+           (x, y) -> x + y), 6) > 0 THEN (1 << p) ELSE 0 END))"""
+    QueryDef(
+      "q50_ann_recall",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Similarity
+        val e = t(s, dir, "embeddings")
+        val probes = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+        val corpus = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+        val exact = Similarity.knnExact(probes, corpus, 3)
+          .select($"probe_id", $"cand_id")
+        val planes = Similarity.autoPlanes(e.count(), targetBucket = 64)
+        val lsh = Similarity.knnLsh(probes, corpus, dims = 64, planes = planes, k = 3)
+          .select(lit("lsh").as("method"), $"probe_id", $"cand_id")
+        val centroids = e.filter($"vec_id" % 37 === 0 && $"vec_id" >= 100)
+          .orderBy($"vec_id").limit(8)
+          .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
+        val ivf = Similarity.knnIvf(probes, corpus, centroids, k = 3)
+          .select(lit("ivf").as("method"), $"probe_id", $"cand_id")
+        val possible = broadcast(exact.agg(count(lit(1)).as("possible")))
+        lsh.unionByName(ivf)
+          .join(exact, Seq("probe_id", "cand_id"))
+          .groupBy($"method")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(possible)
+          .select($"method", $"hits", $"possible",
+            round($"hits".cast("double") / $"possible", 6).as("recall"))
+          .orderBy($"method")
+      },
+      Some(s"""
+        WITH xp AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 10),
+        xc AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+        xs AS (
+          SELECT probe_id, cand_id, ${sqlCos("pv", "cv")} AS cos
+          FROM xp, xc WHERE probe_id != cand_id),
+        x AS (
+          SELECT probe_id, cand_id FROM (
+            SELECT probe_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
+            FROM xs) WHERE rn <= 3),
+        lp AS (
+          SELECT vec_id AS probe_id, embedding AS pv,
+                 CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+          FROM embeddings WHERE vec_id < 10),
+        lc AS (
+          SELECT vec_id AS cand_id, embedding AS cv,
+                 CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+          FROM embeddings),
+        ls AS (
+          SELECT probe_id, cand_id, ${sqlCos("pv", "cv")} AS cos
+          FROM lp JOIN lc USING (bucket) WHERE probe_id != cand_id),
+        l AS (
+          SELECT 'lsh' AS method, probe_id, cand_id FROM (
+            SELECT probe_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
+            FROM ls) WHERE rn <= 3),
+        cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid_vec
+          FROM embeddings WHERE vec_id % 37 = 0 AND vec_id >= 100
+          ORDER BY vec_id LIMIT 8),
+        pa AS (
+          SELECT probe_id, pv, centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY ${sqlCos("pv", "centroid_vec")} DESC, centroid_id) AS crn
+          FROM xp, cent),
+        pc AS (SELECT probe_id, pv, cell FROM pa WHERE crn = 1),
+        ca AS (
+          SELECT cand_id, cv, centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY cand_id
+                   ORDER BY ${sqlCos("cv", "centroid_vec")} DESC, centroid_id) AS crn
+          FROM xc, cent),
+        cc AS (SELECT cand_id, cv, cell FROM ca WHERE crn = 1),
+        ivs AS (
+          SELECT probe_id, cand_id, ${sqlCos("pv", "cv")} AS cos
+          FROM pc JOIN cc USING (cell) WHERE probe_id != cand_id),
+        i AS (
+          SELECT 'ivf' AS method, probe_id, cand_id FROM (
+            SELECT probe_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
+            FROM ivs) WHERE rn <= 3),
+        m AS (SELECT * FROM l UNION ALL SELECT * FROM i),
+        hits AS (
+          SELECT method, count(*) AS hits
+          FROM m JOIN x USING (probe_id, cand_id) GROUP BY 1),
+        poss AS (SELECT count(*) AS possible FROM x)
+        SELECT method, hits, possible,
+               round(CAST(hits AS DOUBLE) / possible, 6) AS recall
+        FROM hits CROSS JOIN poss ORDER BY method"""))
+  }
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q28AsofJoin, q29IntervalJoin, q30Cube, q31Pivot, q32SaltedJoin,
@@ -992,5 +1104,5 @@ object Queries3 {
     q37Tfidf, q38HashSample, q39Histogram, q40DedupPipeline, q41RangeFrame,
     q42TokenBudget, q43PercentilesApprox, q44KnnIvfMultiprobe,
     q45StratifiedSample, q46Repetition, q47Contamination, q48ShardAssignment,
-    q49KmeansIvf)
+    q49KmeansIvf, q50AnnRecall)
 }
