@@ -1097,6 +1097,72 @@ object Queries3 {
         FROM hits CROSS JOIN poss ORDER BY method"""))
   }
 
+  // ----------------------------------------------------- q51_knn_lsh_multiprobe
+  /** Multi-probe LSH ANN: q15's bucketed search, but each probe also
+    * searches across its least-confident hyperplane boundary
+    * ([[graft.operators.Similarity.multiProbeBuckets]], nprobe=2) — the
+    * LSH recall dial, symmetric with q44's IVF nprobe. Probe-side
+    * fan-out only; the corpus stays one bucket per vector.
+    */
+  val q51KnnLshMultiprobe = {
+    def sqlDot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+    val sqlPlanes =
+      """(SELECT CAST(coalesce(min(p), 16) AS INT) FROM range(1, 17) t(p)
+          WHERE 64 * (1 << p) >= (SELECT count(*) FROM embeddings))"""
+    def sqlProj(vec: String) =
+      s"""round(list_reduce(list_transform(range(0, 64),
+         d -> $vec[d+1]::DOUBLE * (CAST(('0x' || substr(md5('0:' || p || ':' || d), 1, 15)) AS BIGINT) % 1000 / 1000.0 - 0.5)),
+         (x, y) -> x + y), 6)"""
+    def sqlBucket(vec: String) =
+      s"""list_sum(list_transform(range(0, $sqlPlanes), p ->
+         CASE WHEN ${sqlProj(vec)} > 0 THEN (1 << p) ELSE 0 END))"""
+    def sqlAbsList(vec: String) =
+      s"list_transform(range(0, $sqlPlanes), p -> abs(${sqlProj(vec)}))"
+    QueryDef(
+      "q51_knn_lsh_multiprobe",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Similarity
+        val e = t(s, dir, "embeddings")
+        val planes = Similarity.autoPlanes(e.count(), targetBucket = 64)
+        val probes = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+        val corpus = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+        Similarity.knnLshMultiprobe(probes, corpus,
+          dims = 64, planes = planes, k = 3, nprobe = 2)
+          .select($"probe_id", $"bucket".cast("long").as("bucket"),
+            $"rn".cast("long").as("rn"), $"cand_id", $"cos")
+          .orderBy($"probe_id", $"rn")
+      },
+      Some(s"""
+        WITH lpp AS (
+          SELECT vec_id AS probe_id, embedding AS pv,
+                 CAST(${sqlBucket("embedding")} AS BIGINT) AS b0,
+                 ${sqlAbsList("embedding")} AS al
+          FROM embeddings WHERE vec_id < 10),
+        lp AS (
+          SELECT probe_id, pv,
+                 unnest([b0,
+                   xor(b0, CAST(1 << (list_position(al, list_min(al)) - 1) AS BIGINT))]) AS bucket
+          FROM lpp),
+        lc AS (
+          SELECT vec_id AS cand_id, embedding AS cv,
+                 CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+          FROM embeddings),
+        s AS (
+          SELECT probe_id, bucket, cand_id,
+                 round(${sqlDot("pv", "cv")} /
+                       (sqrt(${sqlDot("pv", "pv")}) * sqrt(${sqlDot("cv", "cv")})), 6) AS cos
+          FROM lp JOIN lc USING (bucket) WHERE probe_id != cand_id),
+        r AS (
+          SELECT probe_id, bucket, cand_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rn
+          FROM s)
+        SELECT probe_id, bucket, rn, cand_id, cos FROM r
+        WHERE rn <= 3 ORDER BY probe_id, rn"""))
+  }
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q28AsofJoin, q29IntervalJoin, q30Cube, q31Pivot, q32SaltedJoin,
@@ -1104,5 +1170,5 @@ object Queries3 {
     q37Tfidf, q38HashSample, q39Histogram, q40DedupPipeline, q41RangeFrame,
     q42TokenBudget, q43PercentilesApprox, q44KnnIvfMultiprobe,
     q45StratifiedSample, q46Repetition, q47Contamination, q48ShardAssignment,
-    q49KmeansIvf, q50AnnRecall)
+    q49KmeansIvf, q50AnnRecall, q51KnnLshMultiprobe)
 }

@@ -115,6 +115,59 @@ object Similarity {
       .select("probe_id", "bucket", "rn", "cand_id", "cos")
   }
 
+  /** Multi-probe LSH bucket codes for a probe vector: the base bucket
+    * plus `nprobe−1` variants, each flipping ONE of the least-confident
+    * plane bits (smallest |rounded projection| — the planes most likely
+    * to have put a true neighbor on the other side). The standard LSH
+    * recall dial: probe-side fan-out only, the corpus keeps exactly one
+    * bucket per vector, so candidates never duplicate. Ties in
+    * |projection| break by plane index (the struct sort is (|proj|,
+    * plane, bit) lexicographic), keeping the probe set deterministic
+    * and oracle-reproducible.
+    */
+  def multiProbeBuckets(vec: Column, dims: Int, planes: Int, nprobe: Int): Column = {
+    require(nprobe >= 1 && nprobe <= planes + 1,
+      s"nprobe must be in [1, planes+1]")
+    val base = hyperplaneBucket(vec, dims, planes)
+    if (nprobe == 1) array(base)
+    else {
+      val projs = (0 until planes).map { p =>
+        val plane = array((0 until dims).map(d => lit(hpComponent(p, d))): _*)
+        struct(abs(round(dot(vec, plane), 6)).as("a"),
+          lit(p).as("p"), lit(1 << p).as("b"))
+      }
+      val flips = slice(array_sort(array(projs: _*)), 1, nprobe - 1)
+      concat(array(base),
+        transform(flips, f => base.bitwiseXOR(f.getField("b"))))
+    }
+  }
+
+  /** LSH top-k with multi-probe: like [[knnLsh]], but each probe also
+    * searches the buckets across its `nprobe−1` least-confident plane
+    * boundaries ([[multiProbeBuckets]]) — recall grows at probe-side
+    * join-fan-out cost, never corpus cost (the IVF twin is
+    * [[knnIvf]]'s nprobe).
+    */
+  def knnLshMultiprobe(probes: DataFrame, corpus: DataFrame, dims: Int,
+                       planes: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    val pb = probes
+      .withColumn("bucket",
+        explode(multiProbeBuckets(col("pv"), dims, planes, nprobe)))
+      .withColumn("_pn", l2norm(col("pv")))
+    val cb = corpus.withColumn("bucket", hyperplaneBucket(col("cv"), dims, planes))
+      .withColumn("_cn", l2norm(col("cv")))
+    val joined = pb.join(cb, Seq("bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("pv"), col("cv")) / (col("_pn") * col("_cn")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "bucket", "rn", "cand_id", "cos")
+  }
+
   /** IVF cell assignment: the `nprobe` nearest centroids by cosine
     * (ties → smallest centroid id). With the default nprobe=1 this is
     * the inverted-list builder (each vector in exactly one cell); with
