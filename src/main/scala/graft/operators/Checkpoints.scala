@@ -44,13 +44,18 @@ object Checkpoints {
 
   /** Unpersisting a localCheckpoint'd RDD warns that its lineage cannot
     * be recomputed — which is exactly [[release]]'s contract (the frame
-    * is dead). Quiet that one logger so iterative operators don't emit
-    * a scary-looking WARN per released round.
+    * is dead). Quiet that one logger ONLY for the duration of the
+    * unpersist call (a permanent level change would also swallow any
+    * future, genuine MapPartitionsRDD warning for the JVM's lifetime).
     */
-  private lazy val quietLocalUnpersistWarn: Unit =
+  private def withQuietUnpersistWarn[A](f: => A): A = {
+    val name = "org.apache.spark.rdd.MapPartitionsRDD"
+    val prev = org.apache.logging.log4j.LogManager.getLogger(name).getLevel
     org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+      name, org.apache.logging.log4j.Level.ERROR)
+    try f
+    finally org.apache.logging.log4j.core.config.Configurator.setLevel(name, prev)
+  }
 
   /** Free the storage behind a frame previously returned by [[pin]]:
     * deletes the reliable checkpoint directory (or unpersists the
@@ -66,8 +71,7 @@ object Checkpoints {
           p.getFileSystem(pinned.sparkSession.sparkContext.hadoopConfiguration)
             .delete(p, true)
         case None =>
-          quietLocalUnpersistWarn
-          rdd.unpersist(blocking = false)
+          withQuietUnpersistWarn { rdd.unpersist(blocking = false) }
       }
     }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.util.chaining._
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,11 +40,21 @@ object Percentiles {
     * `(groupCols…, p, value)` with one row per (group, requested
     * percentile); null values are skipped (the `quantile_cont` /
     * `percentile` convention) and groups with no non-null values
-    * produce no rows. Group column names must not collide with the
-    * internal `_v/_pid/_rank/p/value` columns.
+    * produce no rows. NULL group-key values form their own group,
+    * exactly like `groupBy` + the built-in aggregate (the internal
+    * joins are null-safe). Group column names must not collide with
+    * the internal `_v/_pid/_rank/p/value` columns.
+    *
+    * `broadcastTargets` (default true) broadcast-hints the two
+    * rank-lookup relations, whose size is O(groups × partitions) and
+    * O(groups × ps) — right for the few-group shape this operator
+    * exists for (the built-in aggregate's worst case). With VERY
+    * high-cardinality groups pass false and let the planner pick a
+    * shuffled join; at that cardinality also consider whether plain
+    * `percentile()` suffices (groups are small then).
     */
   def exactCont(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                ps: Seq[Double]): DataFrame = {
+                ps: Seq[Double], broadcastTargets: Boolean = true): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "percentiles must be in [0, 1]")
@@ -83,14 +93,28 @@ object Percentiles {
         explode(array(col("_lo"), col("_hi"))).as("_rank")): _*)
       .distinct() // lo == hi when rk is integral: one row serves both
 
+    // null-safe group-key joins: a null group key is a real group for
+    // groupBy/window/range-partition above, so the lookup joins must
+    // not drop it (plain equi-join keys would). The lookup side renames
+    // its keys and joins with <=>.
+    def gAlias(df: DataFrame): DataFrame = groupCols.zipWithIndex
+      .foldLeft(df) { case (d, (c, i)) => d.withColumnRenamed(c, s"_gk$i") }
+    def gCond(extra: Column): Column = groupCols.indices
+      .map(i => col(groupCols(i)) <=> col(s"_gk$i"))
+      .foldLeft(extra)(_ && _)
+    def hinted(df: DataFrame): DataFrame =
+      if (broadcastTargets) broadcast(df) else df
+
     val wRn = Window.partitionBy(col("_pid") +: g: _*).orderBy("_v")
     val ranked = parts
       .withColumn("_rn", row_number().over(wRn))
-      .join(broadcast(offsets.select(col("_pid") +: g :+ col("_off"): _*)),
-        "_pid" +: groupCols)
+      .join(hinted(gAlias(offsets.select(col("_pid") +: g :+ col("_off"): _*))
+          .withColumnRenamed("_pid", "_gpid")),
+        gCond(col("_pid") === col("_gpid")))
       .select(g ++ Seq(col("_v"), (col("_off") + col("_rn")).as("_rank")): _*)
 
-    ranked.join(broadcast(needed), groupCols :+ "_rank")
+    ranked.join(hinted(gAlias(needed).withColumnRenamed("_rank", "_nrank")),
+        gCond(col("_rank") === col("_nrank")))
       .groupBy(g :+ col("p"): _*)
       .agg(
         min(when(col("_rank") === col("_lo"), col("_v"))).as("_vlo"),

@@ -115,44 +115,43 @@ object Similarity {
       .select("probe_id", "bucket", "rn", "cand_id", "cos")
   }
 
-  /** Multi-probe LSH bucket codes for a probe vector: the base bucket
-    * plus `nprobe−1` variants, each flipping ONE of the least-confident
-    * plane bits (smallest |rounded projection| — the planes most likely
-    * to have put a true neighbor on the other side). The standard LSH
-    * recall dial: probe-side fan-out only, the corpus keeps exactly one
-    * bucket per vector, so candidates never duplicate. Ties in
-    * |projection| break by plane index (the struct sort is (|proj|,
-    * plane, bit) lexicographic), keeping the probe set deterministic
-    * and oracle-reproducible.
-    */
-  def multiProbeBuckets(vec: Column, dims: Int, planes: Int, nprobe: Int): Column = {
-    require(nprobe >= 1 && nprobe <= planes + 1,
-      s"nprobe must be in [1, planes+1]")
-    val base = hyperplaneBucket(vec, dims, planes)
-    if (nprobe == 1) array(base)
-    else {
-      val projs = (0 until planes).map { p =>
-        val plane = array((0 until dims).map(d => lit(hpComponent(p, d))): _*)
-        struct(abs(round(dot(vec, plane), 6)).as("a"),
-          lit(p).as("p"), lit(1 << p).as("b"))
-      }
-      val flips = slice(array_sort(array(projs: _*)), 1, nprobe - 1)
-      concat(array(base),
-        transform(flips, f => base.bitwiseXOR(f.getField("b"))))
-    }
-  }
-
   /** LSH top-k with multi-probe: like [[knnLsh]], but each probe also
-    * searches the buckets across its `nprobe−1` least-confident plane
-    * boundaries ([[multiProbeBuckets]]) — recall grows at probe-side
-    * join-fan-out cost, never corpus cost (the IVF twin is
-    * [[knnIvf]]'s nprobe).
+    * searches the buckets reached by flipping its `nprobe−1`
+    * least-confident plane bits (smallest |rounded projection| — the
+    * boundaries a true neighbor is most likely to have crossed). The
+    * standard LSH recall dial: probe-side fan-out only, the corpus
+    * keeps exactly one bucket per vector, so candidates never
+    * duplicate (the IVF twin is [[knnIvf]]'s nprobe). Ties in
+    * |projection| break by plane index — the struct sort is (|proj|,
+    * plane, bit) lexicographic — keeping the probed set deterministic
+    * and oracle-reproducible.
+    *
+    * The per-plane projections are STAGED as a column and both the
+    * base bucket and the flip set derive from that one evaluation —
+    * deriving the flips from a second [[hyperplaneBucket]] call would
+    * re-run every dot product per row (and a third time inside the
+    * flip lambda, where subexpression elimination cannot reach).
     */
   def knnLshMultiprobe(probes: DataFrame, corpus: DataFrame, dims: Int,
                        planes: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1 && nprobe <= planes + 1, "nprobe must be in [1, planes+1]")
+    val projs = (0 until planes).map { p =>
+      val plane = array((0 until dims).map(d => lit(hpComponent(p, d))): _*)
+      val proj = round(dot(col("pv"), plane), 6)
+      struct(abs(proj).as("a"), lit(p).as("p"), lit(1 << p).as("b"),
+        when(proj > 0, lit(1 << p)).otherwise(lit(0)).as("s"))
+    }
     val pb = probes
-      .withColumn("bucket",
-        explode(multiProbeBuckets(col("pv"), dims, planes, nprobe)))
+      .withColumn("_pp", array(projs: _*))
+      // base bucket = Σ sign bits — the same rounded sign test as
+      // hyperplaneBucket, read from the staged projections
+      .withColumn("_b0",
+        aggregate(col("_pp"), lit(0), (acc, f) => acc + f.getField("s")))
+      .withColumn("bucket", explode(concat(
+        array(col("_b0")),
+        transform(slice(array_sort(col("_pp")), 1, nprobe - 1),
+          f => col("_b0").bitwiseXOR(f.getField("b"))))))
+      .drop("_pp", "_b0")
       .withColumn("_pn", l2norm(col("pv")))
     val cb = corpus.withColumn("bucket", hyperplaneBucket(col("cv"), dims, planes))
       .withColumn("_cn", l2norm(col("cv")))

@@ -85,6 +85,10 @@ class StreamingPipeline(
     // outbound POST below) OVERWRITES its own (runKey, batchId)
     // partition instead of appending duplicate rows — alertsDir keeps
     // its effectively-once property even when the push path flakes.
+    // LAYOUT NOTE: alerts live under batch_key=… partition dirs; an
+    // alertsDir written by a pre-partitioning build (flat part files)
+    // must be migrated (read + rewrite) before pointing this at it —
+    // parquet cannot mix leaf files at two directory depths.
     alerts.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_key")

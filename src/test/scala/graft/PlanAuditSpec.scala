@@ -96,18 +96,29 @@ class PlanAuditSpec extends SparkSpec {
   test("q35_percentiles: rank selection, not the per-group value-map aggregate") {
     val p = plan("q35_percentiles")
     // the built-in exact percentile() buffers a whole group's values on
-    // one reducer — the plan must use range partitioning + rank joins
+    // one reducer — the plan must use rank joins instead. (The range
+    // shuffle itself hides behind the eager checkpoint, so asserting on
+    // "rangepartitioning" here would only ever match the final ORDER BY
+    // — PercentilesSpec's property tests carry the rank-math contract.)
     assert(!p.toLowerCase.contains("percentile("),
       s"q35 must not use the value-map percentile aggregate:\n$p")
-    assert(p.contains("rangepartitioning"), p)
     assert(p.contains("BroadcastHashJoin"), s"target-rank join must broadcast:\n$p")
   }
 
-  test("q47_contamination: test-set index broadcasts; corpus side not shuffled for the probe") {
+  test("q47_contamination: map-side broadcast probe; only matches shuffle") {
     val p = plan("q47_contamination")
     assert(p.contains("BroadcastHashJoin"),
       s"the benchmark shingle index must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+    // the probe (corpus) side sees exactly ONE hash exchange — the
+    // post-join per-doc count (rows ∝ matches). A corpus-wide distinct
+    // or pre-aggregation would add more. Exchanges BELOW the
+    // BroadcastExchange belong to the benchmark-sized build side (its
+    // distinct) and are fine — split the plan text there.
+    val probeSide = p.split("BroadcastExchange", 2)(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(probeSide).size
+    assert(hashExchanges <= 1,
+      s"corpus-scale shuffle crept in ($hashExchanges hash exchanges):\n$p")
   }
 
   test("q31_pivot: pinned pivot values — no extra distinct-collect job") {

@@ -39,12 +39,14 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
-  test("single-element, tied, and empty-after-null groups") {
+  test("single-element, tied, null-keyed, and empty-after-null groups") {
     check(Seq(
       "a" -> Some(42.0),                       // n = 1: every p hits the row
       "b" -> Some(7.0), "b" -> Some(7.0), "b" -> Some(7.0), // all ties
       "c" -> Some(1.0), "c" -> Some(2.0),      // interpolation between 2
-      "d" -> None))                            // nulls only: no output row
+      "d" -> None,                             // nulls only: no output row
+      (null: String) -> Some(3.0),             // NULL group key is a real
+      (null: String) -> Some(5.0)))            // group, like groupBy
   }
 
   test("multi-column groups (melted metrics) match per-group builtins") {
