@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction for training-data pipelines: scrub
+  * emails, phone numbers, and IPv4 addresses from a text column before
+  * the corpus ships to training, and count what was removed (the
+  * per-category counts are the curation report; a spike is an upstream
+  * data-quality alarm).
+  *
+  * Engine notes:
+  *  - Pure `regexp_replace`/`regexp_count` builtin compositions —
+  *    codegen'd, narrow, scan-fused; at 100 TB this runs as a map-only
+  *    pass with no shuffle (the rollup report aggregates the tiny
+  *    per-category counts, not the text).
+  *  - Patterns are written for the RE2/Java common subset (no
+  *    backreferences, no lookaround, ASCII `\b`) so the DuckDB oracle
+  *    executes the IDENTICAL pattern — regex-dialect parity is part of
+  *    the contract, pinned by the q52 hash compare.
+  *  - Order matters and is pinned: emails are redacted BEFORE phones so
+  *    a digit-bearing local part ("555-1234@x.com") counts once, as an
+  *    email; IPs before phones so dotted quads never half-match the
+  *    phone pattern.
+  */
+object Redaction {
+
+  /** `user@host.tld` — conservative: requires a dot-separated TLD of
+    * letters so trailing punctuation stays outside the match.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American-ish phone shapes: optional +1 / 1 prefix, 3-3-4
+    * digit groups separated by spaces, dots, or dashes, optional area-
+    * code parens. Word-bounded so longer digit runs don't half-match.
+    */
+  val PhonePattern =
+    "\\b(\\+?1[-. ])?(\\(\\d{3}\\)[-. ]?|\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
+
+  /** Dotted-quad IPv4, each octet 0-255, word-bounded. */
+  val Ipv4Pattern = {
+    val octet = "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+    s"\\b$octet\\.$octet\\.$octet\\.$octet\\b"
+  }
+
+  val EmailToken = "<EMAIL>"
+  val PhoneToken = "<PHONE>"
+  val IpToken = "<IP>"
+
+  /** Number of email matches in `text`. */
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+
+  /** Number of IPv4 matches in `text` (count BEFORE phone redaction). */
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
+
+  /** Number of phone matches in `text` AFTER emails and IPs are gone —
+    * counting on the raw text would double-count digits inside them.
+    */
+  def phoneCountPostEmail(text: Column): Column =
+    regexp_count(
+      regexp_replace(regexp_replace(text, EmailPattern, EmailToken),
+        Ipv4Pattern, IpToken),
+      lit(PhonePattern))
+
+  /** Redacted text: emails, then IPv4, then phones (order pinned — see
+    * object notes).
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, EmailToken),
+        Ipv4Pattern, IpToken),
+      PhonePattern, PhoneToken)
+}
