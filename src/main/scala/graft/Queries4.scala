@@ -1,0 +1,335 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Round-8 queries: the curation tail of an LLM training-data pipeline —
+  * PII redaction, mixture rebalancing, incremental batch-vs-corpus dedup,
+  * sequence packing, and the end-to-end quality-gate funnel. Same oracle-
+  * parity rules as [[Queries]] (exact integer/decimal arithmetic, total
+  * ORDER BY, matched aliases).
+  */
+object Queries4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ------------------------------------------------------------ q52_redaction
+  /** PII redaction ([[graft.operators.Redaction]]): scrub emails, IPv4s,
+    * and phone numbers; report per-category counts plus the redacted
+    * text. The synthetic corpus carries no PII, so the query injects a
+    * deterministic `doc_id`-derived suffix (every doc an email, every
+    * 3rd a phone, every 7th an IP) identically in both engines — the
+    * oracle pins pattern SEMANTICS (RE2/Java common subset), replacement
+    * order (emails, then IPs, then phones), and counts. Narrow map-only
+    * pass: at 100 TB this fuses into the scan, no shuffle before the
+    * final ORDER BY.
+    */
+  val q52Redaction = {
+    import graft.operators.Redaction._
+    // DuckDB regexp_replace is first-match-only without the 'g' flag;
+    // Spark's replaces all matches — the flag is part of oracle parity.
+    def sqlRedact(s: String) =
+      s"""regexp_replace(regexp_replace(regexp_replace($s,
+          '$EmailPattern', '$EmailToken', 'g'),
+          '$Ipv4Pattern', '$IpToken', 'g'),
+          '$PhonePattern', '$PhoneToken', 'g')"""
+    QueryDef(
+      "q52_redaction",
+      (s, dir) => {
+        import s.implicits._
+        val raw = concat(
+          $"text",
+          lit(" Contact user"), $"doc_id".cast("string"), lit("@example.com."),
+          when($"doc_id" % 3 === 0,
+            concat(lit(" Call ("), ($"doc_id" % 800 + 100).cast("string"),
+              lit(") 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+              lit("."))).otherwise(""),
+          when($"doc_id" % 7 === 0,
+            concat(lit(" Host 10."), ($"doc_id" % 256).cast("string"),
+              lit(".0."), ($"doc_id" % 200 + 1).cast("string"),
+              lit("."))).otherwise(""))
+        t(s, dir, "documents")
+          .select($"doc_id", raw.as("raw"), length($"text").as("_tl"))
+          .select($"doc_id", $"_tl",
+            graft.operators.Redaction.emailCount($"raw").cast("long").as("n_email"),
+            graft.operators.Redaction.ipv4Count($"raw").cast("long").as("n_ip"),
+            graft.operators.Redaction.phoneCountPostEmail($"raw").cast("long")
+              .as("n_phone"),
+            graft.operators.Redaction.redact($"raw").as("_red"))
+          // the injected suffix starts right after the original text and
+          // redaction never changes the PII-free prefix's length, so the
+          // tail shows exactly the redacted injections (compact output —
+          // the full body would just echo the corpus through the hash)
+          .select($"doc_id", $"n_email", $"n_ip", $"n_phone",
+            $"_red".substr($"_tl" + 1, length($"_red")).as("redacted_tail"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH raw AS (
+          SELECT doc_id, length(text) AS tl,
+                 text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com.' ||
+                 CASE WHEN doc_id % 3 = 0 THEN
+                   ' Call (' || CAST(doc_id % 800 + 100 AS VARCHAR) || ') 555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+                 ELSE '' END ||
+                 CASE WHEN doc_id % 7 = 0 THEN
+                   ' Host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+                   CAST(doc_id % 200 + 1 AS VARCHAR) || '.'
+                 ELSE '' END AS raw
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '$EmailPattern')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(raw, '$Ipv4Pattern')) AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(
+                 regexp_replace(regexp_replace(raw, '$EmailPattern', '$EmailToken', 'g'),
+                   '$Ipv4Pattern', '$IpToken', 'g'),
+                 '$PhonePattern')) AS BIGINT) AS n_phone,
+               substr(${sqlRedact("raw")}, tl + 1) AS redacted_tail
+        FROM raw ORDER BY doc_id"""))
+  }
+
+  // ----------------------------------------------------------- q53_domain_mix
+  /** Mixture rebalancing ([[graft.operators.Sampling.rebalanceToMix]]):
+    * downsample to a 40/15/15/15/15 language mix. The stratum histogram
+    * is one tiny partial-agg shuffle, thresholds are exact BIGINT
+    * arithmetic broadcast back, and the keep decision is a narrow
+    * deterministic hash cut — the audit query reports the per-language
+    * kept counts.
+    */
+  val q53DomainMix = QueryDef(
+    "q53_domain_mix",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Sampling
+      val targets = Map(
+        "en" -> (8, 20), "de" -> (3, 20), "es" -> (3, 20),
+        "fr" -> (3, 20), "zh" -> (3, 20))
+      Sampling.rebalanceToMix(
+        t(s, dir, "documents"),
+        key = $"doc_id".cast("string"), stratum = $"lang",
+        targets, seed = 31)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum($"n_chars").cast("long").as("sum_chars"))
+        .orderBy($"lang")
+    },
+    Some("""
+      WITH hist AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      tgt AS (SELECT * FROM (VALUES ('en', 8, 20), ('de', 3, 20), ('es', 3, 20),
+                                    ('fr', 3, 20), ('zh', 3, 20)) t(lang, num, den)),
+      j AS (SELECT lang, n, num, den FROM hist JOIN tgt USING (lang)),
+      tt AS (SELECT min(n * den // num) AS t FROM j),
+      thr AS (SELECT lang, ((t * num // den) * 10000) // n AS cut
+              FROM j CROSS JOIN tt)
+      SELECT d.lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents d JOIN thr ON d.lang = thr.lang
+      WHERE CAST(('0x' || substr(md5('31:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 10000 < cut
+      GROUP BY d.lang ORDER BY d.lang"""))
+
+  // ----------------------------------------------------- q54_incremental_dedup
+  /** Incremental dedup: probe a NEW batch (every 10th doc) against the
+    * EXISTING corpus via cross-corpus banded LSH
+    * ([[graft.operators.Dedup.lshCrossPairs]]) + exact Jaccard verify —
+    * the daily-ingest shape, where cost scales with the batch and the
+    * corpus band index is written once. Output: per batch doc, its
+    * near-dup partner count in the corpus and the keep verdict.
+    */
+  val q54IncrementalDedup = QueryDef(
+    "q54_incremental_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Dedup
+      val shBase = t(s, dir, "documents")
+        .select($"doc_id", ($"doc_id" % 10 === 7).as("is_new"),
+          Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh"))
+        .filter(size($"sh") > 0)
+      val sh = if (shBase.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        shBase.persist() else shBase
+      val sig = sh.select($"doc_id", $"is_new", Dedup.minhashSig($"sh", 8).as("sig"))
+      val newBands = Dedup.lshBands(
+        sig.filter($"is_new"), "doc_id", "sig", bands = 4, rowsPerBand = 2)
+      val oldBands = Dedup.lshBands(
+        sig.filter(!$"is_new"), "doc_id", "sig", bands = 4, rowsPerBand = 2)
+      val dups = Dedup.lshCrossPairs(newBands, oldBands, "doc_id")
+        .join(sh.select($"doc_id".as("id_new"), $"sh".as("sh_a")), "id_new")
+        .join(sh.select($"doc_id".as("id_old"), $"sh".as("sh_b")), "id_old")
+        .filter(Dedup.jaccard($"sh_a", $"sh_b") >= 0.5)
+        .groupBy($"id_new").agg(count(lit(1)).as("n_dup_partners"))
+      sh.filter($"is_new").select($"doc_id".as("id_new"))
+        .join(dups, Seq("id_new"), "left")
+        .select($"id_new".as("doc_id"),
+          coalesce($"n_dup_partners", lit(0L)).as("n_dup_partners"),
+          (coalesce($"n_dup_partners", lit(0L)) === 0).as("kept"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               list_transform(string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+        FROM documents),
+      shf AS (
+        SELECT doc_id,
+               list_transform(range(0, len(w) - 2), i ->
+                 ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                   * 41 + (wh[i+3] % 1073741824)) AS sh0
+        FROM toks WHERE len(w) >= 3),
+      shx AS (SELECT doc_id, list_transform(sh0, v -> v % 1073741789) AS sh FROM shf),
+      mh AS (
+        SELECT doc_id,
+               list_transform([31, 37, 41, 43, 47, 53, 59, 61], a ->
+                 list_min(list_transform(sh,
+                   h -> (a * (h % 1073741824) + a*7 + 3) % 1073741789))) AS sig
+        FROM shx),
+      bands AS (
+        SELECT doc_id, b,
+               md5(b || ':' || sig[2*b+1] || ',' || sig[2*b+2]) AS band_key
+        FROM mh, unnest(range(0, 4)) AS tt(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_new, c.doc_id AS id_old
+        FROM bands a JOIN bands c USING (b, band_key)
+        WHERE a.doc_id % 10 = 7 AND c.doc_id % 10 != 7),
+      dups AS (
+        SELECT id_new, count(*) AS n_dup_partners
+        FROM cand
+        JOIN shx sa ON sa.doc_id = id_new
+        JOIN shx sb ON sb.doc_id = id_old
+        WHERE CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+        GROUP BY 1)
+      SELECT s.doc_id,
+             CAST(coalesce(n_dup_partners, 0) AS BIGINT) AS n_dup_partners,
+             coalesce(n_dup_partners, 0) = 0 AS kept
+      FROM shx s LEFT JOIN dups ON dups.id_new = s.doc_id
+      WHERE s.doc_id % 10 = 7
+      ORDER BY s.doc_id"""))
+
+  // -------------------------------------------------------- q55_sequence_pack
+  /** Sequence packing ([[graft.operators.Packing.sequencePack]]): lay the
+    * corpus out in deterministic hash-shuffled order and assign each doc
+    * to the 2048-token pack where its first token lands. The global
+    * prefix sum is the two-phase form (range partitions + broadcast
+    * offsets — no single-partition window). Output: per-pack audit
+    * (doc count, token sum, id range).
+    */
+  val q55SequencePack = QueryDef(
+    "q55_sequence_pack",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Packing
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", size(words($"text")).as("n_tok"))
+      Packing.sequencePack(docs, "doc_id", "n_tok", packSize = 2048)
+        .groupBy($"pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").cast("long").as("pack_tokens"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"pack_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+               CAST(('0x' || substr(md5('17:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY h, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d)
+      SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+             count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM c GROUP BY 1 ORDER BY pack_id"""))
+
+  // --------------------------------------------------------- q56_quality_gate
+  /** The curation funnel end-to-end: every document gets ONE verdict —
+    * `repetition` (intra-doc duplicate-shingle fraction > 0.3, the q46
+    * gate), else `low_quality` (composite q13 score < 0.5), else `kept`
+    * — and the audit reports doc counts and mean quality per (lang,
+    * verdict). One narrow scoring pass (shingles + quality fuse into the
+    * scan) and one partial-agg shuffle on the tiny (lang, verdict) key.
+    */
+  val q56QualityGate = {
+    import Queries2.Vocab._
+    val sqlPunct = graft.operators.TextAnalysis.PunctClass.replace("'", "''")
+    def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    QueryDef(
+      "q56_quality_gate",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.{Dedup, TextAnalysis}
+        val scored = t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh"),
+            TextAnalysis.qualityScore($"text", stopwords).as("quality"))
+          .select($"doc_id", $"lang", $"quality",
+            when(size($"sh") === 0, lit(0.0)).otherwise(
+              round(lit(1.0) - size(array_distinct($"sh")).cast("double")
+                / size($"sh"), 6)).as("dup_frac"))
+          .select($"doc_id", $"lang", $"quality",
+            when($"dup_frac" > 0.3, "repetition")
+              .when($"quality" < 0.5, "low_quality")
+              .otherwise("kept").as("verdict"))
+        // exact decimal sum → double at the end: a float avg is order-
+        // dependent across shuffles; this is reproducible at any scale
+        scored.groupBy($"lang", $"verdict")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum($"quality".cast("decimal(18,6)")).cast("double")
+              / count(lit(1)), 6).as("avg_quality"))
+          .orderBy($"lang", $"verdict")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, lang, text,
+                 string_split(text, ' ') AS w,
+                 string_split(lower(text), ' ') AS lw,
+                 list_transform(string_split(text, ' '),
+                   x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+          FROM documents),
+        shd AS (
+          SELECT doc_id, lang, text, w, lw,
+                 CASE WHEN len(w) >= 3 THEN
+                   list_transform(
+                     list_transform(range(0, len(w) - 2), i ->
+                       ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                         * 41 + (wh[i+3] % 1073741824)),
+                     v -> v % 1073741789)
+                 ELSE CAST([] AS BIGINT[]) END AS sh
+          FROM base),
+        m AS (
+          SELECT doc_id, lang,
+                 CASE WHEN len(sh) = 0 THEN 0.0
+                      ELSE round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+                 END AS dup_frac,
+                 round(greatest(0.0,
+                   least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+                   + least(round(CAST(len(list_filter(lw, x ->
+                       list_contains(${sqlList(stopwords)}, x))) AS DOUBLE) / len(lw), 6)
+                     * 4.0, 1.0) * 0.3
+                   - least(round(CAST(length(text) - length(regexp_replace(text, '$sqlPunct', '', 'g'))
+                       AS DOUBLE) / length(text), 6) * 5.0, 1.0) * 0.2
+                   + 0.2), 6) AS quality
+          FROM shd),
+        v AS (
+          SELECT lang,
+                 CASE WHEN dup_frac > 0.3 THEN 'repetition'
+                      WHEN quality < 0.5 THEN 'low_quality'
+                      ELSE 'kept' END AS verdict,
+                 quality
+          FROM m)
+        SELECT lang, verdict, count(*) AS n_docs,
+               round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+                 AS avg_quality
+        FROM v GROUP BY 1, 2 ORDER BY lang, verdict"""))
+  }
+
+  /** Registry. */
+  def all: Seq[QueryDef] = Seq(
+    q52Redaction, q53DomainMix, q54IncrementalDedup, q55SequencePack,
+    q56QualityGate)
+}

@@ -8,7 +8,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.q1Agg.run(spark, "/root/testdata/sf0.001")
 
-  private def allDefs: Seq[QueryDef] = Queries.all ++ Queries2.all ++ Queries3.all
+  private def allDefs: Seq[QueryDef] =
+    Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -103,6 +103,23 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs ACROSS two corpora (incremental dedup: a new batch
+    * probed against the existing corpus). Same banded-LSH shape as
+    * [[lshCandidatePairs]], but the join is batch-bands × corpus-bands —
+    * cost scales with the BATCH (small) times bucket hit rate, never
+    * with corpus × corpus. At 100 TB the corpus band table is written
+    * once (bucketed by band_key) and each day's batch equi-joins into
+    * it shuffle-free on the corpus side.
+    */
+  def lshCrossPairs(batchBands: DataFrame, corpusBands: DataFrame,
+                    idCol: String): DataFrame = {
+    val a = batchBands.select(col("band"), col("band_key"), col(idCol).as("id_new"))
+    val b = corpusBands.select(col("band"), col("band_key"), col(idCol).as("id_old"))
+    a.join(b, Seq("band", "band_key"))
+      .select("id_new", "id_old")
+      .distinct()
+  }
+
   /** Jaccard similarity of two shingle-set columns (distinct semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

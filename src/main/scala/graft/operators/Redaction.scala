@@ -32,10 +32,14 @@ object Redaction {
 
   /** North-American-ish phone shapes: optional +1 / 1 prefix, 3-3-4
     * digit groups separated by spaces, dots, or dashes, optional area-
-    * code parens. Word-bounded so longer digit runs don't half-match.
+    * code parens. Word-bounded so longer digit runs don't half-match —
+    * the leading `\b` sits INSIDE the alternation, on the digit branch
+    * only: before `(` a word boundary can never hold (both neighbors
+    * are non-word), so a pattern-initial `\b` would silently kill every
+    * parenthesized match.
     */
   val PhonePattern =
-    "\\b(\\+?1[-. ])?(\\(\\d{3}\\)[-. ]?|\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
+    "(\\+?1[-. ])?(\\(\\d{3}\\)[-. ]?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
 
   /** Dotted-quad IPv4, each octet 0-255, word-bounded. */
   val Ipv4Pattern = {

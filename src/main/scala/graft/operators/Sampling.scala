@@ -37,4 +37,58 @@ object Sampling {
     }
     df.filter(hash64(key, seed) % granularity < cut)
   }
+
+  /** Rebalance a corpus to a target stratum mixture ("the training mix
+    * should be 40% en / 15% each of the rest") by deterministic
+    * hash-downsampling of the over-represented strata.
+    *
+    * Target shares are exact rationals `stratum -> (num, den)`; strata
+    * absent from `targets` are dropped (a mixture is a closed set).
+    * The achievable corpus size is `T = min_s floor(n_s * den / num_s)`
+    * — the largest total for which every stratum can fill its share
+    * from its observed `n_s` — and each stratum keeps
+    * `floor(T * num_s / den)` rows via a hash cut at
+    * `floor(kept_s * granularity / n_s)`. All thresholds are BIGINT
+    * arithmetic: bit-identical across engines, no float rounding.
+    *
+    * Scale shape: the stratum histogram is one partial-agg shuffle over
+    * (stratum) — never the rows; `T` is a 1-row broadcast; thresholds
+    * attach back via a broadcast equi-join on the stratum (tiny by
+    * construction — strata are languages/sources, not documents); the
+    * final filter is a narrow scan-adjacent predicate. The row-keep
+    * decision depends only on (key, seed, stratum histogram), so the
+    * sample is reproducible and auditable.
+    *
+    * The hash cut keeps ≈`kept_s` rows (binomial noise around the rate,
+    * exactly reproducible for a fixed corpus) — the contract is the
+    * threshold arithmetic, not an exact row count.
+    */
+  def rebalanceToMix(df: DataFrame, key: Column, stratum: Column,
+                     targets: Map[String, (Int, Int)],
+                     seed: Int, granularity: Int = 10000): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall { case (n, d) => n > 0 && d >= n },
+      "target shares must be rationals in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val tgt = broadcast(
+      targets.toSeq.map { case (k, (n, d)) => (k, n.toLong, d.toLong) }
+        .toDF("_stratum", "_num", "_den"))
+    val hist = df.groupBy(stratum.as("_stratum"))
+      .agg(count(lit(1)).as("_n"))
+      .join(tgt, Seq("_stratum")) // inner: un-targeted strata drop out
+    // T = min_s (n_s * den intdiv num_s): 1 row, broadcast back.
+    // `div` (not `/`): Spark's `/` is DOUBLE division, which loses
+    // integer exactness past 2^53 — counts at 100 TB get there.
+    val tTotal = broadcast(hist.agg(min(expr("_n * _den div _num")).as("_t")))
+    val thresholds = broadcast(
+      hist.crossJoin(tTotal)
+        .select($"_stratum",
+          expr(s"(_t * _num div _den) * $granularity div _n").as("_cut")))
+
+    df.join(thresholds, stratum === $"_stratum")
+      .filter(hash64(key, seed) % granularity < $"_cut")
+      .drop("_stratum", "_cut")
+  }
 }
