@@ -645,32 +645,84 @@ object Queries3 {
     * also merges associatively, so partial aggregation works map-side
     * — the cheapest option when approximate answers suffice.
     *
-    * No SQL oracle ON PURPOSE: the sketch's picked element is
-    * engine-specific (DuckDB's approx_quantile is a t-digest — close
-    * but not bit-equal), so the driver records the rows-only check;
-    * ApproxPercentileSpec pins the rank-error bound against the exact
-    * aggregate instead, which is the meaningful contract.
+    * The sketch's picked element is engine-specific (DuckDB's
+    * approx_quantile is a t-digest — close but not bit-equal), so the
+    * RAW approx values can never hash-match across engines. What CAN
+    * be oracle-checked is the approx-percentile CONTRACT itself: each
+    * engine computes its own sketch answer, then verifies IN SQL that
+    * the answer's exact rank (count of values below / at-or-below it —
+    * one extra conditional aggregation after broadcasting the tiny
+    * per-group sketch table) lands within a documented rank window of
+    * the target rank `p·n`. The emitted relation — group, metric, p,
+    * exact group count, and the window verdict — is engine-independent
+    * and hash-green iff both sketches honor their bounds.
+    *
+    * Windows: Spark's GK sketch guarantees rank error ≤ n/accuracy
+    * (accuracy=10000 here), checked tightly (+1 slack for the
+    * floor/ceil in the target-rank definition). DuckDB's t-digest has
+    * no accuracy knob or hard bound, so its side of the oracle checks
+    * a conservative 1%·n window (t-digest's empirical error is ~10x
+    * smaller) — documented asymmetry, same verdict column.
+    * ApproxPercentileSpec still pins the tight Spark-side bound
+    * against the exact aggregate per-value.
     */
   val q43PercentilesApprox = QueryDef(
     "q43_percentiles_approx",
     (s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(
-          percentile_approx($"l_quantity",
-            array(lit(0.5), lit(0.9)), lit(10000)).as("_q"),
-          percentile_approx($"l_extendedprice",
-            array(lit(0.5), lit(0.99)), lit(10000)).as("_p"))
-        .select($"l_returnflag",
-          round(element_at($"_q", 1), 6).as("p50_qty"),
-          round(element_at($"_q", 2), 6).as("p90_qty"),
-          round(element_at($"_p", 1), 6).as("p50_price"),
-          round(element_at($"_p", 2), 6).as("p99_price"))
-        .orderBy($"l_returnflag")
+      val ps = Seq(0.5, 0.9, 0.99)
+      val psArr = array(ps.map(lit): _*)
+      val melted = t(s, dir, "lineitem")
+        .select($"l_returnflag", explode(map(
+          lit("price"), $"l_extendedprice".cast("double"),
+          lit("qty"), $"l_quantity".cast("double"))).as(Seq("metric", "v")))
+      // per (group, metric): n plus the 3-entry sketch answer — a tiny
+      // relation (groups × metrics rows), broadcast into the rank pass
+      val approx = melted.groupBy($"l_returnflag", $"metric")
+        .agg(count(lit(1)).as("n"),
+          percentile_approx($"v", psArr, lit(10000)).as("_av"))
+        .select($"l_returnflag", $"metric", $"n",
+          posexplode($"_av").as(Seq("_i", "_va")))
+        .select($"l_returnflag", $"metric", $"n",
+          element_at(psArr, $"_i" + 1).as("p"), $"_va")
+      // exact rank of each sketch answer: one map-side-combined pass
+      // over the melted corpus (fan-out = |ps| via the broadcast join)
+      val ranked = melted.join(broadcast(approx), Seq("l_returnflag", "metric"))
+        .groupBy($"l_returnflag", $"metric", $"n", $"p", $"_va")
+        .agg(sum(when($"v" < $"_va", 1L).otherwise(0L)).as("_rlo"),
+          sum(when($"v" <= $"_va", 1L).otherwise(0L)).as("_rhi"))
+      // the answer occupies rank positions [_rlo+1, _rhi] (an interval
+      // when ties; the straddled gap when the t-digest interpolates a
+      // non-element) — within_window iff it intersects p·n ± window
+      ranked.select($"l_returnflag", $"metric", $"p", $"n",
+        (($"_rlo" <= $"p" * $"n" + $"n" / 10000.0 + 1.0) &&
+          ($"_rhi" + 1.0 >= $"p" * $"n" - $"n" / 10000.0 - 1.0))
+          .as("within_window"))
+        .orderBy($"l_returnflag", $"metric", $"p")
     },
-    None,
-    notes = "rows-only: sketch output is engine-specific; see ApproxPercentileSpec")
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag, 'price' AS metric, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'qty' AS metric, CAST(l_quantity AS DOUBLE) AS v FROM lineitem),
+      a AS (
+        SELECT l_returnflag, metric, count(*) AS n,
+               approx_quantile(v, [0.5, 0.9, 0.99]) AS av
+        FROM m GROUP BY 1, 2),
+      x AS (
+        SELECT l_returnflag, metric, n, CAST(t.p AS DOUBLE) AS p, av[t.i] AS va
+        FROM a CROSS JOIN (VALUES (1, 0.5), (2, 0.9), (3, 0.99)) t(i, p)),
+      r AS (
+        SELECT x.l_returnflag, x.metric, x.n, x.p,
+               sum(CASE WHEN m.v < x.va THEN 1 ELSE 0 END) AS rlo,
+               sum(CASE WHEN m.v <= x.va THEN 1 ELSE 0 END) AS rhi
+        FROM x JOIN m ON m.l_returnflag = x.l_returnflag AND m.metric = x.metric
+        GROUP BY 1, 2, 3, 4)
+      SELECT l_returnflag, metric, p, CAST(n AS BIGINT) AS n,
+             (rlo <= p * n + n / 100.0 + 1.0) AND (rhi + 1.0 >= p * n - n / 100.0 - 1.0)
+               AS within_window
+      FROM r ORDER BY l_returnflag, metric, p"""),
+    notes = "oracle checks the rank-window contract per engine; raw sketch values are engine-specific")
 
   // --------------------------------------------------- q44_knn_ivf_multiprobe
   /** Multi-probe IVF ANN: q25's quantizer and inverted lists, but each

@@ -16,7 +16,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional subset for dev iteration: SPARK_GRAFT_QUERIES=q43_…,q52_…
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => subset.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -39,6 +44,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => subset.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
