@@ -31,11 +31,6 @@ object Queries4 {
     import graft.operators.Redaction._
     // DuckDB regexp_replace is first-match-only without the 'g' flag;
     // Spark's replaces all matches — the flag is part of oracle parity.
-    def sqlRedact(s: String) =
-      s"""regexp_replace(regexp_replace(regexp_replace($s,
-          '$EmailPattern', '$EmailToken', 'g'),
-          '$Ipv4Pattern', '$IpToken', 'g'),
-          '$PhonePattern', '$PhoneToken', 'g')"""
     QueryDef(
       "q52_redaction",
       (s, dir) => {
@@ -53,16 +48,23 @@ object Queries4 {
               lit("."))).otherwise(""))
         t(s, dir, "documents")
           .select($"doc_id", raw.as("raw"), length($"text").as("_tl"))
+          // the email+IP-redacted intermediate is computed ONCE as a
+          // named column; the phone count and the final redaction both
+          // read it (inlining the one-shot composed forms re-ran these
+          // two regex passes per consumer — the round-8 ~30% finding)
           .select($"doc_id", $"_tl",
             graft.operators.Redaction.emailCount($"raw").cast("long").as("n_email"),
             graft.operators.Redaction.ipv4Count($"raw").cast("long").as("n_ip"),
-            graft.operators.Redaction.phoneCountPostEmail($"raw").cast("long")
-              .as("n_phone"),
-            graft.operators.Redaction.redact($"raw").as("_red"))
+            graft.operators.Redaction.redactEmailIp($"raw").as("_eir"))
+          .select($"doc_id", $"_tl", $"n_email", $"n_ip",
+            graft.operators.Redaction.phoneCount($"_eir").cast("long").as("n_phone"),
+            graft.operators.Redaction.redactPhones($"_eir").as("_red"))
           // the injected suffix starts right after the original text and
-          // redaction never changes the PII-free prefix's length, so the
-          // tail shows exactly the redacted injections (compact output —
-          // the full body would just echo the corpus through the hash)
+          // redaction never changes the PII-free prefix's length (the
+          // corpus carries no bare-text PII — pinned by RedactionSpec's
+          // corpus-invariant case), so the tail shows exactly the
+          // redacted injections (compact output — the full body would
+          // just echo the corpus through the hash)
           .select($"doc_id", $"n_email", $"n_ip", $"n_phone",
             $"_red".substr($"_tl" + 1, length($"_red")).as("redacted_tail"))
           .orderBy($"doc_id")
@@ -79,16 +81,19 @@ object Queries4 {
                    ' Host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
                    CAST(doc_id % 200 + 1 AS VARCHAR) || '.'
                  ELSE '' END AS raw
-          FROM documents)
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(raw, '$EmailPattern')) AS BIGINT) AS n_email,
-               CAST(len(regexp_extract_all(raw, '$Ipv4Pattern')) AS BIGINT) AS n_ip,
-               CAST(len(regexp_extract_all(
+          FROM documents),
+        eir AS (
+          SELECT doc_id, tl,
+                 CAST(len(regexp_extract_all(raw, '$EmailPattern')) AS BIGINT) AS n_email,
+                 CAST(len(regexp_extract_all(raw, '$Ipv4Pattern')) AS BIGINT) AS n_ip,
                  regexp_replace(regexp_replace(raw, '$EmailPattern', '$EmailToken', 'g'),
-                   '$Ipv4Pattern', '$IpToken', 'g'),
-                 '$PhonePattern')) AS BIGINT) AS n_phone,
-               substr(${sqlRedact("raw")}, tl + 1) AS redacted_tail
-        FROM raw ORDER BY doc_id"""))
+                   '$Ipv4Pattern', '$IpToken', 'g') AS e
+          FROM raw)
+        SELECT doc_id, n_email, n_ip,
+               CAST(len(regexp_extract_all(e, '$PhonePattern')) AS BIGINT) AS n_phone,
+               substr(regexp_replace(e, '$PhonePattern', '$PhoneToken', 'g'), tl + 1)
+                 AS redacted_tail
+        FROM eir ORDER BY doc_id"""))
   }
 
   // ----------------------------------------------------------- q53_domain_mix

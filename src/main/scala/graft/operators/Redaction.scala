@@ -33,13 +33,15 @@ object Redaction {
   /** North-American-ish phone shapes: optional +1 / 1 prefix, 3-3-4
     * digit groups separated by spaces, dots, or dashes, optional area-
     * code parens. Word-bounded so longer digit runs don't half-match —
-    * the leading `\b` sits INSIDE the alternation, on the digit branch
-    * only: before `(` a word boundary can never hold (both neighbors
-    * are non-word), so a pattern-initial `\b` would silently kill every
-    * parenthesized match.
+    * the leading `\b` sits INSIDE the alternation, on each digit branch
+    * only: before `(` or `+` a word boundary can never hold (both
+    * neighbors are non-word), so a pattern-initial `\b` would silently
+    * kill every parenthesized/plus-prefixed match. The bare-1 prefix
+    * branch carries its own `\b` so a longer digit run ("91-415-…")
+    * can't start a match mid-run at the '1'.
     */
   val PhonePattern =
-    "(\\+?1[-. ])?(\\(\\d{3}\\)[-. ]?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
+    "(\\+1[-. ]|\\b1[-. ])?(\\(\\d{3}\\)[-. ]?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
 
   /** Dotted-quad IPv4, each octet 0-255, word-bounded. */
   val Ipv4Pattern = {
@@ -57,22 +59,39 @@ object Redaction {
   /** Number of IPv4 matches in `text` (count BEFORE phone redaction). */
   def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Pattern))
 
-  /** Number of phone matches in `text` AFTER emails and IPs are gone —
-    * counting on the raw text would double-count digits inside them.
+  /** Emails and IPv4s redacted — the shared intermediate BOTH the phone
+    * count and the final redaction consume. Pipelines should compute
+    * this ONCE as a named column in its own projection and derive
+    * [[phoneCount]] / [[redactPhones]] from that column: inlining the
+    * composed [[phoneCountPostEmail]]/[[redact]] forms into one select
+    * re-evaluates these two regex passes per consumer when Catalyst's
+    * common-subexpression elimination doesn't span the projections
+    * (the round-8 q52 finding — ~30% of the query's cost).
+    */
+  def redactEmailIp(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, EmailToken),
+      Ipv4Pattern, IpToken)
+
+  /** Number of phone matches in an already email/IP-redacted column
+    * ([[redactEmailIp]]) — counting on the raw text would double-count
+    * digits inside emails and dotted quads.
+    */
+  def phoneCount(emailIpRedacted: Column): Column =
+    regexp_count(emailIpRedacted, lit(PhonePattern))
+
+  /** Phone redaction over an already email/IP-redacted column. */
+  def redactPhones(emailIpRedacted: Column): Column =
+    regexp_replace(emailIpRedacted, PhonePattern, PhoneToken)
+
+  /** Number of phone matches in `text` AFTER emails and IPs are gone.
+    * One-shot convenience; see [[redactEmailIp]] for the staged form.
     */
   def phoneCountPostEmail(text: Column): Column =
-    regexp_count(
-      regexp_replace(regexp_replace(text, EmailPattern, EmailToken),
-        Ipv4Pattern, IpToken),
-      lit(PhonePattern))
+    phoneCount(redactEmailIp(text))
 
   /** Redacted text: emails, then IPv4, then phones (order pinned — see
-    * object notes).
+    * object notes). One-shot convenience; see [[redactEmailIp]] for the
+    * staged form.
     */
-  def redact(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, EmailPattern, EmailToken),
-        Ipv4Pattern, IpToken),
-      PhonePattern, PhoneToken)
+  def redact(text: Column): Column = redactPhones(redactEmailIp(text))
 }

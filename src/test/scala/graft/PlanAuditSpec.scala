@@ -121,6 +121,19 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-scale shuffle crept in ($hashExchanges hash exchanges):\n$p")
   }
 
+  test("q52_redaction: the email+IP replace subtree is evaluated once") {
+    // the phone count and the final redaction both consume the staged
+    // _eir column; an inlined/collapsed plan would carry the email
+    // regexp_replace TWICE (round-8 finding: ~30% of q52's cost)
+    val p = plan("q52_redaction")
+    val emailReplaces = java.util.regex.Pattern.quote(
+      graft.operators.Redaction.EmailPattern).r
+      .findAllIn(p).size
+    // exactly 2 mentions: one regexp_count (n_email), one regexp_replace
+    assert(emailReplaces == 2,
+      s"email pattern appears $emailReplaces times (want 2: count + one replace):\n$p")
+  }
+
   test("q31_pivot: pinned pivot values — no extra distinct-collect job") {
     // an unpinned pivot runs a separate collect() of distinct event_type
     // before planning; with pinned values the plan is a single aggregate

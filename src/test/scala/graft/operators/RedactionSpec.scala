@@ -53,6 +53,27 @@ class RedactionSpec extends SparkSpec {
     assert(red == s"${Redaction.EmailToken} vs 10.555.123.45")
   }
 
+  test("bare-1 phone prefix is boundary-guarded: no mid-run match in longer digit runs") {
+    // regression: the unguarded (\+?1[-. ])? prefix matched "1-415-555-0042"
+    // INSIDE "91-415-555-0042", leaving a stray '9' next to the token;
+    // the guarded prefix starts the match at the area code instead
+    val (_, _, p, red) = one("ext 91-415-555-0042 and +1 415-555-0042")
+    assert(p == 2, red)
+    assert(red == s"ext 91-${Redaction.PhoneToken} and ${Redaction.PhoneToken}")
+  }
+
+  test("corpus invariant: the synthetic documents carry no bare-text PII " +
+    "(q52's redacted_tail position math depends on it)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = docs.select(
+      sum(Redaction.emailCount($"text").cast("long")).as("e"),
+      sum(Redaction.ipv4Count($"text").cast("long")).as("i"),
+      sum(Redaction.phoneCountPostEmail($"text").cast("long")).as("p"))
+      .collect().head
+    assert(r.getLong(0) == 0 && r.getLong(1) == 0 && r.getLong(2) == 0,
+      s"bare corpus text contains PII-shaped strings: $r")
+  }
+
   test("counts agree with redact: n tokens appear for n matches") {
     val text = "a@b.co c@d.org (111) 555-2222 9.8.7.6"
     val (e, i, p, red) = one(text)
