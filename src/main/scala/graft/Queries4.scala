@@ -96,6 +96,76 @@ object Queries4 {
         FROM eir ORDER BY doc_id"""))
   }
 
+  // ---------------------------------------------------- q57_redaction_unicode
+  /** Unicode redaction parity: same operator as q52, but the injected
+    * PII is the kind ASCII-only patterns miss on real web text — IDN
+    * emails with non-ASCII local parts ("müller…@bücher….example") and
+    * phones whose digit groups are separated by NBSP (U+00A0), thin
+    * space (U+2009), or narrow NBSP (U+202F). Both engines run the
+    * IDENTICAL pattern text (`\p{L}` classes, `\x{…}` space escapes —
+    * the Java-regex/RE2 common subset), so the driver's hash compare
+    * pins the unicode semantics cross-engine, not just in a spec.
+    * Same staged single-evaluation shape and scale story as q52.
+    */
+  val q57RedactionUnicode = {
+    import graft.operators.Redaction._
+    QueryDef(
+      "q57_redaction_unicode",
+      (s, dir) => {
+        import s.implicits._
+        val raw = concat(
+          $"text",
+          lit(" Grüße von müller"), $"doc_id".cast("string"),
+          lit("@bücher"), ($"doc_id" % 7).cast("string"), lit(".example."),
+          when($"doc_id" % 3 === 0,
+            concat(lit(" Ruf +1 "), ($"doc_id" % 800 + 100).cast("string"),
+              lit(" 555 "), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+              lit(" an."))).otherwise(""),
+          when($"doc_id" % 5 === 0,
+            concat(lit(" Tel: "), ($"doc_id" % 800 + 100).cast("string"),
+              lit(" 555 "), lpad(($"doc_id" % 9999).cast("string"), 4, "9"),
+              lit("."))).otherwise(""))
+        t(s, dir, "documents")
+          .select($"doc_id", raw.as("raw"), length($"text").as("_tl"))
+          .select($"doc_id", $"_tl",
+            graft.operators.Redaction.emailCount($"raw").cast("long").as("n_email"),
+            graft.operators.Redaction.redactEmailIp($"raw").as("_eir"))
+          .select($"doc_id", $"_tl", $"n_email",
+            graft.operators.Redaction.phoneCount($"_eir").cast("long").as("n_phone"),
+            graft.operators.Redaction.redactPhones($"_eir").as("_red"))
+          .select($"doc_id", $"n_email", $"n_phone",
+            $"_red".substr($"_tl" + 1, length($"_red")).as("redacted_tail"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH raw AS (
+          SELECT doc_id, length(text) AS tl,
+                 text || ' Grüße von müller' || CAST(doc_id AS VARCHAR) ||
+                 '@bücher' || CAST(doc_id % 7 AS VARCHAR) || '.example.' ||
+                 CASE WHEN doc_id % 3 = 0 THEN
+                   ' Ruf' || chr(160) || '+1' || chr(160) ||
+                   CAST(doc_id % 800 + 100 AS VARCHAR) || chr(8201) || '555' || chr(8201) ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' an.'
+                 ELSE '' END ||
+                 CASE WHEN doc_id % 5 = 0 THEN
+                   ' Tel:' || chr(8239) || CAST(doc_id % 800 + 100 AS VARCHAR) ||
+                   chr(160) || '555' || chr(160) ||
+                   lpad(CAST(doc_id % 9999 AS VARCHAR), 4, '9') || '.'
+                 ELSE '' END AS raw
+          FROM documents),
+        eir AS (
+          SELECT doc_id, tl,
+                 CAST(len(regexp_extract_all(raw, '$EmailPattern')) AS BIGINT) AS n_email,
+                 regexp_replace(regexp_replace(raw, '$EmailPattern', '$EmailToken', 'g'),
+                   '$Ipv4Pattern', '$IpToken', 'g') AS e
+          FROM raw)
+        SELECT doc_id, n_email,
+               CAST(len(regexp_extract_all(e, '$PhonePattern')) AS BIGINT) AS n_phone,
+               substr(regexp_replace(e, '$PhonePattern', '$PhoneToken', 'g'), tl + 1)
+                 AS redacted_tail
+        FROM eir ORDER BY doc_id"""))
+  }
+
   // ----------------------------------------------------------- q53_domain_mix
   /** Mixture rebalancing ([[graft.operators.Sampling.rebalanceToMix]]):
     * downsample to a 40/15/15/15/15 language mix. The stratum histogram
@@ -336,5 +406,5 @@ object Queries4 {
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q52Redaction, q53DomainMix, q54IncrementalDedup, q55SequencePack,
-    q56QualityGate)
+    q56QualityGate, q57RedactionUnicode)
 }

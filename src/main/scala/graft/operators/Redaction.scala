@@ -26,9 +26,23 @@ import org.apache.spark.sql.functions._
 object Redaction {
 
   /** `user@host.tld` — conservative: requires a dot-separated TLD of
-    * letters so trailing punctuation stays outside the match.
+    * letters so trailing punctuation stays outside the match. Letter
+    * classes are `\p{L}` (Unicode letter — identical semantics in Java
+    * regex and RE2, both UTF-8 native), so IDN hosts and non-ASCII
+    * local parts ("müller@bücher.example") redact too; ASCII behavior
+    * is unchanged ([A-Za-z] ⊂ \p{L}).
     */
-  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val EmailPattern = "[\\p{L}0-9._%+-]+@[\\p{L}0-9.-]+\\.\\p{L}{2,}"
+
+  /** Separator class inside phone digit groups: ASCII dash/dot/space
+    * plus the unicode spaces real web text carries (NBSP U+00A0, thin
+    * space U+2009, narrow NBSP U+202F) — written with `\x{…}` escapes,
+    * which parse identically in Java regex and RE2, so the one pattern
+    * string serves both engines. `\b` stays ASCII-word-boundary in both
+    * engines and these spaces are non-word chars in both — boundary
+    * semantics agree.
+    */
+  val PhoneSep = "[-. \\x{00A0}\\x{2009}\\x{202F}]"
 
   /** North-American-ish phone shapes: optional +1 / 1 prefix, 3-3-4
     * digit groups separated by spaces, dots, or dashes, optional area-
@@ -38,10 +52,11 @@ object Redaction {
     * neighbors are non-word), so a pattern-initial `\b` would silently
     * kill every parenthesized/plus-prefixed match. The bare-1 prefix
     * branch carries its own `\b` so a longer digit run ("91-415-…")
-    * can't start a match mid-run at the '1'.
+    * can't start a match mid-run at the '1'. Group separators are
+    * [[PhoneSep]] (ASCII + unicode spaces).
     */
   val PhonePattern =
-    "(\\+1[-. ]|\\b1[-. ])?(\\(\\d{3}\\)[-. ]?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
+    s"(\\+1$PhoneSep|\\b1$PhoneSep)?(\\(\\d{3}\\)$PhoneSep?|\\b\\d{3}$PhoneSep)\\d{3}$PhoneSep\\d{4}\\b"
 
   /** Dotted-quad IPv4, each octet 0-255, word-bounded. */
   val Ipv4Pattern = {

@@ -74,6 +74,20 @@ class RedactionSpec extends SparkSpec {
       s"bare corpus text contains PII-shaped strings: $r")
   }
 
+  test("unicode: IDN emails with non-ASCII local parts redact") {
+    val (e, _, _, red) = one("schreib müller@bücher.example oder böse.grüße@straße.org!")
+    assert(e == 2, red)
+    assert(red == s"schreib ${Redaction.EmailToken} oder ${Redaction.EmailToken}!")
+  }
+
+  test("unicode: NBSP / thin-space / narrow-NBSP phone separators match") {
+    val (_, _, p, red) = one(
+      "ruf +1 415 555 0042 oder 415 555 0042 an")
+    assert(p == 2, red)
+    assert(red ==
+      s"ruf ${Redaction.PhoneToken} oder ${Redaction.PhoneToken} an")
+  }
+
   test("counts agree with redact: n tokens appear for n matches") {
     val text = "a@b.co c@d.org (111) 555-2222 9.8.7.6"
     val (e, i, p, red) = one(text)
