@@ -51,13 +51,21 @@ object Sampling {
     * `floor(kept_s * granularity / n_s)`. All thresholds are BIGINT
     * arithmetic: bit-identical across engines, no float rounding.
     *
-    * Scale shape: the stratum histogram is one partial-agg shuffle over
-    * (stratum) — never the rows; `T` is a 1-row broadcast; thresholds
-    * attach back via a broadcast equi-join on the stratum (tiny by
-    * construction — strata are languages/sources, not documents); the
-    * final filter is a narrow scan-adjacent predicate. The row-keep
-    * decision depends only on (key, seed, stratum histogram), so the
-    * sample is reproducible and auditable.
+    * Scale shape: ONE partial-agg histogram scan over (stratum) — never
+    * the rows — whose result is O(strata) rows by construction (strata
+    * are languages/sources, not documents) and is collected to the
+    * driver; `T` and the per-stratum cuts are computed there in exact
+    * Long arithmetic and broadcast back as a LITERAL threshold table
+    * into the final narrow filter. The earlier all-lazy formulation
+    * nested the histogram aggregate inside three correlated subtrees
+    * (T subquery, threshold projection, final join), so absent exchange
+    * reuse the corpus was scanned twice just to derive the tiny
+    * thresholds; the driver gather — same documented O(strata) shape as
+    * [[TokenBudget]]'s O(numParts) offset gather — makes it exactly one
+    * histogram scan plus one filter scan. The row-keep decision depends
+    * only on (key, seed, stratum histogram), so the sample is
+    * reproducible and auditable. Note the histogram job runs eagerly at
+    * plan-build time.
     *
     * The hash cut keeps ≈`kept_s` rows (binomial noise around the rate,
     * exactly reproducible for a fixed corpus) — the contract is the
@@ -72,21 +80,24 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val tgt = broadcast(
-      targets.toSeq.map { case (k, (n, d)) => (k, n.toLong, d.toLong) }
-        .toDF("_stratum", "_num", "_den"))
-    val hist = df.groupBy(stratum.as("_stratum"))
-      .agg(count(lit(1)).as("_n"))
-      .join(tgt, Seq("_stratum")) // inner: un-targeted strata drop out
-    // T = min_s (n_s * den intdiv num_s): 1 row, broadcast back.
-    // `div` (not `/`): Spark's `/` is DOUBLE division, which loses
-    // integer exactness past 2^53 — counts at 100 TB get there.
-    val tTotal = broadcast(hist.agg(min(expr("_n * _den div _num")).as("_t")))
-    val thresholds = broadcast(
-      hist.crossJoin(tTotal)
-        .select($"_stratum",
-          expr(s"(_t * _num div _den) * $granularity div _n").as("_cut")))
-
+    val hist: Map[String, Long] = df
+      .select(stratum.cast("string").as("_stratum"))
+      .filter($"_stratum".isin(targets.keys.toSeq: _*))
+      .groupBy($"_stratum").agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T = min_s (n_s * den intdiv num_s) over strata PRESENT in the
+    // corpus — the largest total every observed stratum can fill its
+    // share of. Long (not double) division: counts at 100 TB exceed
+    // 2^53, where double arithmetic silently loses exactness.
+    val present = targets.toSeq.sortBy(_._1).collect {
+      case (k, (num, den)) if hist.contains(k) => (k, num.toLong, den.toLong)
+    }
+    val cuts = if (present.isEmpty) Seq.empty[(String, Long)] else {
+      val t = present.map { case (k, num, den) => hist(k) * den / num }.min
+      present.map { case (k, num, den) =>
+        (k, t * num / den * granularity / hist(k)) }
+    }
+    val thresholds = broadcast(cuts.toDF("_stratum", "_cut"))
     df.join(thresholds, stratum === $"_stratum")
       .filter(hash64(key, seed) % granularity < $"_cut")
       .drop("_stratum", "_cut")
