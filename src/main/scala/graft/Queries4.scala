@@ -209,9 +209,15 @@ object Queries4 {
   /** Incremental dedup: probe a NEW batch (every 10th doc) against the
     * EXISTING corpus via cross-corpus banded LSH
     * ([[graft.operators.Dedup.lshCrossPairs]]) + exact Jaccard verify —
-    * the daily-ingest shape, where cost scales with the batch and the
-    * corpus band index is written once. Output: per batch doc, its
-    * near-dup partner count in the corpus and the keep verdict.
+    * the daily-ingest shape. The query runs the PRODUCTION protocol,
+    * not a demo approximation of it: the corpus half is shingled,
+    * signed, banded once and written as the bucketed band index
+    * ([[graft.operators.Dedup.writeBandIndex]] — at 100 TB this is the
+    * one-time index build), the probe and the Jaccard verify equi-join
+    * INTO those bucketed tables from disk (no corpus-side shuffle, no
+    * corpus-side cache — pinned by DedupSpec's plan assertion), and
+    * only the small batch side is persisted. Output: per batch doc,
+    * its near-dup partner count in the corpus and the keep verdict.
     */
   val q54IncrementalDedup = QueryDef(
     "q54_incremental_dedup",
@@ -222,19 +228,29 @@ object Queries4 {
         .select($"doc_id", ($"doc_id" % 10 === 7).as("is_new"),
           Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh"))
         .filter(size($"sh") > 0)
-      val sh = if (shBase.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        shBase.persist() else shBase
-      val sig = sh.select($"doc_id", $"is_new", Dedup.minhashSig($"sh", 8).as("sig"))
+      // corpus half: computed once, written as the bucketed index —
+      // NEVER persisted in executor memory (it is corpus-sized)
+      val corpus = shBase.filter(!$"is_new").select($"doc_id", $"sh")
+      val corpusBands = Dedup.lshBands(
+        corpus.select($"doc_id", Dedup.minhashSig($"sh", 8).as("sig")),
+        "doc_id", "sig", bands = 4, rowsPerBand = 2)
+      Dedup.writeBandIndex(corpusBands, corpus, "doc_id",
+        "graft_q54_corpus", buckets = 8)
+      val (bandsDisk, shDisk) = Dedup.readBandIndex(s, "graft_q54_corpus")
+      // batch half: the only persisted frame — small by construction
+      val batchBase = shBase.filter($"is_new")
+      val batch =
+        if (batchBase.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          batchBase.persist() else batchBase
       val newBands = Dedup.lshBands(
-        sig.filter($"is_new"), "doc_id", "sig", bands = 4, rowsPerBand = 2)
-      val oldBands = Dedup.lshBands(
-        sig.filter(!$"is_new"), "doc_id", "sig", bands = 4, rowsPerBand = 2)
-      val dups = Dedup.lshCrossPairs(newBands, oldBands, "doc_id")
-        .join(sh.select($"doc_id".as("id_new"), $"sh".as("sh_a")), "id_new")
-        .join(sh.select($"doc_id".as("id_old"), $"sh".as("sh_b")), "id_old")
+        batch.select($"doc_id", Dedup.minhashSig($"sh", 8).as("sig")),
+        "doc_id", "sig", bands = 4, rowsPerBand = 2)
+      val dups = Dedup.lshCrossPairs(newBands, bandsDisk, "doc_id")
+        .join(batch.select($"doc_id".as("id_new"), $"sh".as("sh_a")), "id_new")
+        .join(shDisk.select($"doc_id".as("id_old"), $"sh".as("sh_b")), "id_old")
         .filter(Dedup.jaccard($"sh_a", $"sh_b") >= 0.5)
         .groupBy($"id_new").agg(count(lit(1)).as("n_dup_partners"))
-      sh.filter($"is_new").select($"doc_id".as("id_new"))
+      batch.select($"doc_id".as("id_new"))
         .join(dups, Seq("id_new"), "left")
         .select($"id_new".as("doc_id"),
           coalesce($"n_dup_partners", lit(0L)).as("n_dup_partners"),

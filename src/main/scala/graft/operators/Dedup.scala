@@ -107,18 +107,65 @@ object Dedup {
     * probed against the existing corpus). Same banded-LSH shape as
     * [[lshCandidatePairs]], but the join is batch-bands × corpus-bands —
     * cost scales with the BATCH (small) times bucket hit rate, never
-    * with corpus × corpus. At 100 TB the corpus band table is written
-    * once (bucketed by band_key) and each day's batch equi-joins into
-    * it shuffle-free on the corpus side.
+    * with corpus × corpus. The equi-join key is `band_key` ALONE: the
+    * band index is hashed into the key (`md5("$b:" + entries)` in
+    * [[lshBands]]), so band_key determines the band and a composite
+    * (band, band_key) key would only obstruct the bucketed-scan
+    * partitioning that [[writeBandIndex]] provides. With the corpus
+    * side read from that index, the probe is shuffle-free on the
+    * corpus side (see the DedupSpec plan assertion).
     */
   def lshCrossPairs(batchBands: DataFrame, corpusBands: DataFrame,
                     idCol: String): DataFrame = {
-    val a = batchBands.select(col("band"), col("band_key"), col(idCol).as("id_new"))
-    val b = corpusBands.select(col("band"), col("band_key"), col(idCol).as("id_old"))
-    a.join(b, Seq("band", "band_key"))
+    val a = batchBands.select(col("band_key"), col(idCol).as("id_new"))
+    val b = corpusBands.select(col("band_key"), col(idCol).as("id_old"))
+    a.join(b, Seq("band_key"))
       .select("id_new", "id_old")
       .distinct()
   }
+
+  /** Write the corpus half of the incremental-dedup index ONCE, as two
+    * bucketed catalog tables: the band table bucketed+sorted by
+    * `band_key` (the [[lshCrossPairs]] probe key) and the shingle table
+    * bucketed+sorted by the id column (the Jaccard-verify key). This is
+    * the production shape for daily ingest at 100 TB: the corpus is
+    * shingled, signed, and banded exactly once at index-build time;
+    * every subsequent batch probe equi-joins INTO the bucketed tables,
+    * so the corpus side is never re-shuffled — only the (small) batch
+    * side hashes into the buckets — and never recomputed. Returns the
+    * two table names ([[readBandIndex]] reopens them).
+    */
+  def writeBandIndex(corpusBands: DataFrame, corpusShingles: DataFrame,
+                     idCol: String, prefix: String, buckets: Int): (String, String) = {
+    def write(df: DataFrame, table: String, bucketCol: String): Unit = {
+      val spark = df.sparkSession
+      // a previous JVM's managed-table files outlive the in-memory
+      // catalog; saveAsTable refuses a fresh table over the stale
+      // location (LOCATION_ALREADY_EXISTS), so clear both first
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .saveAsTable(table)
+    }
+    val bandsT = s"${prefix}_bands"
+    val shT = s"${prefix}_shingles"
+    write(corpusBands, bandsT, "band_key")
+    write(corpusShingles, shT, idCol)
+    (bandsT, shT)
+  }
+
+  /** Reopen the two tables [[writeBandIndex]] wrote. The scans carry the
+    * bucket spec, so joins keyed on `band_key` / the id column read the
+    * corpus co-partitioned from disk (no corpus-side Exchange).
+    */
+  def readBandIndex(spark: org.apache.spark.sql.SparkSession,
+                    prefix: String): (DataFrame, DataFrame) =
+    (spark.table(s"${prefix}_bands"), spark.table(s"${prefix}_shingles"))
 
   /** Jaccard similarity of two shingle-set columns (distinct semantics). */
   def jaccard(a: Column, b: Column): Column = {

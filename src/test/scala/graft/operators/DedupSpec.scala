@@ -35,6 +35,53 @@ class DedupSpec extends SparkSpec {
     assert(pairs.isEmpty, "null-band docs must never become candidates")
   }
 
+  test("writeBandIndex: the batch probe joins the corpus from disk with " +
+    "no corpus-side shuffle") {
+    def bandsOf(docs: org.apache.spark.sql.DataFrame) = {
+      val sig = docs.select($"doc_id",
+        Dedup.minhashSig(
+          Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))), 8).as("sig"))
+      Dedup.lshBands(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
+    }
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "lorem ipsum dolor sit amet")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // dup of 1
+      (11L, "totally novel content right here")).toDF("doc_id", "text")
+    Dedup.writeBandIndex(bandsOf(corpus),
+      corpus.select($"doc_id",
+        Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh")),
+      "doc_id", "graft_spec_bandindex", buckets = 4)
+    val (bandsDisk, _) = Dedup.readBandIndex(spark, "graft_spec_bandindex")
+
+    // force the shuffled-join path (a broadcast would trivially have no
+    // corpus exchange without demonstrating the bucketed co-location)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pairs = Dedup.lshCrossPairs(bandsOf(batch), bandsDisk, "doc_id")
+      val plan = pairs.queryExecution.executedPlan.toString
+
+      // the corpus scan must carry its bucket spec …
+      assert(plan.contains("Bucketed: true"),
+        s"corpus side must be read as a bucketed scan:\n$plan")
+      // … and the ONLY band_key exchange is the batch side hashing into
+      // the buckets; a corpus-side exchange would mean the index's
+      // co-location was thrown away (re-shuffling the corpus per batch)
+      val bandKeyExchanges =
+        "Exchange hashpartitioning\\(band_key".r.findAllIn(plan).size
+      assert(bandKeyExchanges == 1,
+        s"want exactly 1 band_key exchange (batch side), got $bandKeyExchanges:\n$plan")
+
+      // and the probe still finds the planted duplicate
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((10L, 1L)), s"planted dup must surface: $got")
+      assert(!got.exists(_._1 == 11L), s"novel doc must not pair: $got")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("lshBands: identical docs still collide per band") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
