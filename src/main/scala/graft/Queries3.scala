@@ -602,9 +602,13 @@ object Queries3 {
   // ------------------------------------------------------------ q42_token_budget
   /** Token-budget corpus selection ([[graft.operators.TokenBudget]]):
     * keep documents in deterministic hash order until 10k cumulative
-    * tokens. Engine-side this is the two-phase prefix sum (range
-    * partitions + per-partition totals + broadcast offsets) — NEVER the
-    * single-partition global window the oracle can afford at 500 rows.
+    * SUBWORD tokens ([[graft.functions.BpeTokenCount]] — whitespace
+    * counts were a ~1.4x biased proxy; the budget is honest against
+    * the tokenizer a trainer would run, and the oracle replays the
+    * identical merge table). Engine-side this is the two-phase prefix
+    * sum (range partitions + per-partition totals + broadcast offsets)
+    * — NEVER the single-partition global window the oracle can afford
+    * at 500 rows.
     */
   val q42TokenBudget = QueryDef(
     "q42_token_budget",
@@ -612,15 +616,15 @@ object Queries3 {
       import s.implicits._
       import graft.operators.{TextAnalysis, TokenBudget}
       val d = t(s, dir, "documents")
-        .select($"doc_id", TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+        .select($"doc_id", TextAnalysis.subwordCount($"text").cast("long").as("n_tokens"))
       TokenBudget.take(d, "doc_id", "n_tokens", budget = 10000L, numParts = 8)
         .select($"doc_id", $"n_tokens", $"cum_tokens")
         .orderBy($"cum_tokens")
     },
-    Some("""
+    Some(s"""
       WITH t AS (
         SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ${graft.functions.BpeTokenCount.duckdbSql("text")} AS n_tokens,
                CAST(('0x' || substr(md5('17:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         FROM documents),
       c AS (

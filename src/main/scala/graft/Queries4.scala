@@ -302,18 +302,21 @@ object Queries4 {
   // -------------------------------------------------------- q55_sequence_pack
   /** Sequence packing ([[graft.operators.Packing.sequencePack]]): lay the
     * corpus out in deterministic hash-shuffled order and assign each doc
-    * to the 2048-token pack where its first token lands. The global
-    * prefix sum is the two-phase form (range partitions + broadcast
-    * offsets — no single-partition window). Output: per-pack audit
-    * (doc count, token sum, id range).
+    * to the 2048-token pack where its first token lands. Counts are
+    * SUBWORD tokens ([[graft.functions.BpeTokenCount]]) so pack
+    * boundaries line up with what a trainer's tokenizer would fill —
+    * whitespace counts mis-assigned them by the ~1.4x subword/word
+    * ratio. The global prefix sum is the two-phase form (range
+    * partitions + broadcast offsets — no single-partition window).
+    * Output: per-pack audit (doc count, token sum, id range).
     */
   val q55SequencePack = QueryDef(
     "q55_sequence_pack",
     (s, dir) => {
       import s.implicits._
-      import graft.operators.Packing
+      import graft.operators.{Packing, TextAnalysis}
       val docs = t(s, dir, "documents")
-        .select($"doc_id", size(words($"text")).as("n_tok"))
+        .select($"doc_id", TextAnalysis.subwordCount($"text").as("n_tok"))
       Packing.sequencePack(docs, "doc_id", "n_tok", packSize = 2048)
         .groupBy($"pack_id")
         .agg(count(lit(1)).as("n_docs"),
@@ -321,9 +324,9 @@ object Queries4 {
           min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
         .orderBy($"pack_id")
     },
-    Some("""
+    Some(s"""
       WITH d AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        SELECT doc_id, ${graft.functions.BpeTokenCount.duckdbSql("text")} AS n_tok,
                CAST(('0x' || substr(md5('17:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         FROM documents),
       c AS (

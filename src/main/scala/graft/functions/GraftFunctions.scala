@@ -45,6 +45,13 @@ object GraftFunctions {
   def token_set_counts(arr: Column, sets: Seq[Seq[String]]): Column =
     graftcolumn(TokenSetCounts(graftcolumn.expr(arr), sets))
 
+  /** Deterministic subword token count under the fixed shipped merge
+    * table — see [[BpeTokenCount]]. The DuckDB-replayable tokenizer the
+    * budgeting/packing queries count by.
+    */
+  def bpe_token_count(text: Column): Column =
+    graftcolumn(BpeTokenCount(graftcolumn.expr(text)))
+
   /** Register the custom expressions for SQL use (`parse_money`, `url_join`). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

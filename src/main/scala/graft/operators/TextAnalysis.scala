@@ -24,11 +24,19 @@ object TextAnalysis {
 
   /** BPE-ish subword count estimate: word-boundary pieces plus an extra
     * piece per 6 chars of long words (a cheap deterministic proxy for a
-    * real tokenizer's subword splits).
+    * real tokenizer's subword splits). Superseded for budgeting/packing
+    * by [[subwordCount]], which runs the real merge table.
     */
   def subwordCountEstimate(text: Column): Column =
     aggregate(words(text), lit(0),
       (acc, w) => acc + lit(1) + (length(w) / 6).cast("int"))
+
+  /** Deterministic subword token count under the fixed shipped merge
+    * table ([[graft.functions.BpeTokenCount]]) — what token budgeting
+    * (q42) and sequence packing (q55) count by; [[tokenCount]]
+    * (whitespace) remains the cheap scoring-path proxy.
+    */
+  def subwordCount(text: Column): Column = bpe_token_count(text)
 
   /** Fraction of characters that are punctuation, rounded to 6 places. */
   def punctRatio(text: Column): Column =
