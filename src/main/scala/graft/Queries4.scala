@@ -422,8 +422,52 @@ object Queries4 {
         FROM v GROUP BY 1, 2 ORDER BY lang, verdict"""))
   }
 
+  // ------------------------------------------------------ q58_substring_dedup
+  /** Substring-level exact dedup ([[graft.operators.Dedup.repeatedSpans]]):
+    * 10-token spans repeated across documents — the boilerplate/
+    * syndication duplication doc-level dedup can't see. Output: per
+    * affected doc, the repeated-window count, merged span count, and
+    * covered token count. Scale shape is hashed n-gram offsets
+    * (bucketed by hash, never all-pairs) + one per-doc window pass;
+    * the oracle replays the zero-initialized fold hash with
+    * list_reduce over the same mod-2³⁰/mod-p arithmetic.
+    */
+  val q58SubstringDedup = QueryDef(
+    "q58_substring_dedup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Dedup
+      Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 10)
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_transform(string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)
+                        % 1073741824) AS u
+        FROM documents),
+      ng AS (
+        SELECT doc_id, i AS off,
+               list_reduce(list_concat([CAST(0 AS BIGINT)], list_slice(u, i+1, i+10)),
+                 (a, b) -> (a * 37 + b) % 1073741789) AS gh
+        FROM toks, unnest(range(0, len(u) - 9)) AS t(i)
+        WHERE len(u) >= 10),
+      rep AS (SELECT gh FROM ng GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      hits AS (SELECT ng.doc_id, ng.off FROM ng JOIN rep USING (gh)),
+      sp AS (
+        SELECT doc_id, off,
+               lag(off) OVER (PARTITION BY doc_id ORDER BY off) AS prev
+        FROM hits)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_rep_windows,
+             CAST(sum(CASE WHEN prev IS NULL OR off - prev > 10 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN prev IS NULL THEN 10 ELSE least(off - prev, 10) END)
+               AS BIGINT) AS covered_tokens
+      FROM sp GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q52Redaction, q53DomainMix, q54IncrementalDedup, q55SequencePack,
-    q56QualityGate, q57RedactionUnicode)
+    q56QualityGate, q57RedactionUnicode, q58SubstringDedup)
 }

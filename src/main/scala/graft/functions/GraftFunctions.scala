@@ -39,6 +39,12 @@ object GraftFunctions {
   def shingle_hash3(wordHashes: Column): Column =
     graftcolumn(ShingleHash3(graftcolumn.expr(wordHashes)))
 
+  /** Rolling n-gram window hashes (long-window [[ShingleHash3]]
+    * generalization) — the substring-dedup fingerprint pass.
+    */
+  def ngram_hashes(wordHashes: Column, n: Int): Column =
+    graftcolumn(NgramHashes(graftcolumn.expr(wordHashes), n))
+
   /** Per-set token membership counts in one pass — native fast path,
     * identical to `sets.map(s => size(filter(arr, t => array_contains(s, t))))`.
     */

@@ -167,6 +167,58 @@ object Dedup {
                     prefix: String): (DataFrame, DataFrame) =
     (spark.table(s"${prefix}_bands"), spark.table(s"${prefix}_shingles"))
 
+  /** Substring-level exact dedup: find spans of `n` consecutive tokens
+    * repeated ACROSS documents (boilerplate headers, licence blocks,
+    * syndicated paragraphs — duplication the doc-level operators can't
+    * see because the containing documents differ). Returns one row per
+    * document that shares at least one n-token span with another
+    * document: `(id, n_rep_windows, n_spans, covered_tokens)` — the raw
+    * repeated-window count, the count of MAXIMAL repeated spans after
+    * merging overlapping windows, and the number of tokens those spans
+    * cover (the "cut this many tokens" number a curation pipeline acts
+    * on).
+    *
+    * Scale shape (hashed n-gram offsets — never all-pairs): one narrow
+    * codegen'd pass emits `(ngram_hash, id, offset)` per window
+    * ([[graft.functions.NgramHashes]]); a hash-groupBy keeps hashes
+    * seen in ≥2 DISTINCT documents (shuffle carries (hash, id) pairs,
+    * map-side-combined, never text); window offsets attach back by an
+    * equi-join on the hash; overlapping windows merge per document with
+    * one bounded window pass (partition = one document's hits, ordered
+    * by offset — gap > n starts a new span, and covered tokens add
+    * `min(gap, n)` per hit). Internal-only repetition (same n-gram
+    * twice in ONE doc) does not qualify a hash — that is q46's
+    * repetition scorer, not cross-doc dedup.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val spans = df
+      .select(col(idCol),
+        posexplode(ngram_hashes(wordHashes(words(col(textCol))), n))
+          .as(Seq("off", "gh")))
+      .filter(col("gh").isNotNull)
+    val rep = spans.groupBy(col("gh"))
+      .agg(count_distinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select(col("gh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("off"))
+    // (id, off) is unique by construction (one posexplode entry per
+    // offset, one hash per window) — no distinct needed, so the only
+    // post-join exchange is the per-document window partitioning
+    spans.join(rep, Seq("gh"))
+      .select(col(idCol), col("off"))
+      .withColumn("_prev", lag(col("off"), 1).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_rep_windows"),
+        sum(when(col("_prev").isNull || col("off") - col("_prev") > n, 1L)
+          .otherwise(0L)).as("n_spans"),
+        sum(when(col("_prev").isNull, n.toLong)
+          .otherwise(least(col("off") - col("_prev"), lit(n.toLong))))
+          .as("covered_tokens"))
+  }
+
   /** Jaccard similarity of two shingle-set columns (distinct semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

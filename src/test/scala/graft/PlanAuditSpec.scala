@@ -134,6 +134,15 @@ class PlanAuditSpec extends SparkSpec {
       s"email pattern appears $emailReplaces times (want 2: count + one replace):\n$p")
   }
 
+  test("q58_substring_dedup: span hits attach by hash equi-join, never all-pairs") {
+    val p = plan("q58_substring_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup must never be all-pairs:\n$p")
+    // map-side combine on the (hash, doc) distinct-count aggregation —
+    // the shuffle carries combined (gh, id) pairs, not raw windows
+    assert(p.contains("partial_"), p)
+  }
+
   test("q31_pivot: pinned pivot values — no extra distinct-collect job") {
     // an unpinned pivot runs a separate collect() of distinct event_type
     // before planning; with pinned values the plan is a single aggregate

@@ -82,6 +82,23 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("repeatedSpans: cross-doc spans merge; internal-only repetition excluded") {
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")      // 12 shared tokens
+    val innerRep = (1 to 10).map(i => s"r$i").mkString(" ")  // intra-doc only
+    val docs = Seq(
+      (1L, s"$span unique one tail follows here"),
+      (2L, s"lead in $span"),
+      (3L, s"$innerRep $innerRep"), // repeated inside ONE doc: not cross-doc
+      (4L, "completely different content with no overlaps at all beyond")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, "doc_id", "text", n = 10)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 12 shared tokens -> 3 shared 10-gram windows (offsets k, k+1, k+2),
+    // merging to ONE span covering 12 tokens, in both docs
+    assert(got.toSeq == Seq((1L, 3L, 1L, 12L), (2L, 3L, 1L, 12L)), got.toSeq)
+  }
+
   test("lshBands: identical docs still collide per band") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
