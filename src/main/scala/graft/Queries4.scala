@@ -466,8 +466,60 @@ object Queries4 {
                AS BIGINT) AS covered_tokens
       FROM sp GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ------------------------------------------------------ q59_simhash_neardup
+  /** SimHash Hamming near-dup retrieval
+    * ([[graft.operators.Dedup.simhashNearDup]]): 48-bit fingerprints,
+    * pairs within Hamming distance 3 via the 4-chunk pigeonhole join —
+    * recall is GUARANTEED (any ≤3-bit difference leaves one 12-bit
+    * chunk identical), unlike minhash banding's probabilistic recall.
+    * Complements q11 (Jaccard/minhash): simhash weights tokens by
+    * multiplicity and catches "identical except a few tokens" pairs.
+    * The oracle rebuilds the identical fingerprints (q12's bit-vote
+    * formula at 48 bits) and replays the chunk join + popcount verify.
+    */
+  val q59SimhashNeardup = {
+    val bits = 48
+    val bitSumsSql = (0 until bits)
+      .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n                 ")
+    val simhashSql = (0 until bits)
+      .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    QueryDef(
+      "q59_simhash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Dedup
+        val fp = t(s, dir, "documents")
+          .select($"doc_id", Dedup.simhash(words($"text"), bits, 7).as("simhash"))
+        Dedup.simhashNearDup(fp, "doc_id", "simhash", maxHamming = 3, bits = bits)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        h AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5('7:' || word), 1, 15)) AS BIGINT) AS hv
+              FROM w),
+        bits AS (
+          SELECT doc_id,
+                 $bitSumsSql
+          FROM h GROUP BY doc_id),
+        sh AS (SELECT doc_id, CAST($simhashSql AS BIGINT) AS simhash FROM bits),
+        bands AS (
+          SELECT doc_id, simhash, b, (simhash >> (12*b)) & 4095 AS chunk
+          FROM sh, unnest(range(0, 4)) AS t(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                 bit_count(xor(a.simhash, c.simhash)) AS hamming
+          FROM bands a JOIN bands c USING (b, chunk)
+          WHERE a.doc_id < c.doc_id)
+        SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b"""))
+  }
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q52Redaction, q53DomainMix, q54IncrementalDedup, q55SequencePack,
-    q56QualityGate, q57RedactionUnicode, q58SubstringDedup)
+    q56QualityGate, q57RedactionUnicode, q58SubstringDedup, q59SimhashNeardup)
 }

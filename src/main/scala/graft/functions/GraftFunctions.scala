@@ -45,6 +45,12 @@ object GraftFunctions {
   def ngram_hashes(wordHashes: Column, n: Int): Column =
     graftcolumn(NgramHashes(graftcolumn.expr(wordHashes), n))
 
+  /** SimHash fingerprint from a token-hash array in one native pass —
+    * value-identical to the aggregate/zip_with vote-fold composition.
+    */
+  def simhash_bits(hashes: Column, bits: Int): Column =
+    graftcolumn(SimHashBits(graftcolumn.expr(hashes), bits))
+
   /** Per-set token membership counts in one pass — native fast path,
     * identical to `sets.map(s => size(filter(arr, t => array_contains(s, t))))`.
     */

@@ -229,20 +229,57 @@ object Dedup {
   /** SimHash fingerprint over a token array: for each of `bits` bit
     * positions, sum +1/-1 votes from each token's hash; set the bit iff
     * the vote is positive. Tokens keep multiplicity (standard SimHash).
-    * Vectorized per-row — ONE md5 pass over the tokens and ONE fold
-    * updating all bit votes via zip_with (per-bit folds would recompute
-    * the token hashes `bits` times: lambdas defeat subexpression
-    * elimination).
+    * ONE native md5 pass over the tokens ([[graft.functions.Hash64Array]])
+    * and ONE native vote pass ([[graft.functions.SimHashBits]] —
+    * value-identical to the aggregate/zip_with composition it replaced,
+    * whose interpreted `bits`-wide accumulator fold dominated the
+    * 48-bit q59 fingerprint stage).
     */
-  def simhash(tokens: Column, bits: Int, seed: Int): Column = {
-    val masks = array((0 until bits).map(b => lit(1L << b)): _*)
-    val hs = hash64_array(tokens, seed)
-    val votes = aggregate(hs, array_repeat(lit(0), bits),
-      (acc, h) => zip_with(acc, masks,
-        (v, m) => v + when(h.bitwiseAND(m) === m, 1).otherwise(-1)))
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+  def simhash(tokens: Column, bits: Int, seed: Int): Column =
+    simhash_bits(hash64_array(tokens, seed), bits)
+
+  /** SimHash Hamming-distance near-dup retrieval — the pigeonhole
+    * companion to [[simhash]]: MinHash-LSH ([[lshCandidatePairs]])
+    * buckets by Jaccard similarity of shingle SETS; this buckets by
+    * Hamming distance of simhash fingerprints, which weights tokens by
+    * multiplicity and is the standard web-scale near-dup retrieval
+    * shape for "almost identical except a few tokens" documents.
+    *
+    * Pigeonhole guarantee: the `bits`-wide fingerprint splits into
+    * `maxHamming + 1` equal chunks, so any pair within `maxHamming`
+    * differing bits agrees EXACTLY on at least one chunk — candidate
+    * generation by chunk-equality equi-join has recall 1.0 (not
+    * probabilistic, unlike minhash banding). Verification is one
+    * codegen'd `bit_count(a XOR b)` per candidate.
+    *
+    * Scale shape: one narrow chunk-explode pass (rows × chunks), a
+    * bucket equi-join on (band, chunk) — shuffle co-locates buckets,
+    * never all-pairs — and the popcount filter BEFORE the pair
+    * distinct. Returns `(id_a, id_b, hamming)` with `id_a < id_b`.
+    * `bits` must be ≤ 63 (sign-safe in both engines' BIGINT) and
+    * divisible by `maxHamming + 1`.
+    */
+  def simhashNearDup(df: DataFrame, idCol: String, simhashCol: String,
+                     maxHamming: Int, bits: Int = 48): DataFrame = {
+    val nBands = maxHamming + 1
+    require(bits > 0 && bits < 64 && bits % nBands == 0,
+      s"bits ($bits) must be in (0, 64) and divisible by maxHamming+1 ($nBands)")
+    val w = bits / nBands
+    val mask = (1L << w) - 1
+    val chunks = df.select(col(idCol), col(simhashCol),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col(simhashCol), b * w).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "chunk")))
+    val a = chunks.select(col("band"), col("chunk"),
+      col(idCol).as("id_a"), col(simhashCol).as("_sha"))
+    val b = chunks.select(col("band"), col("chunk"),
+      col(idCol).as("id_b"), col(simhashCol).as("_shb"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_sha").bitwiseXOR(col("_shb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Prefix fingerprint: hash of the first `n` tokens — a cheap rolling-

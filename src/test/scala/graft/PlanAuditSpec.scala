@@ -143,6 +143,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("q59_simhash_neardup: chunk-bucket equi-join, never all-pairs") {
+    val p = plan("q59_simhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"Hamming retrieval must never be all-pairs:\n$p")
+    assert(p.contains("chunk"), p)
+  }
+
   test("q31_pivot: pinned pivot values — no extra distinct-collect job") {
     // an unpinned pivot runs a separate collect() of distinct event_type
     // before planning; with pinned values the plan is a single aggregate

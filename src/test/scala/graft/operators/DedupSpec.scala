@@ -99,6 +99,21 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L, 1L, 12L), (2L, 3L, 1L, 12L)), got.toSeq)
   }
 
+  test("simhashNearDup: pigeonhole recall within maxHamming; beyond-k filtered") {
+    val base = 0x0000123456789ABCL // 48-bit fingerprint
+    val df = Seq(
+      (1L, base),
+      (2L, base ^ 0x7L),   // 3 bits differ -> MUST surface (guaranteed recall)
+      (3L, base ^ 0xFL),   // 4 bits differ, chunks 1-3 still equal -> candidate, filtered
+      (4L, base ^ ((1L << 0) | (1L << 12) | (1L << 24) | (1L << 36)))
+      // one bit differs in EVERY 12-bit chunk -> not even a candidate
+    ).toDF("doc_id", "simhash")
+    val got = Dedup.simhashNearDup(df, "doc_id", "simhash", maxHamming = 3, bits = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (1,2) ham 3; (2,3) ham 1 (0x7^0xF = 0x8); everything else > 3
+    assert(got == Set((1L, 2L, 3L), (2L, 3L, 1L)), got)
+  }
+
   test("lshBands: identical docs still collide per band") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
