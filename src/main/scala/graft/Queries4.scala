@@ -518,8 +518,55 @@ object Queries4 {
         FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b"""))
   }
 
+  // ------------------------------------------------------------- q60_lm_score
+  /** Statistical LM quality scoring
+    * ([[graft.operators.TextAnalysis.lmSurprisal]]): mean bigram
+    * surprisal per document under corpus-counted add-one-smoothed
+    * bigram probabilities, quantized to integer centi-nats so the one
+    * transcendental (`ln`) sits ~12 orders of magnitude away from the
+    * integer rounding boundary and every aggregate is exact — the
+    * determinism contract that lets DuckDB replay a log-based score
+    * bit-for-bit. The oracle rebuilds the same count tables and the
+    * identical NgramHashes bigram fold (prepend-0 list_reduce).
+    */
+  val q60LmScore = QueryDef(
+    "q60_lm_score",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.TextAnalysis
+      TextAnalysis.lmSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_transform(string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+        FROM documents),
+      uni AS (
+        SELECT u, count(*) AS c1
+        FROM (SELECT unnest(wh) AS u FROM toks) GROUP BY u),
+      v AS (SELECT count(*) AS vsz FROM uni),
+      big AS (
+        SELECT doc_id, i AS off,
+               list_reduce(list_concat([CAST(0 AS BIGINT)],
+                   list_transform(list_slice(wh, i+1, i+2), x -> x % 1073741824)),
+                 (a, b) -> (a * 37 + b) % 1073741789) AS bh,
+               wh[i+1] AS u1
+        FROM toks, unnest(range(0, len(wh) - 1)) AS t(i)
+        WHERE len(wh) >= 2),
+      bc AS (SELECT bh, count(*) AS c12 FROM big GROUP BY bh),
+      sc AS (
+        SELECT big.doc_id,
+               CAST(round(ln(CAST(c1 + vsz AS DOUBLE) / (c12 + 1)) * 100, 0)
+                 AS BIGINT) AS s
+        FROM big JOIN bc USING (bh) JOIN uni ON uni.u = big.u1 CROSS JOIN v)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS score
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q52Redaction, q53DomainMix, q54IncrementalDedup, q55SequencePack,
-    q56QualityGate, q57RedactionUnicode, q58SubstringDedup, q59SimhashNeardup)
+    q56QualityGate, q57RedactionUnicode, q58SubstringDedup, q59SimhashNeardup,
+    q60LmScore)
 }

@@ -73,6 +73,61 @@ object TextAnalysis {
       lenScore * 0.5 + stopScore * 0.3 - punctPenalty * 0.2 + lit(0.2)), 6)
   }
 
+  /** Statistical (n-gram LM) quality scoring — the CCNet-style signal
+    * the heuristic ratios above can't give: score each document by its
+    * average bigram SURPRISAL under a bigram model counted from the
+    * corpus itself (add-one smoothing over the observed vocabulary).
+    * High surprisal = improbable token transitions = gibberish/noise;
+    * low = fluent-but-boilerplate; a quality gate cuts both tails.
+    *
+    * Returns `(id, n_bigrams, score)` for documents with ≥2 tokens,
+    * where `score` is the mean surprisal in CENTI-NATS:
+    * `round(ln((c(w1) + V) / (c(w1,w2) + 1)) · 100)` summed exactly as
+    * integers, then divided once. The integer quantization is the
+    * cross-engine determinism contract: `ln` is the one transcendental
+    * and libm implementations differ by ulps, but a 1–2 ulp difference
+    * flips a `round(x·100)` integer only within ~4e-14 of a half
+    * boundary — vanishing at corpus scale — while every downstream sum
+    * stays exact. (Summing raw doubles would be shuffle-order-
+    * dependent; summing rounded decimals would put the boundary at
+    * 1e-12 — ~10⁴× riskier.)
+    *
+    * Scale shape: two corpus passes (the token scan feeds both the
+    * count tables and the probe side — no corpus-sized cache), counts
+    * by hash-groupBy with map-side combine, probe joins co-partitioned
+    * on the same hash keys, vocabulary size as a broadcast 1-row
+    * aggregate (the TF-IDF pattern). At 100 TB the count tables are
+    * themselves corpus-derived relations (shuffle carries (hash, count)
+    * pairs, never text); a production variant would top-K-prune +
+    * broadcast them, trading exactness for a map-only probe.
+    */
+  def lmSurprisal(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode,
+      element_at, lit, posexplode, round, size, sum}
+    import graft.operators.Dedup.wordHashes
+    val toks = df.select(col(idCol), wordHashes(words(col(textCol))).as("_wh"))
+    val uni = toks.select(explode(col("_wh")).as("_u"))
+      .groupBy(col("_u")).agg(count(lit(1)).as("_c1"))
+    val vsz = broadcast(uni.agg(count(lit(1)).as("_vsz")))
+    val big = toks.filter(size(col("_wh")) >= 2)
+      .select(col(idCol), col("_wh"),
+        posexplode(ngram_hashes(col("_wh"), 2)).as(Seq("_off", "_bh")))
+      .select(col(idCol), col("_bh"),
+        element_at(col("_wh"), col("_off") + 1).as("_u1"))
+    val bc = big.groupBy(col("_bh")).agg(count(lit(1)).as("_c12"))
+    big.join(bc, Seq("_bh"))
+      .join(uni, col("_u1") === col("_u"))
+      .crossJoin(vsz)
+      .select(col(idCol),
+        round(org.apache.spark.sql.functions.log(
+          (col("_c1") + col("_vsz")).cast("double") / (col("_c12") + 1)) * 100, 0)
+          .cast("long").as("_s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("_s")).cast("double") / count(lit(1)), 6).as("score"))
+  }
+
   /** Marker-word language ID. Scores each language by marker-token hits
     * (with multiplicity) and returns the argmax; ties break by the order
     * of `markers` (first wins). A real system would use character n-gram
