@@ -564,9 +564,71 @@ object Queries4 {
              round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS score
       FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ----------------------------------------------------- q61_knn_ivf_indexed
+  /** IVF ANN against a PERSISTED index
+    * ([[graft.operators.Similarity.writeIvfIndex]] /
+    * [[graft.operators.Similarity.knnIvfIndexed]]): q25's exact
+    * semantics — same centroids, nprobe=1, k=3, hash-identical output —
+    * but run the production way: cell assignment and norms for the
+    * corpus are computed once and written as inverted lists bucketed by
+    * cell; the probe batch equi-joins into them from disk with no
+    * corpus-side shuffle (IvfIndexSpec pins the plan). The vector twin
+    * of q54's band index.
+    */
+  val q61KnnIvfIndexed = {
+    def sqlDot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+    def sqlCos(a: String, b: String) =
+      s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+    QueryDef(
+      "q61_knn_ivf_indexed",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Similarity
+        val e = t(s, dir, "embeddings")
+        val centroids = e.filter($"vec_id" % 37 === 0 && $"vec_id" >= 100)
+          .orderBy($"vec_id").limit(8)
+          .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
+        val corpus = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+        Similarity.writeIvfIndex(corpus, centroids, "graft_q61_ivf", buckets = 8)
+        val (cent, lists) = Similarity.readIvfIndex(s, "graft_q61_ivf")
+        val probes = e.filter($"vec_id" < 5)
+          .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+        Similarity.knnIvfIndexed(probes, cent, lists, k = 3)
+          .select($"probe_id", $"cell", $"rn".cast("long").as("rn"), $"cand_id", $"cos")
+          .orderBy($"probe_id", $"rn")
+      },
+      Some(s"""
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid_vec
+          FROM embeddings WHERE vec_id % 37 = 0 AND vec_id >= 100
+          ORDER BY vec_id LIMIT 8),
+        pa AS (
+          SELECT probe_id, pv, centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY ${sqlCos("pv", "centroid_vec")} DESC, centroid_id) AS crn
+          FROM (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5), cent),
+        pc AS (SELECT probe_id, pv, cell FROM pa WHERE crn = 1),
+        ca AS (
+          SELECT cand_id, cv, centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY cand_id
+                   ORDER BY ${sqlCos("cv", "centroid_vec")} DESC, centroid_id) AS crn
+          FROM (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings), cent),
+        cc AS (SELECT cand_id, cv, cell FROM ca WHERE crn = 1),
+        s AS (
+          SELECT probe_id, pc.cell AS cell, cand_id, ${sqlCos("pv", "cv")} AS cos
+          FROM pc JOIN cc USING (cell) WHERE probe_id != cand_id),
+        r AS (
+          SELECT probe_id, cell, cand_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rn
+          FROM s)
+        SELECT probe_id, cell, rn, cand_id, cos FROM r
+        WHERE rn <= 3 ORDER BY probe_id, rn"""))
+  }
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q52Redaction, q53DomainMix, q54IncrementalDedup, q55SequencePack,
     q56QualityGate, q57RedactionUnicode, q58SubstringDedup, q59SimhashNeardup,
-    q60LmScore)
+    q60LmScore, q61KnnIvfIndexed)
 }

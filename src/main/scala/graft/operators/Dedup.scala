@@ -137,26 +137,8 @@ object Dedup {
     */
   def writeBandIndex(corpusBands: DataFrame, corpusShingles: DataFrame,
                      idCol: String, prefix: String, buckets: Int): (String, String) = {
-    def write(df: DataFrame, table: String, bucketCol: String): Unit = {
-      val spark = df.sparkSession
-      // a previous JVM's managed-table files outlive the in-memory
-      // catalog; saveAsTable refuses a fresh table over the stale
-      // location (LOCATION_ALREADY_EXISTS), so clear both first
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(table)))
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      df.write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-        .saveAsTable(table)
-    }
-    val bandsT = s"${prefix}_bands"
-    val shT = s"${prefix}_shingles"
-    write(corpusBands, bandsT, "band_key")
-    write(corpusShingles, shT, idCol)
-    (bandsT, shT)
+    (ScaleJoins.writeBucketed(corpusBands, s"${prefix}_bands", "band_key", buckets),
+      ScaleJoins.writeBucketed(corpusShingles, s"${prefix}_shingles", idCol, buckets))
   }
 
   /** Reopen the two tables [[writeBandIndex]] wrote. The scans carry the

@@ -82,6 +82,30 @@ object ScaleJoins {
     } finally freq.unpersist()
   }
 
+  /** Write `df` as a parquet catalog table bucketed+sorted by
+    * `bucketCol`, so later equi-joins keyed on it read the table
+    * co-partitioned from disk (no table-side Exchange). Clears any
+    * stale managed-table location first: a previous JVM's files outlive
+    * the in-memory catalog, and `saveAsTable` refuses a fresh table
+    * over them (LOCATION_ALREADY_EXISTS). Shared by the on-disk index
+    * builders ([[graft.operators.Dedup.writeBandIndex]],
+    * [[graft.operators.Similarity.writeIvfIndex]]).
+    */
+  def writeBucketed(df: DataFrame, table: String,
+                    bucketCol: String, buckets: Int): String = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+    table
+  }
+
   /** Write both sides bucketed by the join key so subsequent joins are
     * shuffle-free (co-located partitions). Returns the two catalog table
     * names. `numBuckets` should match the target parallelism of the
@@ -92,14 +116,8 @@ object ScaleJoins {
       left: DataFrame, leftTable: String,
       right: DataFrame, rightTable: String,
       key: String, numBuckets: Int): (String, String) = {
-    def write(df: DataFrame, table: String): Unit =
-      df.write.mode("overwrite")
-        .bucketBy(numBuckets, key)
-        .sortBy(key)
-        .format("parquet")
-        .saveAsTable(table)
-    write(left, leftTable)
-    write(right, rightTable)
+    writeBucketed(left, leftTable, key, numBuckets)
+    writeBucketed(right, rightTable, key, numBuckets)
     (leftTable, rightTable)
   }
 }

@@ -215,6 +215,51 @@ object Similarity {
       .select("probe_id", "cell", "rn", "cand_id", "cos")
   }
 
+  /** Write the IVF index ONCE as catalog tables: the centroid codebook
+    * (`{prefix}_centroids` — tiny) and the corpus inverted lists
+    * (`{prefix}_lists` — one row per corpus vector with its cell and
+    * PRECOMPUTED norm, bucketed by `cell`, the probe join key). This is
+    * the ANN production shape at 100 TB, the vector twin of
+    * [[Dedup.writeBandIndex]]: cell assignment and norms are paid once
+    * at index-build time; every later probe batch equi-joins INTO the
+    * bucketed lists with no corpus-side shuffle or recompute
+    * ([[knnIvfIndexed]]; plan pinned by IvfIndexSpec).
+    */
+  def writeIvfIndex(corpus: DataFrame, centroids: DataFrame,
+                    prefix: String, buckets: Int): (String, String) = {
+    val lists = ivfAssign(corpus, "cv", "cand_id", centroids)
+      .withColumn("_cn", l2norm(col("cv")))
+    (ScaleJoins.writeBucketed(centroids, s"${prefix}_centroids", "centroid_id", 1),
+      ScaleJoins.writeBucketed(lists, s"${prefix}_lists", "cell", buckets))
+  }
+
+  /** Reopen the [[writeIvfIndex]] tables: (centroids, lists). */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   prefix: String): (DataFrame, DataFrame) =
+    (spark.table(s"${prefix}_centroids"), spark.table(s"${prefix}_lists"))
+
+  /** IVF top-k against a PERSISTED index ([[writeIvfIndex]]): identical
+    * semantics to [[knnIvf]], but the corpus side comes pre-assigned
+    * and pre-normed from the bucketed lists table — only the probes are
+    * assigned per run, and the cell join reads the corpus
+    * co-partitioned from disk.
+    */
+  def knnIvfIndexed(probes: DataFrame, centroids: DataFrame, lists: DataFrame,
+                    k: Int, nprobe: Int = 1): DataFrame = {
+    val pc = ivfAssign(probes, "pv", "probe_id", centroids, nprobe)
+      .withColumn("_pn", l2norm(col("pv")))
+    val joined = pc.join(lists, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("pv"), col("cv")) / (col("_pn") * col("_cn")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "cell", "rn", "cand_id", "cos")
+  }
+
   /** Spherical k-means (Lloyd's) — the trained coarse quantizer for
     * [[knnIvf]]: returns `(centroid_id, centroid_vec)` in exactly the
     * shape `knnIvf`/`ivfAssign` consume, so
