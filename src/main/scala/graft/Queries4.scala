@@ -626,9 +626,52 @@ object Queries4 {
         WHERE rn <= 3 ORDER BY probe_id, rn"""))
   }
 
+  // ------------------------------------------------------ q62_distinct_approx
+  /** Cardinality sketches (HyperLogLog `approx_count_distinct`) under
+    * the q43 verdict pattern: sketch estimates are engine-specific
+    * (Spark HLL++ vs DuckDB HLL never hash-match raw), so each engine
+    * emits the exact distinct count plus a SQL-checked verdict that its
+    * OWN sketch lands within a conservative error window (20% of exact
+    * with a +10 floor — Spark runs rsd=0.05, ~4σ inside; DuckDB's HLL
+    * is tighter still). The emitted relation is engine-independent and
+    * hash-green iff both sketches honor their bounds. The exact
+    * count_distinct pass exists to verify the contract; at 100 TB the
+    * SKETCH is the production path (map-side mergeable, O(kB)/group
+    * state) and the exact expand-shuffle is what it replaces.
+    */
+  val q62DistinctApprox = QueryDef(
+    "q62_distinct_approx",
+    (s, dir) => {
+      import s.implicits._
+      val melted = t(s, dir, "lineitem")
+        .select($"l_returnflag", explode(map(
+          lit("part"), $"l_partkey".cast("long"),
+          lit("supp"), $"l_suppkey".cast("long"))).as(Seq("metric", "v")))
+      melted.groupBy($"l_returnflag", $"metric")
+        .agg(count_distinct($"v").as("n_exact"),
+          approx_count_distinct($"v", rsd = 0.05).as("_approx"))
+        .select($"l_returnflag", $"metric", $"n_exact",
+          (abs($"_approx" - $"n_exact") <=
+            greatest($"n_exact" * 0.2, lit(10.0))).as("within_bound"))
+        .orderBy($"l_returnflag", $"metric")
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag, 'part' AS metric, CAST(l_partkey AS BIGINT) AS v FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'supp' AS metric, CAST(l_suppkey AS BIGINT) AS v FROM lineitem),
+      a AS (
+        SELECT l_returnflag, metric,
+               count(DISTINCT v) AS n_exact,
+               approx_count_distinct(v) AS approx
+        FROM m GROUP BY 1, 2)
+      SELECT l_returnflag, metric, n_exact,
+             abs(approx - n_exact) <= greatest(n_exact * 0.2, 10.0) AS within_bound
+      FROM a ORDER BY l_returnflag, metric"""))
+
   /** Registry. */
   def all: Seq[QueryDef] = Seq(
     q52Redaction, q53DomainMix, q54IncrementalDedup, q55SequencePack,
     q56QualityGate, q57RedactionUnicode, q58SubstringDedup, q59SimhashNeardup,
-    q60LmScore, q61KnnIvfIndexed)
+    q60LmScore, q61KnnIvfIndexed, q62DistinctApprox)
 }
