@@ -149,6 +149,25 @@ object Dedup {
                     prefix: String): (DataFrame, DataFrame) =
     (spark.table(s"${prefix}_bands"), spark.table(s"${prefix}_shingles"))
 
+  /** Rewrite the band index dropping duplicate rows — the periodic
+    * maintenance pass for at-least-once streaming appends
+    * ([[graft.streaming.StreamingContentDedup]]): a replayed batch
+    * re-appends its bands/shingles, which costs storage and duplicate
+    * candidate generation (not correctness — pairs are DISTINCT).
+    * One distinct per table, then the normal bucketed rewrite; probes
+    * running DURING the rewrite see the old tables until the catalog
+    * swap (saveAsTable overwrite).
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       prefix: String, buckets: Int): Unit = {
+    val (bands, sh) = readBandIndex(spark, prefix)
+    // materialize BEFORE the overwrite: the rewrite plan reads the very
+    // tables it replaces, so stage the distinct rows first
+    val bandsD = bands.distinct().localCheckpoint(true)
+    val shD = sh.distinct().localCheckpoint(true)
+    writeBandIndex(bandsD, shD, "doc_id", prefix, buckets)
+  }
+
   /** Substring-level exact dedup: find spans of `n` consecutive tokens
     * repeated ACROSS documents (boilerplate headers, licence blocks,
     * syndicated paragraphs — duplication the doc-level operators can't

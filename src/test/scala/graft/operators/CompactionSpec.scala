@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Compaction.compactDir]] (atomic small-file rewrite) and
+  * [[Dedup.compactBandIndex]] (dedup of at-least-once index appends).
+  */
+class CompactionSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.functions.GraftFunctions.words
+
+  test("compactDir: many small files -> few, data identical, rerun no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"
+    (1L to 1000L).toDF("v").repartition(20).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum($"v")).collect().head
+
+    val (n0, n1) = Compaction.compactDir(spark, dir)
+    assert(n0 == 20 && n1 == 1, s"($n0, $n1)")
+    val after = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum($"v")).collect().head
+    assert(after == before)
+    assert(Compaction.compactDir(spark, dir) == (1, 1), "rerun must no-op")
+  }
+
+  test("compactBandIndex: replayed appends deduplicate; bucketing survives") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val sh = docs.select($"doc_id",
+      Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh"))
+    val bands = Dedup.lshBands(
+      sh.select($"doc_id", Dedup.minhashSig($"sh", 8).as("sig")),
+      "doc_id", "sig", bands = 4, rowsPerBand = 2)
+    Dedup.writeBandIndex(bands, sh, "doc_id", "graft_spec_compact", buckets = 4)
+
+    // simulate an at-least-once replay: append the same rows again
+    def replay(df: org.apache.spark.sql.DataFrame, table: String, key: String): Unit =
+      df.write.mode("append").format("parquet")
+        .bucketBy(4, key).sortBy(key).saveAsTable(table)
+    replay(bands, "graft_spec_compact_bands", "band_key")
+    replay(sh, "graft_spec_compact_shingles", "doc_id")
+    assert(spark.table("graft_spec_compact_shingles").count() == 4)
+
+    Dedup.compactBandIndex(spark, "graft_spec_compact", buckets = 4)
+    assert(spark.table("graft_spec_compact_shingles").count() == 2)
+    assert(spark.table("graft_spec_compact_bands").count() == bands.count())
+    // still a bucketed table after the rewrite
+    val ddl = spark.sql("DESCRIBE EXTENDED graft_spec_compact_bands")
+      .collect().map(_.mkString(" ")).mkString("\n")
+    assert(ddl.contains("band_key") && ddl.toLowerCase.contains("bucket"), ddl)
+  }
+}
