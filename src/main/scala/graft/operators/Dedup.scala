@@ -90,14 +90,16 @@ object Dedup {
       posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "band_key")))
   }
 
-  /** Candidate pairs from banded LSH: a self-join on (band, band_key) —
-    * the shuffle co-locates each bucket, so pair generation is local to a
-    * bucket and never quadratic in the corpus.
+  /** Candidate pairs from banded LSH: a self-join on `band_key` — the
+    * band index is hashed into the key (see [[lshBands]]), so the key
+    * alone determines the band and carries the whole join; the shuffle
+    * co-locates each bucket, so pair generation is local to a bucket
+    * and never quadratic in the corpus.
     */
   def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col("band"), col("band_key"), col(idCol).as("id_a"))
-    val b = bands.select(col("band"), col("band_key"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "band_key"))
+    val a = bands.select(col("band_key"), col(idCol).as("id_a"))
+    val b = bands.select(col("band_key"), col(idCol).as("id_b"))
+    a.join(b, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
