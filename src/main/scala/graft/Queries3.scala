@@ -976,32 +976,7 @@ object Queries3 {
     * agree bit-for-bit.
     */
   val q49KmeansIvf = {
-    def sqlDot(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
-    def sqlCos(a: String, b: String) =
-      s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
-    // one Lloyd iteration: assign to the argmax-cosine centroid of `cin`,
-    // then per-dimension exact-decimal mean, empty cells keeping their
-    // previous centroid — mirrors Similarity.kmeans step for step
-    def sqlIter(i: Int, cin: String) = s"""
-      a$i AS (
-        SELECT vec_id, embedding, cid FROM (
-          SELECT vec_id, embedding, cid,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-          FROM (SELECT e.vec_id, e.embedding, $cin.cid,
-                       ${sqlCos("e.embedding", s"$cin.c")} AS cos
-                FROM e, $cin))
-        WHERE rn = 1),
-      u$i AS (
-        SELECT cid, d,
-               round(CAST(SUM(CAST(embedding[d] AS DECIMAL(27,12))) AS DOUBLE)
-                     / COUNT(*), 9) AS m
-        FROM a$i, unnest(range(1, 65)) AS t$i(d) GROUP BY cid, d),
-      c$i AS (SELECT cid, list(m ORDER BY d) AS c FROM u$i GROUP BY cid),
-      cc$i AS (
-        SELECT cid, c FROM c$i
-        UNION ALL
-        SELECT cid, c FROM $cin WHERE cid NOT IN (SELECT cid FROM c$i))"""
+    import KmeansSql.trainAssignCtes
     QueryDef(
       "q49_kmeans_ivf",
       (s, dir) => {
@@ -1027,22 +1002,7 @@ object Queries3 {
           .orderBy($"cell")
       },
       Some(s"""
-        WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        init AS (
-          SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
-                 list_transform(embedding, x -> x::DOUBLE) AS c
-          FROM (SELECT vec_id, embedding,
-                       CAST(('0x' || substr(md5('31:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-                FROM e ORDER BY h, vec_id LIMIT 8)),
-        ${sqlIter(1, "init")},
-        ${sqlIter(2, "cc1")},
-        fin AS (
-          SELECT vec_id, cid, cos FROM (
-            SELECT vec_id, cid, cos,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-            FROM (SELECT e.vec_id, cc2.cid, ${sqlCos("e.embedding", "cc2.c")} AS cos
-                  FROM e, cc2))
-          WHERE rn = 1)
+        WITH $trainAssignCtes
         SELECT cid AS cell, COUNT(*) AS n_members,
                round(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cos
         FROM fin GROUP BY 1 ORDER BY cell"""))
@@ -1234,4 +1194,59 @@ object Queries3 {
     q42TokenBudget, q43PercentilesApprox, q44KnnIvfMultiprobe,
     q45StratifiedSample, q46Repetition, q47Contamination, q48ShardAssignment,
     q49KmeansIvf, q50AnnRecall, q51KnnLshMultiprobe)
+}
+
+/** DuckDB replay of the q49 spherical-k-means training (k=8, 2 Lloyd
+  * iterations, seed 31 — [[graft.operators.Similarity.kmeans]]'s exact
+  * arithmetic), shared by every oracle that builds on the trained
+  * codebook (q49 codebook quality, q66 cluster-balanced sampling).
+  */
+private[graft] object KmeansSql {
+  def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+  def sqlCos(a: String, b: String): String =
+    s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+  // one Lloyd iteration: assign to the argmax-cosine centroid of `cin`,
+  // then per-dimension exact-decimal mean, empty cells keeping their
+  // previous centroid — mirrors Similarity.kmeans step for step
+  def sqlIter(i: Int, cin: String): String = s"""
+      a$i AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT vec_id, embedding, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM (SELECT e.vec_id, e.embedding, $cin.cid,
+                       ${sqlCos("e.embedding", s"$cin.c")} AS cos
+                FROM e, $cin))
+        WHERE rn = 1),
+      u$i AS (
+        SELECT cid, d,
+               round(CAST(SUM(CAST(embedding[d] AS DECIMAL(27,12))) AS DOUBLE)
+                     / COUNT(*), 9) AS m
+        FROM a$i, unnest(range(1, 65)) AS t$i(d) GROUP BY cid, d),
+      c$i AS (SELECT cid, list(m ORDER BY d) AS c FROM u$i GROUP BY cid),
+      cc$i AS (
+        SELECT cid, c FROM c$i
+        UNION ALL
+        SELECT cid, c FROM $cin WHERE cid NOT IN (SELECT cid FROM c$i))"""
+
+  /** CTE chain `e → init → (iter 1) → (iter 2) → fin`: trains the
+    * codebook and argmax-assigns every vector to it — `fin` carries
+    * `(vec_id, cid, cos)`. Splice as `WITH $trainAssignCtes …`.
+    */
+  def trainAssignCtes: String = s"""e AS (SELECT vec_id, embedding FROM embeddings),
+        init AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
+                 list_transform(embedding, x -> x::DOUBLE) AS c
+          FROM (SELECT vec_id, embedding,
+                       CAST(('0x' || substr(md5('31:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM e ORDER BY h, vec_id LIMIT 8)),
+        ${sqlIter(1, "init")},
+        ${sqlIter(2, "cc1")},
+        fin AS (
+          SELECT vec_id, cid, cos FROM (
+            SELECT vec_id, cid, cos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM (SELECT e.vec_id, cc2.cid, ${sqlCos("e.embedding", "cc2.c")} AS cos
+                  FROM e, cc2))
+          WHERE rn = 1)"""
 }

@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Round-9 queries: corpus-hygiene depth for the LLM-pipeline north star —
+  * boilerplate n-gram mining, benchmark decontamination (the cut, not just
+  * the q47 detection), Bloom-prefiltered seen-key dedup, and
+  * cluster-balanced diversity sampling over the q49 codebook. Same
+  * oracle-parity rules as [[Queries]].
+  */
+object Queries5 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ------------------------------------------------------------ q63_ngram_topk
+  /** Boilerplate mining ([[graft.operators.TextAnalysis.frequentNgrams]]):
+    * the 20 word-3-grams appearing in the most documents (df ≥ 2) —
+    * nav bars, license blurbs, and template text repeat verbatim across
+    * a web corpus and surface here first. Per-doc distinct → explode →
+    * one partial-agg count shuffle; the top-20 is a `TakeOrdered`, not
+    * a global sort. Ordering is total (df desc, then the n-gram string),
+    * so the LIMIT cut is deterministic in both engines.
+    */
+  val q63NgramTopk = QueryDef(
+    "q63_ngram_topk",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.TextAnalysis
+        .frequentNgrams(t(s, dir, "documents"), "text", n = 3, minDf = 2L)
+        .orderBy($"df_count".desc, $"ngram")
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3),
+      ng AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(w, i+1, i+3), ' ') AS ngram
+        FROM toks, unnest(range(0, len(w) - 2)) AS t(i))
+      SELECT ngram, CAST(count(*) AS BIGINT) AS df_count
+      FROM ng GROUP BY ngram HAVING count(*) >= 2
+      ORDER BY df_count DESC, ngram LIMIT 20"""))
+
+  // --------------------------------------------------------- q64_decontaminate
+  /** Benchmark decontamination ([[graft.operators.Contamination.cut]]):
+    * q47 detects test-set overlap; this query SHIPS the cut — remove
+    * every training document whose 3-gram shingle overlap with the
+    * held-out set (doc_id % 97 = 0) reaches 4%, then report the
+    * per-source funnel (docs kept/cut, surviving token mass). The
+    * test-set index broadcasts, the corpus is probed map-side, and the
+    * cut is a broadcast anti join against the tiny contaminated-id
+    * list — the corpus never shuffles.
+    */
+  val q64Decontaminate = QueryDef(
+    "q64_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Contamination
+      val docs = t(s, dir, "documents")
+      val test = docs.filter($"doc_id" % 97 === 0)
+      val train = docs.filter($"doc_id" % 97 =!= 0)
+      val kept = Contamination.cut(train, test, "doc_id", "text",
+        minOverlapFrac = 0.04)
+      val tot = train.groupBy($"source").agg(count(lit(1)).as("n_train"))
+      val k = kept.groupBy($"source").agg(count(lit(1)).as("n_kept"),
+        sum(size(words($"text")).cast("long")).as("n_tokens_kept"))
+      tot.join(k, Seq("source"), "left")
+        .select($"source", $"n_train",
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          ($"n_train" - coalesce($"n_kept", lit(0L))).as("n_cut"),
+          coalesce($"n_tokens_kept", lit(0L)).as("n_tokens_kept"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w,
+               list_transform(string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+        FROM documents),
+      shx AS (
+        SELECT doc_id, source, len(w) AS n_tok,
+               CASE WHEN len(w) >= 3 THEN
+                 list_distinct(list_transform(
+                   list_transform(range(0, len(w) - 2), i ->
+                     ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                       * 41 + (wh[i+3] % 1073741824)),
+                   v -> v % 1073741789))
+               ELSE [] END AS sh
+        FROM toks),
+      ts AS (
+        SELECT DISTINCT unnest(sh) AS h FROM shx WHERE doc_id % 97 = 0),
+      tr AS (SELECT * FROM shx WHERE doc_id % 97 != 0),
+      bad AS (
+        SELECT doc_id FROM (
+          SELECT t2.doc_id, len(t2.sh) AS n_sh, count(*) AS n_shared
+          FROM (SELECT doc_id, sh, unnest(sh) AS h FROM tr WHERE len(sh) > 0) t2
+          JOIN ts USING (h) GROUP BY t2.doc_id, n_sh)
+        WHERE round(CAST(n_shared AS DOUBLE) / n_sh, 6) >= 0.04)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_train,
+             CAST(count(*) FILTER (doc_id NOT IN (SELECT doc_id FROM bad)) AS BIGINT) AS n_kept,
+             CAST(count(*) FILTER (doc_id IN (SELECT doc_id FROM bad)) AS BIGINT) AS n_cut,
+             CAST(coalesce(sum(n_tok) FILTER (doc_id NOT IN (SELECT doc_id FROM bad)), 0) AS BIGINT)
+               AS n_tokens_kept
+      FROM tr GROUP BY source ORDER BY source"""))
+
+  // ------------------------------------------------------------- q65_bloom_seen
+  /** Bloom-prefiltered seen-key dedup ([[graft.operators.PortableBloom]]):
+    * the reference's seen-URL anti-join (SURVEY §2 J1/F4) at 100 TB.
+    * "Seen" store = every 5th document's 2-word prefix key; the other
+    * docs probe a k=3, 8192-bit filter built from the store. The filter
+    * is a relational bit-position table (md5 hashing), so the probe side
+    * never shuffles (3 broadcast joins) AND the DuckDB oracle rebuilds
+    * the identical filter — the verdicts hash-match, which an opaque
+    * `bloom_filter_agg` sketch cannot do. Output: probe count, bloom
+    * hits, exact seen count, false positives (the cost of skipping the
+    * full anti-join), and the no-false-negative guarantee, verified
+    * against the exact join over ALL probes (verification only — the
+    * production path exact-joins just the bloom hits).
+    */
+  val q65BloomSeen = {
+    val K = 3
+    val MBits = 8192
+    QueryDef(
+      "q65_bloom_seen",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.PortableBloom
+        val key = concat_ws(" ", slice(words($"text"), 1, 2))
+        val docs = t(s, dir, "documents").select($"doc_id", key.as("key"))
+        val seenKeys = docs.filter($"doc_id" % 5 === 0)
+          .select($"key").distinct()
+        val bits = PortableBloom.build(seenKeys, $"key", K, MBits)
+        val probes = docs.filter($"doc_id" % 5 =!= 0)
+        PortableBloom.probe(probes, $"key", bits, K, MBits, "bloom_hit")
+          .join(broadcast(seenKeys.withColumn("_seen", lit(1L))),
+            Seq("key"), "left")
+          .select($"bloom_hit", $"_seen".isNotNull.as("seen"))
+          .agg(count(lit(1)).as("n_probe"),
+            sum(when($"bloom_hit", 1L).otherwise(0L)).as("n_bloom_hits"),
+            sum(when($"seen", 1L).otherwise(0L)).as("n_true_seen"),
+            sum(when($"bloom_hit" && !$"seen", 1L).otherwise(0L))
+              .as("n_false_pos"),
+            (sum(when($"seen" && !$"bloom_hit", 1L).otherwise(0L)) === 0)
+              .as("no_false_neg"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS key
+          FROM documents),
+        seen AS (SELECT DISTINCT key FROM d WHERE doc_id % 5 = 0),
+        bits AS (
+          SELECT DISTINCT unnest([
+            CAST(('0x' || substr(md5('100:' || key), 1, 15)) AS BIGINT) % $MBits,
+            CAST(('0x' || substr(md5('101:' || key), 1, 15)) AS BIGINT) % $MBits,
+            CAST(('0x' || substr(md5('102:' || key), 1, 15)) AS BIGINT) % $MBits]) AS bit
+          FROM seen),
+        p AS (
+          SELECT key,
+                 CAST(('0x' || substr(md5('100:' || key), 1, 15)) AS BIGINT) % $MBits AS b0,
+                 CAST(('0x' || substr(md5('101:' || key), 1, 15)) AS BIGINT) % $MBits AS b1,
+                 CAST(('0x' || substr(md5('102:' || key), 1, 15)) AS BIGINT) % $MBits AS b2
+          FROM d WHERE doc_id % 5 != 0),
+        m AS (
+          SELECT (b0 IN (SELECT bit FROM bits)
+                  AND b1 IN (SELECT bit FROM bits)
+                  AND b2 IN (SELECT bit FROM bits)) AS bloom_hit,
+                 key IN (SELECT key FROM seen) AS seen
+          FROM p)
+        SELECT CAST(count(*) AS BIGINT) AS n_probe,
+               CAST(coalesce(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bloom_hits,
+               CAST(coalesce(sum(CASE WHEN seen THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true_seen,
+               CAST(coalesce(sum(CASE WHEN bloom_hit AND NOT seen THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_false_pos,
+               coalesce(sum(CASE WHEN seen AND NOT bloom_hit THEN 1 ELSE 0 END), 0) = 0
+                 AS no_false_neg
+        FROM m"""))
+  }
+
+  // ---------------------------------------------------------- q66_cluster_sample
+  /** Cluster-balanced diversity sampling
+    * ([[graft.operators.Sampling.perGroupCapByHash]] over the q49
+    * codebook): train the spherical-k-means codebook, assign every
+    * vector to its cell, then keep at most 40 vectors per cell in
+    * deterministic hash order — the SemDeDup-shaped "sample the
+    * embedding space evenly, not the skewed natural mix" primitive.
+    * One shuffle on the cell id for the within-cell rank (output is
+    * cells × cap — the small side by construction); the oracle replays
+    * training, assignment, and the hash-order cut.
+    */
+  val q66ClusterSample = {
+    import KmeansSql.trainAssignCtes
+    QueryDef(
+      "q66_cluster_sample",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.{Sampling, Similarity}
+        val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        // persisted across training + assignment, q49/q11 convention:
+        // the returned frame reads it lazily, the session owner clears
+        val ePinned =
+          if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            e.persist() else e
+        val cent = Similarity.kmeans(ePinned, "embedding", "vec_id",
+          k = 8, iters = 2, seed = 31)
+        val assigned = Similarity
+          .ivfAssign(ePinned, "embedding", "vec_id", cent)
+          .select($"vec_id", $"cell")
+        Sampling.perGroupCapByHash(assigned, $"cell",
+            $"vec_id".cast("string"), cap = 40, seed = 33)
+          .select($"cell", $"vec_id", $"sample_rank")
+          .orderBy($"cell", $"sample_rank")
+      },
+      Some(s"""
+        WITH $trainAssignCtes,
+        r AS (
+          SELECT cid AS cell, vec_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY cid
+                   ORDER BY CAST(('0x' || substr(md5('33:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                            CAST(vec_id AS VARCHAR)) AS BIGINT) AS sample_rank
+          FROM fin)
+        SELECT cell, vec_id, sample_rank FROM r
+        WHERE sample_rank <= 40 ORDER BY cell, sample_rank"""))
+  }
+
+  def all: Seq[QueryDef] = Seq(
+    q63NgramTopk, q64Decontaminate, q65BloomSeen, q66ClusterSample)
+}

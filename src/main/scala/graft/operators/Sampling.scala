@@ -102,4 +102,28 @@ object Sampling {
       .filter(hash64(key, seed) % granularity < $"_cut")
       .drop("_stratum", "_cut")
   }
+
+  /** Equal-allocation sampling: keep AT MOST `cap` rows per `group`,
+    * chosen in deterministic `hash64(key, seed)` order (ties broken by
+    * the key itself) — the "diversity sample" primitive: with `group` =
+    * a cluster / language / source id, every group contributes up to
+    * the same quota regardless of its natural size, so the head of a
+    * skewed distribution can't crowd out its tail. Adds `sample_rank`
+    * (1-based within the group).
+    *
+    * Needs one shuffle on `group` for the within-group rank. That is
+    * the right plan while `groups × cap` (the OUTPUT) is the small side
+    * — the usual diversity-sampling regime. If a single group's INPUT
+    * is itself too large for one task's sort, switch to rate semantics
+    * ([[stratifiedByHash]] with rate ≈ cap/n_g): a narrow filter, at
+    * the cost of approximate (binomial) per-group counts.
+    */
+  def perGroupCapByHash(df: DataFrame, group: Column, key: Column,
+                        cap: Int, seed: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(hash64(key, seed), key)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= cap)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -155,5 +155,32 @@ object TextAnalysis {
     best.reverse.foldLeft(lit("und")) { case (acc, (lang, cond)) =>
       when(cond, lang).otherwise(acc)
     }
+  }
+
+  /** Frequent word n-grams by document frequency — the boilerplate /
+    * template-text detector (headers, nav bars, license blurbs repeat
+    * verbatim across a web corpus; their n-grams have high df). Returns
+    * `(ngram, df_count)` for n-grams appearing in at least `minDf`
+    * distinct documents.
+    *
+    * Scale shape: per-doc `array_distinct` (so a doc repeating its own
+    * n-gram counts once — df, not tf) → explode → ONE partial-agg
+    * count shuffle keyed by the n-gram. Map-side combine absorbs the
+    * common n-grams before the wire; the `minDf` cut happens post-agg,
+    * so the shuffle width is |distinct n-grams| — at 100 TB shrink it
+    * by pre-hashing the n-gram to 64 bits and re-attaching one witness
+    * string via `first(ngram)` (collision odds ≪ df noise), or run a
+    * count-min pre-pass; the exact relational form is kept here
+    * because it is what the oracle can replay.
+    */
+  def frequentNgrams(df: DataFrame, textCol: String, n: Int,
+                     minDf: Long): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(minDf >= 1, "minDf must be >= 1")
+    df.select(explode(array_distinct(shingles(words(col(textCol)), n)))
+        .as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") >= minDf)
   }
 }

@@ -156,4 +156,28 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q31_pivot")
     assert(p.contains("partial_"), p) // map-side combine survives the pivot
   }
+
+  test("q63_ngram_topk: map-side combine + TakeOrdered, no global sort") {
+    val p = plan("q63_ngram_topk")
+    assert(p.contains("partial_count"), p) // df combine before the wire
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a TakeOrdered, not a full sort:\n$p")
+  }
+
+  test("q64_decontaminate: broadcast probe + broadcast anti join — corpus never shuffles on doc_id") {
+    val p = plan("q64_decontaminate")
+    // test-set shingle probe AND the contaminated-id cut both broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the cut may shuffle both sides:\n$p")
+  }
+
+  test("q65_bloom_seen: probe side is broadcast joins only — no shuffle before the 1-row agg") {
+    val p = plan("q65_bloom_seen")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"bloom probe must stay map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

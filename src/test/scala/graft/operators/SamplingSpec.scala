@@ -52,4 +52,29 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratifiedByHash(df, $"id", $"lang", Map.empty, -0.1, 1)
     }
   }
+
+  test("perGroupCapByHash: exact cap per group, deterministic, dense ranks") {
+    def sample() = Sampling.perGroupCapByHash(
+      df, group = $"lang", key = $"id".cast("string"), cap = 100, seed = 9)
+    val byLang = sample().groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.forall(_ == 100L),
+      s"every 1333-row group must cap at exactly 100, got $byLang")
+    assert(sample().collect().map(_.getLong(0)).toSet
+      == sample().collect().map(_.getLong(0)).toSet)
+    // ranks are 1..cap with no gaps — the quota is filled, not sparse
+    val ranks = sample().filter($"lang" === "en")
+      .select($"sample_rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to 100L), "ranks must be dense 1..cap")
+  }
+
+  test("perGroupCapByHash: groups under the cap keep every row") {
+    val small = (0 until 30).map(i => (i.toLong, if (i < 5) "rare" else "common"))
+      .toDF("id", "lang")
+    val out = Sampling.perGroupCapByHash(small, $"lang", $"id".cast("string"),
+      cap = 10, seed = 9)
+    val byLang = out.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("rare" -> 5L, "common" -> 10L), byLang)
+  }
 }
