@@ -227,6 +227,58 @@ object Queries5 {
         WHERE sample_rank <= 40 ORDER BY cell, sample_rank"""))
   }
 
+  // --------------------------------------------------------------- q67_span_cut
+  /** Substring-dedup removal ([[graft.operators.Dedup.cutRepeatedSpans]]):
+    * q58 DETECTS 10-token spans repeated across documents; this query
+    * ships the cut — every repeated span keeps one canonical copy
+    * corpus-wide (the smallest doc_id owning it) and is removed from
+    * every other document. Output: the affected documents with before/
+    * after token counts and the rewritten text. The repeated-hash agg
+    * carries (hash, id) pairs (never text), the cut offsets collect to
+    * one small array per affected doc, and the token rewrite is a
+    * narrow per-row array pass after an id join.
+    */
+  val q67SpanCut = QueryDef(
+    "q67_span_cut",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Dedup
+      Dedup.cutRepeatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 10)
+        .filter($"n_tokens_after" < $"n_tokens_before")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               list_transform(string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)
+                        % 1073741824) AS u
+        FROM documents),
+      ng AS (
+        SELECT doc_id, i AS off,
+               list_reduce(list_concat([CAST(0 AS BIGINT)], list_slice(u, i+1, i+10)),
+                 (a, b) -> (a * 37 + b) % 1073741789) AS gh
+        FROM toks, unnest(range(0, len(u) - 9)) AS t(i)
+        WHERE len(u) >= 10),
+      rep AS (
+        SELECT gh, min(doc_id) AS canon FROM ng
+        GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      cuts AS (
+        SELECT ng.doc_id,
+               list_distinct(flatten(list(range(ng.off, ng.off + 10)))) AS covered
+        FROM ng JOIN rep USING (gh) WHERE ng.doc_id != rep.canon
+        GROUP BY ng.doc_id)
+      SELECT t.doc_id,
+             CAST(len(t.w) AS BIGINT) AS n_tokens_before,
+             CAST(len(t.w) - len(c.covered) AS BIGINT) AS n_tokens_after,
+             coalesce(array_to_string(
+               list_transform(
+                 list_filter(range(0, len(t.w)), i -> NOT list_contains(c.covered, i)),
+                 i -> t.w[i+1]), ' '), '') AS text_clean
+      FROM toks t JOIN cuts c USING (doc_id)
+      ORDER BY t.doc_id"""))
+
   def all: Seq[QueryDef] = Seq(
-    q63NgramTopk, q64Decontaminate, q65BloomSeen, q66ClusterSample)
+    q63NgramTopk, q64Decontaminate, q65BloomSeen, q66ClusterSample,
+    q67SpanCut)
 }

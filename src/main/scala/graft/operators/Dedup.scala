@@ -222,6 +222,56 @@ object Dedup {
           .as("covered_tokens"))
   }
 
+  /** The removal half of [[repeatedSpans]]: rewrite the corpus with
+    * cross-document repeated n-token spans CUT, keeping one canonical
+    * copy corpus-wide — the document with the smallest id containing
+    * the span keeps every one of its occurrences; all other documents
+    * drop the covered tokens. Returns the full corpus as
+    * `(id, n_tokens_before, n_tokens_after, text_clean)`; unaffected
+    * documents pass through with `text_clean` = the original text.
+    *
+    * Scale shape: the repeated-hash aggregation is [[repeatedSpans]]'s
+    * ((hash, id) pairs, map-side-combined, never text) plus a `min(id)`
+    * to elect the canonical owner; per-doc cut offsets collect into ONE
+    * small array row per AFFECTED doc; the rebuild is a join on the id
+    * followed by a narrow per-row array pass (expand offsets → covered
+    * position set → filter tokens by position). The join is unhinted:
+    * when boilerplate is rare the cut-offsets side broadcasts (AQE);
+    * when it is pervasive, store the corpus bucketed by id (the
+    * [[ScaleJoins]] layout) so the join is bucket-local and the text
+    * column still never crosses the wire.
+    */
+  def cutRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    val id = col(idCol)
+    val spans = df
+      .select(id,
+        posexplode(ngram_hashes(wordHashes(words(col(textCol))), n))
+          .as(Seq("off", "gh")))
+      .filter(col("gh").isNotNull)
+    val rep = spans.groupBy(col("gh"))
+      .agg(count_distinct(id).as("_nd"), min(id).as("_canon"))
+      .filter(col("_nd") >= 2)
+      .select(col("gh"), col("_canon"))
+    val cutOffsets = spans.join(rep, Seq("gh"))
+      .filter(id =!= col("_canon"))
+      .groupBy(id)
+      .agg(collect_set(col("off")).as("_cutoffs"))
+    val toks = words(col(textCol))
+    val covered = when(col("_cutoffs").isNull, array().cast("array<int>"))
+      .otherwise(array_distinct(flatten(
+        transform(col("_cutoffs"), o => sequence(o, o + n - 1)))))
+    val kept = filter(col("_toks"), (t, i) => !array_contains(col("_cov"), i))
+    df.join(cutOffsets, Seq(idCol), "left")
+      .withColumn("_toks", toks)
+      .withColumn("_cov", covered)
+      .select(id,
+        size(col("_toks")).cast("long").as("n_tokens_before"),
+        (size(col("_toks")) - size(col("_cov"))).cast("long")
+          .as("n_tokens_after"),
+        concat_ws(" ", kept).as("text_clean"))
+  }
+
   /** Jaccard similarity of two shingle-set columns (distinct semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

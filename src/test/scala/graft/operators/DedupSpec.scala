@@ -125,4 +125,36 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.lshCandidatePairs(bands, "doc_id").collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
+
+  test("cutRepeatedSpans: canonical doc keeps its copy, later docs lose it, " +
+    "unaffected docs pass through") {
+    val boiler = "t1 t2 t3 t4"            // shared 4-token span
+    val docs = Seq(
+      (1L, s"$boiler a b c"),             // canonical owner (min id)
+      (2L, s"x y $boiler"),               // loses the span, keeps x y
+      (3L, s"$boiler"),                   // nothing but the span → empty
+      (4L, "p q r s t u v")               // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpans(docs, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((7L, 7L, s"$boiler a b c")), out(1L))
+    assert(out(2L) == ((6L, 2L, "x y")), out(2L))
+    assert(out(3L) == ((4L, 0L, "")), out(3L))
+    assert(out(4L) == ((7L, 7L, "p q r s t u v")), out(4L))
+  }
+
+  test("cutRepeatedSpans: overlapping repeated windows cut their union once") {
+    // docs 1/2 share a 6-token run → three overlapping 4-token windows in
+    // doc 2; the covered positions must union, not double-cut
+    val run = "a b c d e f"
+    val docs = Seq(
+      (1L, s"$run tail1 tail2"),
+      (2L, s"head $run")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpans(docs, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((8L, s"$run tail1 tail2")), out(1L))
+    assert(out(2L) == ((1L, "head")), out(2L))
+  }
 }
