@@ -1199,13 +1199,56 @@ object Queries3 {
 /** DuckDB replay of the q49 spherical-k-means training (k=8, 2 Lloyd
   * iterations, seed 31 — [[graft.operators.Similarity.kmeans]]'s exact
   * arithmetic), shared by every oracle that builds on the trained
-  * codebook (q49 codebook quality, q66 cluster-balanced sampling).
+  * codebook (q49 codebook quality, q66 cluster-balanced sampling), plus
+  * the dimension/seed/prefix-parametrized generators the q68 product-
+  * quantization oracle uses to train one codebook per subspace.
   */
 private[graft] object KmeansSql {
-  def sqlDot(a: String, b: String): String =
-    s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
-  def sqlCos(a: String, b: String): String =
-    s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+  def sqlDotD(a: String, b: String, dims: Int): String =
+    s"list_reduce(list_transform(range(1, ${dims + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+  def sqlCosD(a: String, b: String, dims: Int): String =
+    s"round(${sqlDotD(a, b, dims)} / (sqrt(${sqlDotD(a, a, dims)}) * sqrt(${sqlDotD(b, b, dims)})), 6)"
+  def sqlDot(a: String, b: String): String = sqlDotD(a, b, 64)
+  def sqlCos(a: String, b: String): String = sqlCosD(a, b, 64)
+
+  /** One Lloyd iteration over `dims`-dim vectors in CTE `src`, all
+    * internal CTE names `$p`-prefixed — the [[sqlIter]] shape with the
+    * names and widths parametrized so several independent trainings can
+    * share one WITH clause.
+    */
+  def sqlIterD(p: String, i: Int, cin: String, src: String, dims: Int): String = s"""
+      ${p}a$i AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT vec_id, embedding, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM (SELECT $src.vec_id, $src.embedding, $cin.cid,
+                       ${sqlCosD(s"$src.embedding", s"$cin.c", dims)} AS cos
+                FROM $src, $cin))
+        WHERE rn = 1),
+      ${p}u$i AS (
+        SELECT cid, d,
+               round(CAST(SUM(CAST(embedding[d] AS DECIMAL(27,12))) AS DOUBLE)
+                     / COUNT(*), 9) AS m
+        FROM ${p}a$i, unnest(range(1, ${dims + 1})) AS ${p}t$i(d) GROUP BY cid, d),
+      ${p}c$i AS (SELECT cid, list(m ORDER BY d) AS c FROM ${p}u$i GROUP BY cid),
+      ${p}cc$i AS (
+        SELECT cid, c FROM ${p}c$i
+        UNION ALL
+        SELECT cid, c FROM $cin WHERE cid NOT IN (SELECT cid FROM ${p}c$i))"""
+
+  /** CTE chain training a `k`-cell codebook over CTE `src` (columns
+    * `vec_id, embedding` of `dims` dims) with 2 Lloyd iterations under
+    * `seed` — final centroids land in `${p}cc2 (cid, c)`.
+    */
+  def trainCtesD(p: String, src: String, dims: Int, k: Int, seed: Int): String = s"""
+        ${p}init AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
+                 list_transform(embedding, x -> x::DOUBLE) AS c
+          FROM (SELECT vec_id, embedding,
+                       CAST(('0x' || substr(md5('$seed:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM $src ORDER BY h, vec_id LIMIT $k)),
+        ${sqlIterD(p, 1, s"${p}init", src, dims)},
+        ${sqlIterD(p, 2, s"${p}cc1", src, dims)}"""
   // one Lloyd iteration: assign to the argmax-cosine centroid of `cin`,
   // then per-dimension exact-decimal mean, empty cells keeping their
   // previous centroid — mirrors Similarity.kmeans step for step

@@ -278,7 +278,100 @@ object Queries5 {
       FROM toks t JOIN cuts c USING (doc_id)
       ORDER BY t.doc_id"""))
 
+  // ------------------------------------------------------------------ q68_knn_pq
+  /** Product-quantization ANN ([[graft.operators.Similarity.pqTrain]]):
+    * split the 64-dim embedding into 4 subspaces of 16 dims, train an
+    * independent 8-cell spherical-k-means codebook per subspace, code
+    * every corpus vector (4×3 bits replaces 64 floats — PQ's storage
+    * win), and answer top-3 by ASYMMETRIC distance: the exact probe
+    * against the corpus vector's reconstruction from its codebook
+    * entries. Training is m tiny k-means runs; encode and reconstruct
+    * are NARROW per-row expressions against the collected literal
+    * codebook (no join, no shuffle — the corpus is coded in one map
+    * pass); the scan itself is the q14 broadcast-probe shape. The
+    * oracle replays all four trainings
+    * ([[KmeansSql.trainCtesD]]), the argmax coding, the concat
+    * reconstruction, and the ranking.
+    */
+  val q68KnnPq = {
+    import KmeansSql.{sqlCosD, sqlDotD, trainCtesD}
+    val M = 4; val SubDim = 16; val K = 8; val Seed = 41
+    def sqlCode(j: Int) = s"""
+        pq${j}code AS (
+          SELECT vec_id, cid AS code FROM (
+            SELECT s.vec_id, cc.cid,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                     ORDER BY ${sqlCosD("s.embedding", "cc.c", SubDim)} DESC, cc.cid) AS rn
+            FROM pq${j}e s, pq${j}cc2 cc)
+          WHERE rn = 1)"""
+    QueryDef(
+      "q68_knn_pq",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Similarity
+        val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val ePinned =
+          if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            e.persist() else e
+        // m·k rows — the literal-broadcast pattern (Sampling thresholds):
+        // collected once, inlined into the narrow encode/recon expressions
+        val cb = Similarity.pqTrain(ePinned, "embedding", "vec_id",
+          M, SubDim, K, iters = 2, seed = Seed).collect()
+        val cents: Seq[Seq[Seq[Double]]] = (0 until M).map { j =>
+          cb.filter(_.getInt(0) == j).sortBy(_.getLong(1))
+            .map(_.getSeq[Double](2).toSeq).toSeq
+        }
+        val codes = (0 until M).map(j =>
+          Similarity.pqCodeCol($"embedding", j, SubDim, cents(j)))
+        val corpus = ePinned.select($"vec_id".as("cand_id"),
+          Similarity.pqReconCol(codes, cents).as("rv"))
+          .withColumn("_rvn", l2norm($"rv"))
+        val probes = ePinned.filter($"vec_id" < 5)
+          .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+          .withColumn("_pn", l2norm($"pv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"probe_id").orderBy($"cos".desc, $"cand_id")
+        broadcast(probes).join(corpus, $"probe_id" =!= $"cand_id")
+          .withColumn("cos", round(dot($"pv", $"rv") / ($"_pn" * $"_rvn"), 6))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter($"rn" <= 3)
+          .select($"probe_id", $"rn", $"cand_id", $"cos")
+          .orderBy($"probe_id", $"rn")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        ${(0 until M).map(j =>
+          s"pq${j}e AS (SELECT vec_id, list_slice(embedding, ${j * SubDim + 1}, ${(j + 1) * SubDim}) AS embedding FROM e)")
+          .mkString(",\n        ")},
+        ${(0 until M).map(j => trainCtesD(s"pq$j", s"pq${j}e", SubDim, K, Seed + j))
+          .mkString(",\n        ")},
+        ${(0 until M).map(sqlCode).mkString(",\n        ")},
+        recon AS (
+          SELECT c0.vec_id,
+                 list_concat(list_concat(list_concat(v0.c, v1.c), v2.c), v3.c) AS rv
+          FROM pq0code c0
+          JOIN pq1code c1 USING (vec_id)
+          JOIN pq2code c2 USING (vec_id)
+          JOIN pq3code c3 USING (vec_id)
+          JOIN pq0cc2 v0 ON v0.cid = c0.code
+          JOIN pq1cc2 v1 ON v1.cid = c1.code
+          JOIN pq2cc2 v2 ON v2.cid = c2.code
+          JOIN pq3cc2 v3 ON v3.cid = c3.code),
+        p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
+        sx AS (
+          SELECT probe_id, r.vec_id AS cand_id,
+                 round(${sqlDotD("pv", "rv", 64)} /
+                       (sqrt(${sqlDotD("pv", "pv", 64)}) * sqrt(${sqlDotD("rv", "rv", 64)})), 6) AS cos
+          FROM p, recon r WHERE probe_id != r.vec_id),
+        rk AS (
+          SELECT probe_id, cand_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rn
+          FROM sx)
+        SELECT probe_id, rn, cand_id, cos FROM rk
+        WHERE rn <= 3 ORDER BY probe_id, rn"""))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q63NgramTopk, q64Decontaminate, q65BloomSeen, q66ClusterSample,
-    q67SpanCut)
+    q67SpanCut, q68KnnPq)
 }

@@ -327,6 +327,54 @@ object Similarity {
     cent
   }
 
+  // ---- product quantization -------------------------------------------------
+
+  /** Train an m-subspace product-quantization codebook: the vector is
+    * split into `m` contiguous `subDim`-wide subvectors and each
+    * subspace gets its own independent [[kmeans]] codebook (seed
+    * `seed + subspace`, so the inits decorrelate). Returns
+    * `(subspace, centroid_id, centroid_vec)` — m·k rows, tiny by
+    * construction; PQ's storage win is that the corpus then keeps only
+    * `m` small codes (here m·3 bits) instead of `m·subDim` floats.
+    * Callers should persist `vectors` across the m trainings.
+    */
+  def pqTrain(vectors: DataFrame, vecCol: String, idCol: String,
+              m: Int, subDim: Int, k: Int, iters: Int, seed: Int): DataFrame = {
+    require(m >= 1 && subDim >= 1, "m and subDim must be >= 1")
+    (0 until m).map { j =>
+      val sub = vectors.select(col(idCol),
+        slice(col(vecCol), j * subDim + 1, subDim).as("_sub"))
+      kmeans(sub, "_sub", idCol, k, iters, seed + j)
+        .select(lit(j).as("subspace"), col("centroid_id"), col("centroid_vec"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ code of subspace `j` as a NARROW per-row expression: argmax
+    * rounded cosine of the subvector against the (collected, literal)
+    * centroid list `cents` — `cents(c)` must be centroid `c`'s vector,
+    * ordered by centroid id, so `array_position`'s first-match is the
+    * smallest-id tie-break the training assignment uses. Inlining the
+    * tiny codebook keeps encode scan-fused: no join, no shuffle, the
+    * 100 TB corpus is coded in one map pass.
+    */
+  def pqCodeCol(vec: Column, j: Int, subDim: Int,
+                cents: Seq[Seq[Double]]): Column = {
+    val sub = slice(vec, j * subDim + 1, subDim)
+    val sims = array(cents.map(c => round(cosine(sub, typedLit(c)), 6)): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** Reconstructed (decoded) vector from per-subspace code columns:
+    * the concatenation of each subspace's chosen centroid, looked up in
+    * the literal codebook `cents(j)(code)`. Narrow like [[pqCodeCol]];
+    * approximate-distance scans compare probes against this
+    * reconstruction (asymmetric distance — the probe side stays exact).
+    */
+  def pqReconCol(codeCols: Seq[Column], cents: Seq[Seq[Seq[Double]]]): Column =
+    concat(codeCols.zipWithIndex.map { case (code, j) =>
+      element_at(typedLit(cents(j)), code + 1)
+    }: _*)
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, emit
     * within-bucket pairs above the similarity threshold. The dedup twin
     * of [[knnLsh]] — never all-pairs.
