@@ -371,7 +371,66 @@ object Queries5 {
         WHERE rn <= 3 ORDER BY probe_id, rn"""))
   }
 
+  // ----------------------------------------------------------- q69_cms_topk
+  /** Count-min-sketch heavy hitters ([[graft.operators.CountMin]]):
+    * the approximate companion to q63's exact aggregation — a 3×1024
+    * sketch of every 3-gram occurrence (multiplicity, not df), probed
+    * for the top-20 3-grams by true count. Output pins the sketch
+    * CONTRACT cross-engine: the estimate never undercounts
+    * (`overcount ≥ 0` by construction) and stays within the 3·N/width
+    * collision bound, checked in exact BIGINT arithmetic. The sketch
+    * build shuffles at most depth·width cells REGARDLESS of corpus
+    * size; estimation is `depth` broadcast joins, map-only.
+    */
+  val q69CmsTopk = {
+    val Depth = 3; val Width = 1024
+    QueryDef(
+      "q69_cms_topk",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.CountMin
+        val ngr = t(s, dir, "documents")
+          .select(explode(shingles(words($"text"), 3)).as("ngram"))
+        val sketch = CountMin.build(ngr, $"ngram", Depth, Width)
+        val truth = ngr.groupBy($"ngram").agg(count(lit(1)).as("n_true"))
+          .orderBy($"n_true".desc, $"ngram").limit(20)
+        CountMin.estimate(truth, $"ngram", sketch, Depth, Width, "n_est")
+          .crossJoin(broadcast(ngr.agg(count(lit(1)).as("_N"))))
+          .select($"ngram", $"n_true", $"n_est",
+            ($"n_est" - $"n_true").as("overcount"),
+            (($"n_est" - $"n_true") * Width <= $"_N" * 3).as("within_bound"))
+          .orderBy($"n_true".desc, $"ngram")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT string_split(text, ' ') AS w FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        ng AS (
+          SELECT array_to_string(list_slice(w, i+1, i+3), ' ') AS ngram
+          FROM toks, unnest(range(0, len(w) - 2)) AS t(i)),
+        cms AS (
+          SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT t2.r,
+                   CAST(('0x' || substr(md5((200 + t2.r) || ':' || ngram), 1, 15)) AS BIGINT) % $Width AS bucket
+            FROM ng, (VALUES (0), (1), (2)) t2(r))
+          GROUP BY r, bucket),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ng),
+        tru AS (
+          SELECT ngram, CAST(count(*) AS BIGINT) AS n_true FROM ng
+          GROUP BY ngram ORDER BY n_true DESC, ngram LIMIT 20),
+        est AS (
+          SELECT ngram, n_true,
+                 least(${(0 until Depth).map(r =>
+                   s"""coalesce((SELECT cnt FROM cms WHERE r = $r AND bucket =
+                      CAST(('0x' || substr(md5('${200 + r}:' || ngram), 1, 15)) AS BIGINT) % $Width), 0)""")
+                   .mkString(", ")}) AS n_est
+          FROM tru)
+        SELECT ngram, n_true, n_est, n_est - n_true AS overcount,
+               (n_est - n_true) * $Width <= (SELECT n * 3 FROM tot) AS within_bound
+        FROM est ORDER BY n_true DESC, ngram"""))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q63NgramTopk, q64Decontaminate, q65BloomSeen, q66ClusterSample,
-    q67SpanCut, q68KnnPq)
+    q67SpanCut, q68KnnPq, q69CmsTopk)
 }
