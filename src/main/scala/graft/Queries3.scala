@@ -1009,12 +1009,13 @@ object Queries3 {
   }
 
   // ------------------------------------------------------------ q50_ann_recall
-  /** ANN recall measurement: recall@3 of the two approximate kNN paths
-    * (hyperplane-LSH, IVF) against the exact baseline over the same
-    * probe set — "measure, don't guess" applied to the ANN family
-    * itself: the recall/cost dial (planes, nprobe) should be turned
-    * against a number, not a hunch. The exact side is the broadcast-
-    * probe brute force; hits = |approx ∩ exact| per method; `possible`
+  /** ANN recall measurement: recall@3 of the three approximate kNN
+    * paths (hyperplane-LSH, IVF, product quantization — the q68
+    * codebook) against the exact baseline over the same probe set —
+    * "measure, don't guess" applied to the ANN family itself: the
+    * recall/cost dials (planes, nprobe, m/k) should be turned against
+    * a number, not a hunch. The exact side is the broadcast-probe
+    * brute force; hits = |approx ∩ exact| per method; `possible`
     * comes from a broadcast 1-row aggregate, never a driver count.
     */
   val q50AnnRecall = {
@@ -1035,7 +1036,10 @@ object Queries3 {
       (s, dir) => {
         import s.implicits._
         import graft.operators.Similarity
-        val e = t(s, dir, "embeddings")
+        val e0 = t(s, dir, "embeddings")
+        val e =
+          if (e0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            e0.persist() else e0
         val probes = e.filter($"vec_id" < 10)
           .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
         val corpus = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
@@ -1049,18 +1053,33 @@ object Queries3 {
           .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
         val ivf = Similarity.knnIvf(probes, corpus, centroids, k = 3)
           .select(lit("ivf").as("method"), $"probe_id", $"cand_id")
+        // the q68 codebook (same m/k/seed), so the recall row measures
+        // exactly the index q68 answers from
+        val cents = Similarity.pqCollect(
+          Similarity.pqTrain(e.select($"vec_id", $"embedding"),
+            "embedding", "vec_id", m = 4, subDim = 16, k = 8,
+            iters = 2, seed = 41), m = 4)
+        val pq = Similarity.knnPq(probes, corpus, cents, subDim = 16, k = 3)
+          .select(lit("pq").as("method"), $"probe_id", $"cand_id")
         val possible = broadcast(exact.agg(count(lit(1)).as("possible")))
-        lsh.unionByName(ivf)
+        // a method with ZERO hits must still report recall 0 — the
+        // inner join + groupBy would silently drop its row otherwise
+        val methods = Seq("ivf", "lsh", "pq").toDF("method")
+        val hits = lsh.unionByName(ivf).unionByName(pq)
           .join(exact, Seq("probe_id", "cand_id"))
           .groupBy($"method")
           .agg(count(lit(1)).as("hits"))
+        methods.join(hits, Seq("method"), "left")
           .crossJoin(possible)
-          .select($"method", $"hits", $"possible",
-            round($"hits".cast("double") / $"possible", 6).as("recall"))
+          .select($"method", coalesce($"hits", lit(0L)).as("hits"), $"possible",
+            round(coalesce($"hits", lit(0L)).cast("double") / $"possible", 6)
+              .as("recall"))
           .orderBy($"method")
       },
       Some(s"""
-        WITH xp AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 10),
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        ${KmeansSql.pqCtes(4, 16, 8, 41)},
+        xp AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 10),
         xc AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
         xs AS (
           SELECT probe_id, cand_id, ${sqlCos("pv", "cv")} AS cos
@@ -1110,14 +1129,26 @@ object Queries3 {
             SELECT probe_id, cand_id,
                    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
             FROM ivs) WHERE rn <= 3),
-        m AS (SELECT * FROM l UNION ALL SELECT * FROM i),
+        qs AS (
+          SELECT probe_id, r.vec_id AS cand_id,
+                 round(${sqlDot("pv", "rv")} /
+                       (sqrt(${sqlDot("pv", "pv")}) * sqrt(${sqlDot("rv", "rv")})), 6) AS cos
+          FROM xp, recon r WHERE probe_id != r.vec_id),
+        q AS (
+          SELECT 'pq' AS method, probe_id, cand_id FROM (
+            SELECT probe_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
+            FROM qs) WHERE rn <= 3),
+        m AS (SELECT * FROM l UNION ALL SELECT * FROM i UNION ALL SELECT * FROM q),
         hits AS (
           SELECT method, count(*) AS hits
           FROM m JOIN x USING (probe_id, cand_id) GROUP BY 1),
         poss AS (SELECT count(*) AS possible FROM x)
-        SELECT method, hits, possible,
-               round(CAST(hits AS DOUBLE) / possible, 6) AS recall
-        FROM hits CROSS JOIN poss ORDER BY method"""))
+        SELECT t.method, coalesce(hits, 0) AS hits, possible,
+               round(CAST(coalesce(hits, 0) AS DOUBLE) / possible, 6) AS recall
+        FROM (VALUES ('ivf'), ('lsh'), ('pq')) t(method)
+        LEFT JOIN hits ON hits.method = t.method
+        CROSS JOIN poss ORDER BY t.method"""))
   }
 
   // ----------------------------------------------------- q51_knn_lsh_multiprobe
@@ -1271,6 +1302,44 @@ private[graft] object KmeansSql {
         SELECT cid, c FROM c$i
         UNION ALL
         SELECT cid, c FROM $cin WHERE cid NOT IN (SELECT cid FROM c$i))"""
+
+  /** Product-quantization CTE chain over an existing `e (vec_id,
+    * embedding)` CTE: per-subspace slices `pq{j}e`, one 2-iteration
+    * training per subspace (seeds `seedBase + j`, centroids in
+    * `pq{j}cc2`), argmax codes `pq{j}code`, and the decoded corpus
+    * `recon (vec_id, rv)` — [[graft.operators.Similarity.pqTrain]] /
+    * `pqCodeCol` / `pqReconCol` replayed end to end.
+    */
+  def pqCtes(m: Int, subDim: Int, k: Int, seedBase: Int): String = {
+    val slices = (0 until m).map(j =>
+      s"pq${j}e AS (SELECT vec_id, list_slice(embedding, ${j * subDim + 1}, ${(j + 1) * subDim}) AS embedding FROM e)")
+      .mkString(",\n        ")
+    val trains = (0 until m).map(j =>
+      trainCtesD(s"pq$j", s"pq${j}e", subDim, k, seedBase + j))
+      .mkString(",\n        ")
+    val codes = (0 until m).map(j => s"""
+        pq${j}code AS (
+          SELECT vec_id, cid AS code FROM (
+            SELECT s.vec_id, cc.cid,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                     ORDER BY ${sqlCosD("s.embedding", "cc.c", subDim)} DESC, cc.cid) AS rn
+            FROM pq${j}e s, pq${j}cc2 cc)
+          WHERE rn = 1)""").mkString(",")
+    val codeJoins = (1 until m).map(j =>
+      s"JOIN pq${j}code c$j USING (vec_id)").mkString("\n          ")
+    val centJoins = (0 until m).map(j =>
+      s"JOIN pq${j}cc2 v$j ON v$j.cid = c$j.code").mkString("\n          ")
+    val concat = (1 until m).foldLeft("v0.c") { (acc, j) =>
+      s"list_concat($acc, v$j.c)" }
+    s"""$slices,
+        $trains,
+        $codes,
+        recon AS (
+          SELECT c0.vec_id, $concat AS rv
+          FROM pq0code c0
+          $codeJoins
+          $centJoins)"""
+  }
 
   /** CTE chain `e → init → (iter 1) → (iter 2) → fin`: trains the
     * codebook and argmax-assigns every vector to it — `fin` carries

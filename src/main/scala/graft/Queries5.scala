@@ -294,16 +294,8 @@ object Queries5 {
     * reconstruction, and the ranking.
     */
   val q68KnnPq = {
-    import KmeansSql.{sqlCosD, sqlDotD, trainCtesD}
+    import KmeansSql.{pqCtes, sqlDotD}
     val M = 4; val SubDim = 16; val K = 8; val Seed = 41
-    def sqlCode(j: Int) = s"""
-        pq${j}code AS (
-          SELECT vec_id, cid AS code FROM (
-            SELECT s.vec_id, cc.cid,
-                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
-                     ORDER BY ${sqlCosD("s.embedding", "cc.c", SubDim)} DESC, cc.cid) AS rn
-            FROM pq${j}e s, pq${j}cc2 cc)
-          WHERE rn = 1)"""
     QueryDef(
       "q68_knn_pq",
       (s, dir) => {
@@ -315,48 +307,20 @@ object Queries5 {
             e.persist() else e
         // m·k rows — the literal-broadcast pattern (Sampling thresholds):
         // collected once, inlined into the narrow encode/recon expressions
-        val cb = Similarity.pqTrain(ePinned, "embedding", "vec_id",
-          M, SubDim, K, iters = 2, seed = Seed).collect()
-        val cents: Seq[Seq[Seq[Double]]] = (0 until M).map { j =>
-          cb.filter(_.getInt(0) == j).sortBy(_.getLong(1))
-            .map(_.getSeq[Double](2).toSeq).toSeq
-        }
-        val codes = (0 until M).map(j =>
-          Similarity.pqCodeCol($"embedding", j, SubDim, cents(j)))
-        val corpus = ePinned.select($"vec_id".as("cand_id"),
-          Similarity.pqReconCol(codes, cents).as("rv"))
-          .withColumn("_rvn", l2norm($"rv"))
+        val cents = Similarity.pqCollect(
+          Similarity.pqTrain(ePinned, "embedding", "vec_id",
+            M, SubDim, K, iters = 2, seed = Seed), M)
         val probes = ePinned.filter($"vec_id" < 5)
           .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
-          .withColumn("_pn", l2norm($"pv"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"probe_id").orderBy($"cos".desc, $"cand_id")
-        broadcast(probes).join(corpus, $"probe_id" =!= $"cand_id")
-          .withColumn("cos", round(dot($"pv", $"rv") / ($"_pn" * $"_rvn"), 6))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter($"rn" <= 3)
-          .select($"probe_id", $"rn", $"cand_id", $"cos")
+        val corpus = ePinned.select($"vec_id".as("cand_id"),
+          $"embedding".as("cv"))
+        Similarity.knnPq(probes, corpus, cents, SubDim, k = 3)
+          .select($"probe_id", $"rn".cast("long").as("rn"), $"cand_id", $"cos")
           .orderBy($"probe_id", $"rn")
       },
       Some(s"""
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        ${(0 until M).map(j =>
-          s"pq${j}e AS (SELECT vec_id, list_slice(embedding, ${j * SubDim + 1}, ${(j + 1) * SubDim}) AS embedding FROM e)")
-          .mkString(",\n        ")},
-        ${(0 until M).map(j => trainCtesD(s"pq$j", s"pq${j}e", SubDim, K, Seed + j))
-          .mkString(",\n        ")},
-        ${(0 until M).map(sqlCode).mkString(",\n        ")},
-        recon AS (
-          SELECT c0.vec_id,
-                 list_concat(list_concat(list_concat(v0.c, v1.c), v2.c), v3.c) AS rv
-          FROM pq0code c0
-          JOIN pq1code c1 USING (vec_id)
-          JOIN pq2code c2 USING (vec_id)
-          JOIN pq3code c3 USING (vec_id)
-          JOIN pq0cc2 v0 ON v0.cid = c0.code
-          JOIN pq1cc2 v1 ON v1.cid = c1.code
-          JOIN pq2cc2 v2 ON v2.cid = c2.code
-          JOIN pq3cc2 v3 ON v3.cid = c3.code),
+        ${pqCtes(M, SubDim, K, Seed)},
         p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
         sx AS (
           SELECT probe_id, r.vec_id AS cand_id,

@@ -375,6 +375,41 @@ object Similarity {
       element_at(typedLit(cents(j)), code + 1)
     }: _*)
 
+  /** Collect a [[pqTrain]] codebook into the literal
+    * `cents(subspace)(centroidId)` form [[pqCodeCol]]/[[pqReconCol]]
+    * inline — m·k tiny rows, the literal-broadcast pattern.
+    */
+  def pqCollect(codebook: DataFrame, m: Int): Seq[Seq[Seq[Double]]] = {
+    val rows = codebook.collect()
+    (0 until m).map { j =>
+      rows.filter(_.getInt(0) == j).sortBy(_.getLong(1))
+        .map(_.getSeq[Double](2).toSeq).toSeq
+    }
+  }
+
+  /** PQ asymmetric-distance top-k: probes `(probe_id, pv)` against the
+    * corpus `(cand_id, cv)` decoded through the literal codebook —
+    * [[knnExact]]'s broadcast-probe shape with the candidate side
+    * reconstructed from its codes (all narrow, no extra shuffle).
+    */
+  def knnPq(probes: DataFrame, corpus: DataFrame,
+            cents: Seq[Seq[Seq[Double]]], subDim: Int, k: Int): DataFrame = {
+    val m = cents.length
+    val codes = (0 until m).map(j => pqCodeCol(col("cv"), j, subDim, cents(j)))
+    val cn = corpus.select(col("cand_id"), pqReconCol(codes, cents).as("rv"))
+      .withColumn("_rvn", l2norm(col("rv")))
+    val pn = probes.withColumn("_pn", l2norm(col("pv")))
+    val joined = broadcast(pn).join(cn, col("probe_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("pv"), col("rv")) / (col("_pn") * col("_rvn")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "rn", "cand_id", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, emit
     * within-bucket pairs above the similarity threshold. The dedup twin
     * of [[knnLsh]] — never all-pairs.
