@@ -394,7 +394,66 @@ object Queries5 {
         FROM est ORDER BY n_true DESC, ngram"""))
   }
 
+  // ----------------------------------------------------------- q70_bpe_train
+  /** BPE merge-table induction ([[graft.operators.BpeTrain]]): train 8
+    * merges from the corpus — the loop that produces the kind of table
+    * [[graft.functions.BpeTokenCount]] ships fixed. The engine trains
+    * on the word HISTOGRAM (one partial-agg shuffle; Heaps'-law-sized,
+    * never corpus-sized), then each round is one tiny weighted pair
+    * aggregation + one single-row driver collect + one narrow replace.
+    * The oracle replays every round: same sliding-window pair counts,
+    * same (count desc, a, b) tie-break, same leftmost-non-overlapping
+    * replace over the delimiter-wrapped symbol strings — so a trained
+    * table is guaranteed to tokenize identically in both engines.
+    */
+  val q70BpeTrain = {
+    val R = 8
+    val Sep = "\u001F" // BpeTokenCount.Sep symbol delimiter
+    // every CTE is MATERIALIZED: the round chain references its
+    // predecessor ~3x (pair agg + two scalar subqueries), so inlined
+    // CTEs would re-evaluate the whole prefix ~3^rounds times
+    def sqlRound(r: Int): String = s"""
+        p$r AS MATERIALIZED (
+          SELECT syms[i+1] AS a, syms[i+2] AS b, CAST(sum(n) AS BIGINT) AS cnt
+          FROM (SELECT n, list_filter(string_split(symstr, '$Sep'), x -> x != '') AS syms
+                FROM s${r - 1}),
+               unnest(range(0, len(syms) - 1)) AS t$r(i)
+          WHERE len(syms) >= 2
+          GROUP BY 1, 2),
+        m$r AS MATERIALIZED (
+          SELECT CAST($r AS BIGINT) AS merge_rank, a, b, cnt AS pair_count
+          FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+        s$r AS MATERIALIZED (
+          SELECT replace(symstr,
+                   (SELECT '$Sep' || a || '$Sep$Sep' || b || '$Sep' FROM m$r),
+                   (SELECT '$Sep' || a || b || '$Sep' FROM m$r)) AS symstr, n
+          FROM s${r - 1})"""
+    QueryDef(
+      "q70_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.BpeTrain.train(t(s, dir, "documents"), "text", rounds = R)
+          .select($"merge_rank".cast("long").as("merge_rank"),
+            $"a", $"b", $"pair_count")
+          .orderBy($"merge_rank")
+      },
+      Some(s"""
+        WITH v0 AS MATERIALIZED (
+          SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE word != '' GROUP BY word),
+        s0 AS MATERIALIZED (
+          SELECT '$Sep' || array_to_string(
+                   list_transform(range(1, length(word) + 1), i -> word[i]),
+                   '$Sep$Sep') || '$Sep' AS symstr, n
+          FROM v0),
+        ${(1 to R).map(sqlRound).mkString(",")}
+        ${(1 to R).map(r => s"SELECT merge_rank, a, b, pair_count FROM m$r")
+          .mkString("\n        UNION ALL\n        ")}
+        ORDER BY merge_rank"""))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q63NgramTopk, q64Decontaminate, q65BloomSeen, q66ClusterSample,
-    q67SpanCut, q68KnnPq, q69CmsTopk)
+    q67SpanCut, q68KnnPq, q69CmsTopk, q70BpeTrain)
 }

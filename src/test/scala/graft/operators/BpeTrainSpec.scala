@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[BpeTrain]]: pair counts use sliding-window multiplicity weighted
+  * by word frequency, the winner is (count desc, a, b), merges compound
+  * across rounds, and a trained table tokenizes consistently with
+  * [[graft.functions.BpeTokenCount]]'s merge semantics.
+  */
+class BpeTrainSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("two rounds on a hand-computed corpus") {
+    // histogram: "aaab" n=3, "abab" n=2
+    // round 1: (a,a)=2x3=6, (a,b)=1x3+2x2=7, (b,a)=1x2=2 -> winner (a,b) 7
+    // merge: aaab -> [a,a,ab]; abab -> [ab,ab]
+    // round 2: (a,a)=1x3=3, (a,ab)=1x3=3, (ab,ab)=1x2=2
+    //          tie at 3 -> lexicographic: "a" < "ab" -> winner (a,a) 3
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab abab abab")).toDF("doc_id", "text")
+    val out = BpeTrain.train(docs, "text", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1, "a", "b", 7L), (2, "a", "a", 3L)), out.toSeq)
+  }
+
+  test("tie-break is lexicographic on (a, b)") {
+    // "xy" and "xz" both occur twice: counts tie at 2; (x,y) < (x,z)
+    val docs = Seq((1L, "xy xz xy xz")).toDF("doc_id", "text")
+    val out = BpeTrain.train(docs, "text", rounds = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("x", "y", 2L)), out.toSeq)
+  }
+
+  test("merged symbols participate in later rounds") {
+    // round 1 merges (a,b) -> ab; round 2 must see (ab, c)
+    val docs = Seq((1L, "abc abc abc")).toDF("doc_id", "text")
+    val out = BpeTrain.train(docs, "text", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1, "a", "b"), (2, "ab", "c")), out.toSeq)
+  }
+}
