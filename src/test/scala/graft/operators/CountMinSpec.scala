@@ -40,6 +40,19 @@ class CountMinSpec extends SparkSpec {
     assert(out.toSeq == Seq(0L), out.toSeq)
   }
 
+  test("sketches merge by cell-wise addition") {
+    // the distributable/streamable property: sketch(A) + sketch(B) ==
+    // sketch(A ++ B), cell for cell
+    val (a, b) = (items.limit(200), items.exceptAll(items.limit(200)))
+    val merged = CountMin.build(a, $"key", 3, 512)
+      .unionByName(CountMin.build(b, $"key", 3, 512))
+      .groupBy($"r", $"bucket").agg(sum($"cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = CountMin.build(items, $"key", 3, 512)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
   test("estimate plan: broadcast joins only, probe side never shuffles") {
     val sketch = CountMin.build(items, $"key", 3, 1024)
     val p = CountMin.estimate(items.distinct(), $"key", sketch, 3, 1024, "e")
