@@ -180,4 +180,20 @@ class PlanAuditSpec extends SparkSpec {
       s"bloom probe must stay map-side:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q67_span_cut: repeated-hash attach is an equi-join, never all-pairs") {
+    val p = plan("q67_span_cut")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p) // (gh, id) combine before the wire
+  }
+
+  test("q68_knn_pq: encode/reconstruct are literal lookups — only the probe join is non-equi") {
+    val p = plan("q68_knn_pq")
+    // probes broadcast against the reconstructed corpus; codebook is
+    // inlined (no join for encode/recon at all)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"PQ scan must not shuffle the corpus:\n$p")
+  }
 }
