@@ -331,22 +331,69 @@ object Similarity {
 
   /** Train an m-subspace product-quantization codebook: the vector is
     * split into `m` contiguous `subDim`-wide subvectors and each
-    * subspace gets its own independent [[kmeans]] codebook (seed
+    * subspace gets its own independent spherical-k-means codebook (seed
     * `seed + subspace`, so the inits decorrelate). Returns
     * `(subspace, centroid_id, centroid_vec)` — m·k rows, tiny by
     * construction; PQ's storage win is that the corpus then keeps only
     * `m` small codes (here m·3 bits) instead of `m·subDim` floats.
-    * Callers should persist `vectors` across the m trainings.
+    * Callers should persist `vectors` across the training passes.
+    *
+    * All m trainings run BATCHED in one frame keyed by `subspace` —
+    * value-identical to m sequential [[kmeans]] runs (same hash init
+    * per `seed + subspace`, same round-6 cosine argmax, same
+    * exact-decimal mean, same empty-cell carry-over; PqSpec pins it),
+    * but each Lloyd iteration is ONE assign-window job + ONE (subspace,
+    * cell, dim) aggregation instead of m of each — m× fewer jobs and
+    * checkpoint pins, the dominant cost of the fixed-size training.
     */
   def pqTrain(vectors: DataFrame, vecCol: String, idCol: String,
               m: Int, subDim: Int, k: Int, iters: Int, seed: Int): DataFrame = {
     require(m >= 1 && subDim >= 1, "m and subDim must be >= 1")
-    (0 until m).map { j =>
-      val sub = vectors.select(col(idCol),
-        slice(col(vecCol), j * subDim + 1, subDim).as("_sub"))
-      kmeans(sub, "_sub", idCol, k, iters, seed + j)
-        .select(lit(j).as("subspace"), col("centroid_id"), col("centroid_vec"))
-    }.reduce(_ unionByName _)
+    require(k >= 1 && iters >= 0, "k >= 1 and iters >= 0")
+    val id = col(idCol)
+    // (id, subspace, _sub): every subspace's slice of every vector
+    val sub = vectors.select(id, posexplode(array((0 until m).map(j =>
+        slice(col(vecCol), j * subDim + 1, subDim)): _*))
+      .as(Seq("subspace", "_sub")))
+    // per-subspace init hash — the same md5 string kmeans builds from
+    // its Int seed, with the seed arithmetic lifted to a column
+    val h = conv(substring(md5(concat(
+        (col("subspace") + seed).cast("string"), lit(":"), id.cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val wInit = Window.partitionBy(col("subspace")).orderBy(h, id)
+    val init = sub
+      .withColumn("_rn", row_number().over(wInit))
+      .filter(col("_rn") <= k)
+      .select(col("subspace"), (col("_rn") - 1).cast("long").as("centroid_id"),
+        col("_sub").as("centroid_vec"))
+    var cent = Checkpoints.pin(init)
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy(id, col("subspace"))
+        .orderBy(col("_ccos").desc, col("centroid_id"))
+      val assigned = sub.join(broadcast(cent), Seq("subspace"))
+        .withColumn("_ccos", round(cosine(col("_sub"), col("centroid_vec")), 6))
+        .withColumn("_arn", row_number().over(wAssign))
+        .filter(col("_arn") === 1)
+        .select(col("subspace"), col("centroid_id").as("cell"), col("_sub"))
+      val updated = assigned
+        .select(col("subspace"), col("cell"), posexplode(col("_sub")).as(Seq("_d", "_x")))
+        .groupBy(col("subspace"), col("cell"), col("_d"))
+        .agg(round(sum(col("_x").cast("decimal(27,12)")).cast("double")
+          / count(lit(1)), 9).as("_m"))
+        .groupBy(col("subspace"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("_d"), col("_m")))),
+          s => s.getField("_m")).as("centroid_vec"))
+        .select(col("subspace"), col("cell").as("centroid_id"), col("centroid_vec"))
+      val keptEmpty = cent.join(
+        updated.select(col("subspace"), col("centroid_id")),
+        Seq("subspace", "centroid_id"), "left_anti")
+      val next = Checkpoints.pin(
+        updated.unionByName(keptEmpty.select(col("subspace"), col("centroid_id"),
+          transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))))
+      Checkpoints.release(cent)
+      cent = next
+    }
+    cent
   }
 
   /** PQ code of subspace `j` as a NARROW per-row expression: argmax
