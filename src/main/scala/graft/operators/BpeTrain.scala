@@ -72,34 +72,36 @@ object BpeTrain {
     * to the histogram. Returns `(merge_rank, a, b, pair_count)` — rank
     * 1-based in learned order, directly usable as a
     * [[BpeTokenCount]]-format merge table.
+    *
+    * Only the BASE histogram is cached; round r's symbol strings are
+    * the base under a chain of r narrow replaces, recomputed per round
+    * — for a Heaps'-law vocab that is far cheaper than materializing a
+    * new cached table every round (the replace chain is per-row string
+    * work; a persist + materialize is a full extra job).
     */
   def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = wordHistogram(docs, textCol)
+    val base = wordHistogram(docs, textCol)
       .select(symString(col("word")).as("symstr"), col("n"))
-      .persist() // each round scans it once; replaced per round
+      .persist() // one job per round scans it through the replace chain
+    var chain: Column = col("symstr")
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
-      val top = pairCounts(vocab)
+      val top = pairCounts(base.select(chain.as("symstr"), col("n")))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
       if (top.nonEmpty) {
         val (a, b, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((r, a, b, cnt))
-        val next = vocab.select(
-          strReplace(col("symstr"),
-            lit(SepS + a + SepS + SepS + b + SepS),
-            lit(SepS + a + b + SepS)).as("symstr"),
-          col("n")).persist()
-        next.count() // materialize before dropping the parent cache
-        vocab.unpersist()
-        vocab = next
+        chain = strReplace(chain,
+          lit(SepS + a + SepS + SepS + b + SepS),
+          lit(SepS + a + b + SepS))
       }
     }
-    vocab.unpersist()
+    base.unpersist()
     learned.result().toDF("merge_rank", "a", "b", "pair_count")
   }
 }
