@@ -109,7 +109,23 @@ object BpeTokenCount {
     n
   }
 
-  private def countWordUncached(word: String): Int = {
+  private def countWordUncached(word: String): Int =
+    countWordImpl(word, compiled)
+
+  /** Token count of one word under an ARBITRARY merge table — the
+    * shipped-table algorithm with the table as a parameter, so a table
+    * trained by [[graft.operators.BpeTrain]] is directly executable
+    * (uncached: trained tables are ad hoc, the memo is for the fixed
+    * shipped table only).
+    */
+  def countWordWith(word: String, table: Seq[(String, String)]): Int =
+    countWordImpl(word, table.map { case (a, b) =>
+      (s"$Sep$a$Sep$Sep$b$Sep", s"$Sep$a$b$Sep")
+    }.toArray)
+
+  private def countWordImpl(word: String,
+                            table: Array[(String, String)]): Int = {
+    if (word.isEmpty) return 0
     val sb = new java.lang.StringBuilder(word.length * 3)
     var i = 0
     while (i < word.length) {
@@ -120,8 +136,8 @@ object BpeTokenCount {
     }
     var s = sb.toString
     var m = 0
-    while (m < compiled.length) {
-      val (pat, repl) = compiled(m)
+    while (m < table.length) {
+      val (pat, repl) = table(m)
       if (s.contains(pat)) s = s.replace(pat, repl)
       m += 1
     }

@@ -40,4 +40,19 @@ class BpeTrainSpec extends SparkSpec {
       .sortBy(_._1)
     assert(out.toSeq == Seq((1, "a", "b"), (2, "ab", "c")), out.toSeq)
   }
+
+  test("a trained table is directly executable by the tokenizer") {
+    import graft.functions.BpeTokenCount
+    // training learns (a,b) then (ab,c); the trained table must
+    // tokenize exactly as the trainer modeled the vocabulary
+    val docs = Seq((1L, "abc abc abc ad")).toDF("doc_id", "text")
+    val table = BpeTrain.train(docs, "text", rounds = 2)
+      .orderBy($"merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(table == Seq(("a", "b"), ("ab", "c")), table)
+    assert(BpeTokenCount.countWordWith("abc", table) == 1) // a b c -> ab c -> abc
+    assert(BpeTokenCount.countWordWith("abd", table) == 2) // ab d
+    assert(BpeTokenCount.countWordWith("ad", table) == 2)  // untouched
+    assert(BpeTokenCount.countWordWith("cab", table) == 2) // c ab (no wrap-around)
+  }
 }
