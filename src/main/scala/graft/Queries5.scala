@@ -453,7 +453,95 @@ object Queries5 {
         ORDER BY merge_rank"""))
   }
 
+  // ------------------------------------------------------------ q71_knn_ivfpq
+  /** IVF-PQ composite ANN — the industry-standard large-scale index
+    * shape: a coarse IVF quantizer restricts candidates to the probe's
+    * cell (the q25/q50 inverted-list path), and within the cell
+    * candidates rank by PQ asymmetric distance against their
+    * reconstruction (the q68 codes). The candidate join is an
+    * EQUI-join on the cell id — candidates ∝ cell size, never the
+    * corpus — and the PQ side stays the narrow literal-codebook
+    * decode, so at 100 TB the scan reads cell-local code lists, not
+    * vectors. The oracle composes the two existing replay generators
+    * (coarse-assign CTEs + [[KmeansSql.pqCtes]]).
+    */
+  val q71KnnIvfPq = {
+    import KmeansSql.{pqCtes, sqlCosD, sqlDotD}
+    val M = 4; val SubDim = 16; val K = 8; val Seed = 41
+    QueryDef(
+      "q71_knn_ivfpq",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Similarity
+        val e0 = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val e =
+          if (e0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            e0.persist() else e0
+        val centroids = e.filter($"vec_id" % 37 === 0 && $"vec_id" >= 100)
+          .orderBy($"vec_id").limit(8)
+          .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
+        val cents = Similarity.pqCollect(
+          Similarity.pqTrain(e, "embedding", "vec_id",
+            M, SubDim, K, iters = 2, seed = Seed), M)
+        val probes = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+        val corpus = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+        val pr = Similarity.ivfAssign(probes, "pv", "probe_id", centroids)
+          .select($"probe_id", $"pv", $"cell")
+          .withColumn("_pn", l2norm($"pv"))
+        val codes = (0 until M).map(j =>
+          Similarity.pqCodeCol($"cv", j, SubDim, cents(j)))
+        val cr = Similarity.ivfAssign(corpus, "cv", "cand_id", centroids)
+          .select($"cand_id", $"cell",
+            Similarity.pqReconCol(codes, cents).as("rv"))
+          .withColumn("_rvn", l2norm($"rv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"probe_id").orderBy($"cos".desc, $"cand_id")
+        pr.join(cr, Seq("cell"))
+          .filter($"probe_id" =!= $"cand_id")
+          .withColumn("cos", round(dot($"pv", $"rv") / ($"_pn" * $"_rvn"), 6))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter($"rn" <= 3)
+          .select($"probe_id", $"rn", $"cell".cast("long").as("cell"),
+            $"cand_id", $"cos")
+          .orderBy($"probe_id", $"rn")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        ${pqCtes(M, SubDim, K, Seed)},
+        cent AS (
+          SELECT vec_id AS centroid_id, embedding AS centroid_vec
+          FROM embeddings WHERE vec_id % 37 = 0 AND vec_id >= 100
+          ORDER BY vec_id LIMIT 8),
+        xp AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 10),
+        xc AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+        pa AS (
+          SELECT probe_id, pv, centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY ${sqlCosD("pv", "centroid_vec", 64)} DESC, centroid_id) AS crn
+          FROM xp, cent),
+        pc AS (SELECT probe_id, pv, cell FROM pa WHERE crn = 1),
+        ca AS (
+          SELECT cand_id, centroid_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY cand_id
+                   ORDER BY ${sqlCosD("cv", "centroid_vec", 64)} DESC, centroid_id) AS crn
+          FROM xc, cent),
+        cc AS (SELECT cand_id, cell FROM ca WHERE crn = 1),
+        s AS (
+          SELECT pc.probe_id, pc.cell, cc.cand_id,
+                 round(${sqlDotD("pc.pv", "r.rv", 64)} /
+                       (sqrt(${sqlDotD("pc.pv", "pc.pv", 64)}) * sqrt(${sqlDotD("r.rv", "r.rv", 64)})), 6) AS cos
+          FROM pc JOIN cc USING (cell) JOIN recon r ON r.vec_id = cc.cand_id
+          WHERE pc.probe_id != cc.cand_id),
+        rk AS (
+          SELECT probe_id, cell, cand_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rn
+          FROM s)
+        SELECT probe_id, rn, CAST(cell AS BIGINT) AS cell, cand_id, cos FROM rk
+        WHERE rn <= 3 ORDER BY probe_id, rn"""))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q63NgramTopk, q64Decontaminate, q65BloomSeen, q66ClusterSample,
-    q67SpanCut, q68KnnPq, q69CmsTopk, q70BpeTrain)
+    q67SpanCut, q68KnnPq, q69CmsTopk, q70BpeTrain, q71KnnIvfPq)
 }

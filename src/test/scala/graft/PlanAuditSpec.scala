@@ -196,4 +196,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"PQ scan must not shuffle the corpus:\n$p")
   }
+
+  test("q71_knn_ivfpq: candidates come from a cell equi-join, never all-pairs") {
+    val p = plan("q71_knn_ivfpq")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF-PQ must restrict candidates to the probe's cell:\n$p")
+    assert(p.contains("cell"), p)
+  }
 }
