@@ -1009,9 +1009,10 @@ object Queries3 {
   }
 
   // ------------------------------------------------------------ q50_ann_recall
-  /** ANN recall measurement: recall@3 of the three approximate kNN
+  /** ANN recall measurement: recall@3 of the four approximate kNN
     * paths (hyperplane-LSH, IVF, product quantization — the q68
-    * codebook) against the exact baseline over the same probe set —
+    * codebook — and the q71 IVF-PQ composite) against the exact
+    * baseline over the same probe set —
     * "measure, don't guess" applied to the ANN family itself: the
     * recall/cost dials (planes, nprobe, m/k) should be turned against
     * a number, not a hunch. The exact side is the broadcast-probe
@@ -1061,11 +1062,28 @@ object Queries3 {
             iters = 2, seed = 41), m = 4)
         val pq = Similarity.knnPq(probes, corpus, cents, subDim = 16, k = 3)
           .select(lit("pq").as("method"), $"probe_id", $"cand_id")
+        // q71's composite: coarse-cell candidate cut + PQ ranking
+        val prCell = Similarity.ivfAssign(probes, "pv", "probe_id", centroids)
+          .select($"probe_id", $"pv", $"cell").withColumn("_pn", l2norm($"pv"))
+        val codes = (0 until 4).map(j =>
+          Similarity.pqCodeCol($"cv", j, 16, cents(j)))
+        val crCell = Similarity.ivfAssign(corpus, "cv", "cand_id", centroids)
+          .select($"cand_id", $"cell",
+            Similarity.pqReconCol(codes, cents).as("rv"))
+          .withColumn("_rvn", l2norm($"rv"))
+        val wPq = Window.partitionBy($"probe_id")
+          .orderBy($"cos".desc, $"cand_id")
+        val ivfpq = prCell.join(crCell, Seq("cell"))
+          .filter($"probe_id" =!= $"cand_id")
+          .withColumn("cos", round(dot($"pv", $"rv") / ($"_pn" * $"_rvn"), 6))
+          .withColumn("rn", row_number().over(wPq))
+          .filter($"rn" <= 3)
+          .select(lit("ivfpq").as("method"), $"probe_id", $"cand_id")
         val possible = broadcast(exact.agg(count(lit(1)).as("possible")))
         // a method with ZERO hits must still report recall 0 — the
         // inner join + groupBy would silently drop its row otherwise
-        val methods = Seq("ivf", "lsh", "pq").toDF("method")
-        val hits = lsh.unionByName(ivf).unionByName(pq)
+        val methods = Seq("ivf", "ivfpq", "lsh", "pq").toDF("method")
+        val hits = lsh.unionByName(ivf).unionByName(pq).unionByName(ivfpq)
           .join(exact, Seq("probe_id", "cand_id"))
           .groupBy($"method")
           .agg(count(lit(1)).as("hits"))
@@ -1139,14 +1157,26 @@ object Queries3 {
             SELECT probe_id, cand_id,
                    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
             FROM qs) WHERE rn <= 3),
-        m AS (SELECT * FROM l UNION ALL SELECT * FROM i UNION ALL SELECT * FROM q),
+        cps AS (
+          SELECT pc.probe_id, cc.cand_id,
+                 round(${sqlDot("pc.pv", "r.rv")} /
+                       (sqrt(${sqlDot("pc.pv", "pc.pv")}) * sqrt(${sqlDot("r.rv", "r.rv")})), 6) AS cos
+          FROM pc JOIN cc USING (cell) JOIN recon r ON r.vec_id = cc.cand_id
+          WHERE pc.probe_id != cc.cand_id),
+        cp AS (
+          SELECT 'ivfpq' AS method, probe_id, cand_id FROM (
+            SELECT probe_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rn
+            FROM cps) WHERE rn <= 3),
+        m AS (SELECT * FROM l UNION ALL SELECT * FROM i
+              UNION ALL SELECT * FROM q UNION ALL SELECT * FROM cp),
         hits AS (
           SELECT method, count(*) AS hits
           FROM m JOIN x USING (probe_id, cand_id) GROUP BY 1),
         poss AS (SELECT count(*) AS possible FROM x)
         SELECT t.method, coalesce(hits, 0) AS hits, possible,
                round(CAST(coalesce(hits, 0) AS DOUBLE) / possible, 6) AS recall
-        FROM (VALUES ('ivf'), ('lsh'), ('pq')) t(method)
+        FROM (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pq')) t(method)
         LEFT JOIN hits ON hits.method = t.method
         CROSS JOIN poss ORDER BY t.method"""))
   }
