@@ -94,7 +94,9 @@ object AtsParsers {
     val scripts = regexp_extract_all(payload,
       lit("(?is)<script[^>]*type=[\"']application/ld\\+json[\"'][^>]*>(.*?)</script>"), lit(1))
     val perScript = transform(scripts, s => {
-      val wrapped = when(startswith(ltrim(s, " \t\r\n"), lit("[")), s)
+      // leading-whitespace strip via regexp (the two-parameter LTRIM
+      // signature is deprecated in Spark 4 and warns on every run)
+      val wrapped = when(startswith(regexp_replace(s, "^[ \\t\\r\\n]+", ""), lit("[")), s)
         .otherwise(concat(lit("["), s, lit("]")))
       coalesce(
         filter(from_json(wrapped, JsonLdSchema),
