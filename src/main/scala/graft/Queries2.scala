@@ -255,8 +255,7 @@ object Queries2 {
     * corpus streams once — the exact-ANN baseline.
     */
   val q14KnnExact = {
-    def sqlDot(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+    import KmeansSql.sqlDot
     QueryDef(
       "q14_knn_exact",
       (s, dir) => {
@@ -305,8 +304,7 @@ object Queries2 {
          CASE WHEN round(list_reduce(list_transform(range(0, 64),
            d -> $vec[d+1]::DOUBLE * (CAST(('0x' || substr(md5('0:' || p || ':' || d), 1, 15)) AS BIGINT) % 1000 / 1000.0 - 0.5)),
            (x, y) -> x + y), 6) > 0 THEN (1 << p) ELSE 0 END))"""
-    def sqlDot(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+    import KmeansSql.sqlDot
     QueryDef(
       "q15_knn_lsh",
       (s, dir) => {
@@ -668,10 +666,7 @@ object Queries2 {
     * hyperplane-LSH path.
     */
   val q25KnnIvf = {
-    def sqlDot(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
-    def sqlCos(a: String, b: String) =
-      s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+    import KmeansSql.{sqlCos, sqlDot}
     QueryDef(
       "q25_knn_ivf",
       (s, dir) => {
@@ -732,8 +727,7 @@ object Queries2 {
          CASE WHEN round(list_reduce(list_transform(range(0, 64),
            d -> $vec[d+1]::DOUBLE * (CAST(('0x' || substr(md5('0:' || p || ':' || d), 1, 15)) AS BIGINT) % 1000 / 1000.0 - 0.5)),
            (x, y) -> x + y), 6) > 0 THEN (1 << p) ELSE 0 END))"""
-    def sqlDot(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+    import KmeansSql.sqlDot
     QueryDef(
       "q26_dedup_embedding",
       (s, dir) => {

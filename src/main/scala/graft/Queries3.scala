@@ -738,10 +738,7 @@ object Queries3 {
     * lives in exactly one list).
     */
   val q44KnnIvfMultiprobe = {
-    def sqlDot(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
-    def sqlCos(a: String, b: String) =
-      s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+    import KmeansSql.{sqlCos, sqlDot}
     QueryDef(
       "q44_knn_ivf_multiprobe",
       (s, dir) => {
@@ -1020,10 +1017,7 @@ object Queries3 {
     * comes from a broadcast 1-row aggregate, never a driver count.
     */
   val q50AnnRecall = {
-    def sqlDot(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
-    def sqlCos(a: String, b: String) =
-      s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+    import KmeansSql.{sqlCos, sqlDot}
     val sqlPlanes =
       """(SELECT CAST(coalesce(min(p), 16) AS INT) FROM range(1, 17) t(p)
           WHERE 64 * (1 << p) >= (SELECT count(*) FROM embeddings))"""
@@ -1062,22 +1056,9 @@ object Queries3 {
             iters = 2, seed = 41), m = 4)
         val pq = Similarity.knnPq(probes, corpus, cents, subDim = 16, k = 3)
           .select(lit("pq").as("method"), $"probe_id", $"cand_id")
-        // q71's composite: coarse-cell candidate cut + PQ ranking
-        val prCell = Similarity.ivfAssign(probes, "pv", "probe_id", centroids)
-          .select($"probe_id", $"pv", $"cell").withColumn("_pn", l2norm($"pv"))
-        val codes = (0 until 4).map(j =>
-          Similarity.pqCodeCol($"cv", j, 16, cents(j)))
-        val crCell = Similarity.ivfAssign(corpus, "cv", "cand_id", centroids)
-          .select($"cand_id", $"cell",
-            Similarity.pqReconCol(codes, cents).as("rv"))
-          .withColumn("_rvn", l2norm($"rv"))
-        val wPq = Window.partitionBy($"probe_id")
-          .orderBy($"cos".desc, $"cand_id")
-        val ivfpq = prCell.join(crCell, Seq("cell"))
-          .filter($"probe_id" =!= $"cand_id")
-          .withColumn("cos", round(dot($"pv", $"rv") / ($"_pn" * $"_rvn"), 6))
-          .withColumn("rn", row_number().over(wPq))
-          .filter($"rn" <= 3)
+        // q71's composite, same definition: coarse-cell cut + PQ ranking
+        val ivfpq = Similarity
+          .knnIvfPq(probes, corpus, centroids, cents, subDim = 16, k = 3)
           .select(lit("ivfpq").as("method"), $"probe_id", $"cand_id")
         val possible = broadcast(exact.agg(count(lit(1)).as("possible")))
         // a method with ZERO hits must still report recall 0 — the
@@ -1189,8 +1170,7 @@ object Queries3 {
     * fan-out only; the corpus stays one bucket per vector.
     */
   val q51KnnLshMultiprobe = {
-    def sqlDot(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+    import KmeansSql.sqlDot
     val sqlPlanes =
       """(SELECT CAST(coalesce(min(p), 16) AS INT) FROM range(1, 17) t(p)
           WHERE 64 * (1 << p) >= (SELECT count(*) FROM embeddings))"""
@@ -1310,28 +1290,11 @@ private[graft] object KmeansSql {
                 FROM $src ORDER BY h, vec_id LIMIT $k)),
         ${sqlIterD(p, 1, s"${p}init", src, dims)},
         ${sqlIterD(p, 2, s"${p}cc1", src, dims)}"""
-  // one Lloyd iteration: assign to the argmax-cosine centroid of `cin`,
-  // then per-dimension exact-decimal mean, empty cells keeping their
-  // previous centroid — mirrors Similarity.kmeans step for step
-  def sqlIter(i: Int, cin: String): String = s"""
-      a$i AS (
-        SELECT vec_id, embedding, cid FROM (
-          SELECT vec_id, embedding, cid,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-          FROM (SELECT e.vec_id, e.embedding, $cin.cid,
-                       ${sqlCos("e.embedding", s"$cin.c")} AS cos
-                FROM e, $cin))
-        WHERE rn = 1),
-      u$i AS (
-        SELECT cid, d,
-               round(CAST(SUM(CAST(embedding[d] AS DECIMAL(27,12))) AS DOUBLE)
-                     / COUNT(*), 9) AS m
-        FROM a$i, unnest(range(1, 65)) AS t$i(d) GROUP BY cid, d),
-      c$i AS (SELECT cid, list(m ORDER BY d) AS c FROM u$i GROUP BY cid),
-      cc$i AS (
-        SELECT cid, c FROM c$i
-        UNION ALL
-        SELECT cid, c FROM $cin WHERE cid NOT IN (SELECT cid FROM c$i))"""
+  /** Unprefixed 64-dim iteration over the `e` CTE — the q49/q66 shape,
+    * delegated to the parametrized generator so the two can never
+    * drift.
+    */
+  def sqlIter(i: Int, cin: String): String = sqlIterD("", i, cin, "e", 64)
 
   /** Product-quantization CTE chain over an existing `e (vec_id,
     * embedding)` CTE: per-subspace slices `pq{j}e`, one 2-iteration
@@ -1376,14 +1339,7 @@ private[graft] object KmeansSql {
     * `(vec_id, cid, cos)`. Splice as `WITH $trainAssignCtes …`.
     */
   def trainAssignCtes: String = s"""e AS (SELECT vec_id, embedding FROM embeddings),
-        init AS (
-          SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
-                 list_transform(embedding, x -> x::DOUBLE) AS c
-          FROM (SELECT vec_id, embedding,
-                       CAST(('0x' || substr(md5('31:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-                FROM e ORDER BY h, vec_id LIMIT 8)),
-        ${sqlIter(1, "init")},
-        ${sqlIter(2, "cc1")},
+        ${trainCtesD("", "e", 64, 8, 31)},
         fin AS (
           SELECT vec_id, cid, cos FROM (
             SELECT vec_id, cid, cos,

@@ -576,10 +576,7 @@ object Queries4 {
     * of q54's band index.
     */
   val q61KnnIvfIndexed = {
-    def sqlDot(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
-    def sqlCos(a: String, b: String) =
-      s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+    import KmeansSql.{sqlCos, sqlDot}
     QueryDef(
       "q61_knn_ivf_indexed",
       (s, dir) => {

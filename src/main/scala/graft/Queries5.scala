@@ -486,24 +486,9 @@ object Queries5 {
         val probes = e.filter($"vec_id" < 10)
           .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
         val corpus = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
-        val pr = Similarity.ivfAssign(probes, "pv", "probe_id", centroids)
-          .select($"probe_id", $"pv", $"cell")
-          .withColumn("_pn", l2norm($"pv"))
-        val codes = (0 until M).map(j =>
-          Similarity.pqCodeCol($"cv", j, SubDim, cents(j)))
-        val cr = Similarity.ivfAssign(corpus, "cv", "cand_id", centroids)
-          .select($"cand_id", $"cell",
-            Similarity.pqReconCol(codes, cents).as("rv"))
-          .withColumn("_rvn", l2norm($"rv"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"probe_id").orderBy($"cos".desc, $"cand_id")
-        pr.join(cr, Seq("cell"))
-          .filter($"probe_id" =!= $"cand_id")
-          .withColumn("cos", round(dot($"pv", $"rv") / ($"_pn" * $"_rvn"), 6))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter($"rn" <= 3)
-          .select($"probe_id", $"rn", $"cell".cast("long").as("cell"),
-            $"cand_id", $"cos")
+        Similarity.knnIvfPq(probes, corpus, centroids, cents, SubDim, k = 3)
+          .select($"probe_id", $"rn".cast("long").as("rn"),
+            $"cell".cast("long").as("cell"), $"cand_id", $"cos")
           .orderBy($"probe_id", $"rn")
       },
       Some(s"""

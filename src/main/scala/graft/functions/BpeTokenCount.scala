@@ -112,16 +112,31 @@ object BpeTokenCount {
   private def countWordUncached(word: String): Int =
     countWordImpl(word, compiled)
 
-  /** Token count of one word under an ARBITRARY merge table — the
+  /** Precompile an arbitrary merge table into the wrapped-pattern form
+    * [[countWordCompiled]] consumes — do this ONCE per table; a
+    * vocab-sized scoring pass calls the counter per word, and
+    * rebuilding the O(|table|) pattern array each call would make it
+    * O(vocab × table) in allocations.
+    */
+  def compileTable(table: Seq[(String, String)]): Array[(String, String)] =
+    table.map { case (a, b) =>
+      (s"$Sep$a$Sep$Sep$b$Sep", s"$Sep$a$b$Sep")
+    }.toArray
+
+  /** Token count of one word under a [[compileTable]]d table (uncached:
+    * trained tables are ad hoc, the memo is for the fixed shipped table
+    * only).
+    */
+  def countWordCompiled(word: String, compiled: Array[(String, String)]): Int =
+    countWordImpl(word, compiled)
+
+  /** One-shot convenience: count under an ARBITRARY merge table — the
     * shipped-table algorithm with the table as a parameter, so a table
-    * trained by [[graft.operators.BpeTrain]] is directly executable
-    * (uncached: trained tables are ad hoc, the memo is for the fixed
-    * shipped table only).
+    * trained by [[graft.operators.BpeTrain]] is directly executable.
+    * Compiles the table per call; loops should [[compileTable]] once.
     */
   def countWordWith(word: String, table: Seq[(String, String)]): Int =
-    countWordImpl(word, table.map { case (a, b) =>
-      (s"$Sep$a$Sep$Sep$b$Sep", s"$Sep$a$b$Sep")
-    }.toArray)
+    countWordImpl(word, compileTable(table))
 
   private def countWordImpl(word: String,
                             table: Array[(String, String)]): Int = {

@@ -60,9 +60,11 @@ object CountMin {
           .select(col("bucket").as(s"_cb$r"), col("cnt").as(s"_cc$r"))),
         Seq(s"_cb$r"), "left")
     }
+    val rowCounts = (0 until depth).map(r => coalesce(col(s"_cc$r"), lit(0L)))
+    // Spark's least() needs >= 2 args; depth = 1 is a legal sketch
+    val est = if (depth == 1) rowCounts.head else least(rowCounts: _*)
     marked
-      .withColumn(estCol,
-        least((0 until depth).map(r => coalesce(col(s"_cc$r"), lit(0L))): _*))
+      .withColumn(estCol, est)
       .drop((0 until depth).flatMap(r => Seq(s"_cb$r", s"_cc$r")): _*)
   }
 }

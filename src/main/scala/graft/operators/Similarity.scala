@@ -457,6 +457,35 @@ object Similarity {
       .select("probe_id", "rn", "cand_id", "cos")
   }
 
+  /** IVF-PQ composite top-k — the standard large-scale index shape:
+    * the coarse `centroids` quantizer restricts candidates to the
+    * probe's cell (an EQUI-join — candidates ∝ cell size, never the
+    * corpus), and within the cell candidates rank by PQ asymmetric
+    * distance against their literal-codebook reconstruction. One
+    * definition serves both q71 and q50's recall row, so the measured
+    * index and the answering index can never drift.
+    */
+  def knnIvfPq(probes: DataFrame, corpus: DataFrame, centroids: DataFrame,
+               cents: Seq[Seq[Seq[Double]]], subDim: Int, k: Int): DataFrame = {
+    val m = cents.length
+    val pr = ivfAssign(probes, "pv", "probe_id", centroids)
+      .select(col("probe_id"), col("pv"), col("cell"))
+      .withColumn("_pn", l2norm(col("pv")))
+    val codes = (0 until m).map(j => pqCodeCol(col("cv"), j, subDim, cents(j)))
+    val cr = ivfAssign(corpus, "cv", "cand_id", centroids)
+      .select(col("cand_id"), col("cell"), pqReconCol(codes, cents).as("rv"))
+      .withColumn("_rvn", l2norm(col("rv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    pr.join(cr, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(dot(col("pv"), col("rv")) / (col("_pn") * col("_rvn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("probe_id", "rn", "cell", "cand_id", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, emit
     * within-bucket pairs above the similarity threshold. The dedup twin
     * of [[knnLsh]] — never all-pairs.

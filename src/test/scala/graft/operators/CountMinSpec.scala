@@ -32,6 +32,15 @@ class CountMinSpec extends SparkSpec {
       s"65536 buckets over 31 keys should be exact: ${wide.toSeq}")
   }
 
+  test("depth=1 sketch estimates without crashing (single-row least)") {
+    val truth = items.groupBy($"key").agg(count(lit(1)).as("n_true"))
+    val out = CountMin.estimate(truth, $"key",
+      CountMin.build(items, $"key", 1, 1 << 16), 1, 1 << 16, "n_est")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (t, e) => e == t },
+      "one row, 65536 buckets over 31 keys: exact")
+  }
+
   test("unseen keys estimate 0 in a wide sketch") {
     val sketch = CountMin.build(items, $"key", 3, 1 << 16)
     val out = CountMin.estimate(Seq("absent-key-xyz").toDF("key"),
