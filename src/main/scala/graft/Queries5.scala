@@ -340,9 +340,14 @@ object Queries5 {
     * the approximate companion to q63's exact aggregation — a 3×1024
     * sketch of every 3-gram occurrence (multiplicity, not df), probed
     * for the top-20 3-grams by true count. Output pins the sketch
-    * CONTRACT cross-engine: the estimate never undercounts
-    * (`overcount ≥ 0` by construction) and stays within the 3·N/width
-    * collision bound, checked in exact BIGINT arithmetic. The sketch
+    * behavior cross-engine: the estimate never undercounts
+    * (`overcount ≥ 0` by construction), and `within_bound` is an
+    * EXPECTED-CASE check — each row's collision mass averages N/width,
+    * so 3·N/width is comfortable headroom on typical data, but
+    * count-min's ε·N guarantee is probabilistic and an adversarially
+    * skewed key set can legitimately exceed it (both engines compute
+    * the flag identically, so parity holds either way). Checked in
+    * exact BIGINT arithmetic. The sketch
     * build shuffles at most depth·width cells REGARDLESS of corpus
     * size; estimation is `depth` broadcast joins, map-only.
     */

@@ -117,6 +117,12 @@ object Sampling {
     * is itself too large for one task's sort, switch to rate semantics
     * ([[stratifiedByHash]] with rate ≈ cap/n_g): a narrow filter, at
     * the cost of approximate (binomial) per-group counts.
+    *
+    * `key` must be unique per row WITHIN each group (q66 keys by
+    * `vec_id`, a primary key): the order is `(hash64(key), key)`, so
+    * rows sharing a key value tie on both terms and their
+    * `sample_rank` assignment — hence which of them survives the cap
+    * — would depend on partitioning, not on the data.
     */
   def perGroupCapByHash(df: DataFrame, group: Column, key: Column,
                         cap: Int, seed: Int): DataFrame = {

@@ -45,9 +45,21 @@ object StreamingHeavyHitters {
 
   /** The live merged sketch: cell-wise sum over all persisted batches
     * — identical to [[CountMin.build]] over the concatenated stream.
+    * Before any batch has committed (empty stream, or a read racing
+    * batch 0) the path has no partitions; that reads as the empty
+    * sketch — every estimate 0 — not an error.
     */
-  def sketch(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def sketch(spark: SparkSession, path: String): DataFrame = {
+    val batches =
+      try spark.read.parquet(path)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          // no batch=<id> partition committed yet → zero touched cells
+          spark.range(0).select(
+            lit(0).as("r"), lit(0L).as("bucket"), lit(0L).as("cnt"))
+      }
+    batches
       .groupBy(col("r"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+  }
 }

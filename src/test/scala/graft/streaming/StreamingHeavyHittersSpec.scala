@@ -44,6 +44,16 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(est == Map("a" -> 3L, "d" -> 3L, "b" -> 1L), est)
   }
 
+  test("sketch before any batch commits is empty, estimates read as 0") {
+    val dir = java.nio.file.Files.createTempDirectory("shh0").toString
+    val merged = StreamingHeavyHitters.sketch(spark, s"$dir/cms")
+    assert(merged.columns.toSeq == Seq("r", "bucket", "cnt"))
+    assert(merged.count() == 0L)
+    val est = CountMin.estimate(Seq("a").toDF("key"), $"key",
+      merged, 3, 256, "e").collect().map(_.getLong(1))
+    assert(est.toSeq == Seq(0L), s"empty sketch must estimate 0: ${est.toSeq}")
+  }
+
   test("replayed batch overwrites its own partition — no double count") {
     val dir = java.nio.file.Files.createTempDirectory("shh2").toString
     val batch = Seq("x", "x", "y").toDF("key")
