@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Round-10 queries: training-layout and overlap-detection depth for the
+  * LLM-pipeline north star — context-window chunking, epoch-weighted
+  * mixture oversampling, SemDeDup-style semantic dedup over the k-means
+  * cells, and winnowing (MOSS) fingerprint matching. Same oracle-parity
+  * rules as [[Queries]].
+  */
+object Queries6 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // -------------------------------------------------------- q72_context_chunks
+  /** Context-window chunking ([[graft.operators.Packing.chunkTokens]]):
+    * split every document into ≤32-token windows starting every 24
+    * tokens (8-token overlap) — the prep for a trainer whose context is
+    * shorter than the documents, where q55 packs SHORT documents INTO
+    * windows. Narrow per-row explode: no shuffle before the final
+    * ORDER BY; output rows are bounded by `maxLen` tokens each, so a
+    * pathological 1 GB document becomes ordinary rows downstream.
+    */
+  val q72ContextChunks = {
+    val MaxLen = 32; val Stride = 24
+    QueryDef(
+      "q72_context_chunks",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Packing
+          .chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+            maxLen = MaxLen, stride = Stride)
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        st AS (
+          SELECT doc_id, w, len(w) AS n, unnest(range(0, len(w), $Stride)) AS s
+          FROM toks WHERE len(w) >= 1)
+        SELECT doc_id, CAST(s // $Stride AS BIGINT) AS chunk_idx,
+               CAST(s AS BIGINT) AS chunk_start,
+               CAST(least($MaxLen, n - s) AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(w, s + 1, least(s + $MaxLen, n)), ' ')
+                 AS chunk_text
+        FROM st ORDER BY doc_id, chunk_idx"""))
+  }
+
+  // ------------------------------------------------------------- q73_semdedup
+  /** Semantic dedup ([[graft.operators.Similarity.semDedup]], SemDeDup —
+    * Abbas et al. 2023): cluster the embeddings with the q49 codebook
+    * (k=8, 2 Lloyd iterations, seed 31), then within each cell drop
+    * every vector whose cosine to a lower-id cell-mate reaches 0.35,
+    * reporting the kept partner. The adaptive-cell counterpart of q26's
+    * fixed-hyperplane near-dup pass: candidate pairs are CELL-local
+    * (Σ|cell|², bounded by growing k with the corpus), never all-pairs.
+    */
+  val q73SemDedup = {
+    import KmeansSql.{trainAssignCtes, sqlCos}
+    val Tau = "0.35"
+    QueryDef(
+      "q73_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Similarity
+        val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val ePinned =
+          if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            e.persist() else e
+        val cent = Similarity.kmeans(ePinned, "embedding", "vec_id",
+          k = 8, iters = 2, seed = 31)
+        Similarity.semDedup(ePinned, "embedding", "vec_id", cent,
+            tau = Tau.toDouble)
+          .select($"cell", $"vec_id", $"kept_id", $"cos")
+          .orderBy($"cell", $"vec_id")
+      },
+      Some(s"""
+        WITH $trainAssignCtes,
+        p AS (
+          SELECT a.cid AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${sqlCos("ea.embedding", "eb.embedding")} AS cos
+          FROM fin a JOIN fin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN e ea ON ea.vec_id = a.vec_id
+          JOIN e eb ON eb.vec_id = b.vec_id),
+        d AS (
+          SELECT cell, id_b AS vec_id, id_a AS kept_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+          FROM p WHERE cos >= $Tau)
+        SELECT cell, vec_id, kept_id, cos FROM d
+        WHERE rn = 1 ORDER BY cell, vec_id"""))
+  }
+
+  // ------------------------------------------------------------ q74_epoch_mix
+  /** Epoch-weighted mixture oversampling
+    * ([[graft.operators.Sampling.epochMix]]): q53 rebalances by
+    * DOWN-sampling to a target histogram; this realizes weights above 1
+    * — 2.5 epochs of src0, 1.75 of src3, 0.3 of src1 — by deterministic
+    * replication, the "high-quality sources repeat, low-quality sources
+    * thin" mixture every LLM run trains on. Output: per (source, epoch)
+    * document and token mass — epoch 0 carries every surviving doc,
+    * the last fractional epoch carries the hash-selected subset.
+    * Narrow explode, one tiny agg shuffle.
+    */
+  val q74EpochMix = {
+    val Seed = 7; val Gran = 10000
+    // (source → weight); everything else trains for exactly one epoch
+    val Weights = Seq("src0" -> 2.5, "src1" -> 0.3, "src3" -> 1.75)
+    QueryDef(
+      "q74_epoch_mix",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Sampling
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"source", size(words($"text")).cast("long").as("n_tok"))
+        Sampling.epochMix(docs, $"doc_id".cast("string"), $"source",
+            Weights.toMap, default = 1.0, seed = Seed, granularity = Gran)
+          .groupBy($"source", $"epoch")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+          .orderBy($"source", $"epoch")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+                 CAST(('0x' || substr(md5('$Seed:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % $Gran AS h
+          FROM documents),
+        wt AS (SELECT * FROM (VALUES
+          ${Weights.map { case (src, w) =>
+            val full = math.floor(w).toInt
+            val cut = math.round((w - full) * Gran)
+            s"('$src', $full, $cut)" }.mkString(", ")}) t(source, fl, cut)),
+        x AS (
+          SELECT d.doc_id, d.source, d.n_tok,
+                 coalesce(wt.fl, 1) + CASE WHEN d.h < coalesce(wt.cut, 0)
+                   THEN 1 ELSE 0 END AS nc
+          FROM d LEFT JOIN wt USING (source)),
+        r AS (
+          SELECT source, n_tok, unnest(range(0, nc)) AS epoch FROM x)
+        SELECT source, CAST(epoch AS BIGINT) AS epoch,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM r GROUP BY source, epoch ORDER BY source, epoch"""))
+  }
+
+  // -------------------------------------------------------- q75_winnow_match
+  /** Winnowing fingerprint matching
+    * ([[graft.operators.Dedup.winnowPairs]], MOSS — Schleimer et al.
+    * SIGMOD'03): 4-token shingle hashes, window 5, so any ≥8-token run
+    * shared verbatim by two documents surfaces at least one common
+    * fingerprint; pairs sharing ≥2 fingerprints are reported with the
+    * shared count. Fingerprints in more than 50 documents are dropped
+    * as boilerplate (q63's territory) — the cap that keeps the
+    * postings-join bucketed, never all-pairs. The position-robust
+    * member of the fingerprint family next to q10's prefix hash and
+    * q58's fixed-offset spans.
+    */
+  val q75WinnowMatch = {
+    val K = 4; val W = 5; val Seed = 11
+    val MinShared = 2L; val MaxDf = 50L
+    QueryDef(
+      "q75_winnow_match",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup
+          .winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+            k = K, w = W, seed = Seed, minShared = MinShared, maxDf = MaxDf)
+          .select($"id_a", $"id_b", $"n_shared")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        gh AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_transform(range(0, len(w) - ${K - 1}), i ->
+                     array_to_string(list_slice(w, i + 1, i + $K), ' ')),
+                   x -> CAST(('0x' || substr(md5('$Seed:' || x), 1, 15)) AS BIGINT)) AS g
+          FROM toks WHERE len(w) >= $K),
+        fp AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(0, len(g) - ${W - 1}), i ->
+                   list_min(list_slice(g, i + 1, i + $W)))) AS fps
+          FROM gh WHERE len(g) >= $W),
+        ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        kept AS (
+          SELECT fp FROM ex GROUP BY fp HAVING count(*) <= $MaxDf),
+        ke AS (SELECT ex.doc_id, ex.fp FROM ex JOIN kept USING (fp))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM ke a JOIN ke b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b HAVING count(*) >= $MinShared
+        ORDER BY id_a, id_b"""))
+  }
+
+  def all: Seq[QueryDef] = Seq(
+    q72ContextChunks, q73SemDedup, q74EpochMix, q75WinnowMatch)
+}

@@ -9,7 +9,8 @@ object SparkEntry {
     Queries.q1Agg.run(spark, "/root/testdata/sf0.001")
 
   private def allDefs: Seq[QueryDef] =
-    Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.all ++ Queries5.all
+    Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.all ++
+      Queries5.all ++ Queries6.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.words
+
 /** Sequence packing: assign documents to fixed-token-budget training
   * packs ("fill 2048-token context windows with shuffled documents") —
   * the step between corpus selection and batch writing in an LLM data
@@ -44,5 +46,44 @@ object Packing {
     TokenBudget.take(df, idCol, tokenCol, budget = Long.MaxValue, numParts)
       .withColumn("pack_id",
         expr(s"(cum_tokens - $tokenCol) div $packSize"))
+  }
+
+  /** Context-window chunking — the per-DOCUMENT companion to
+    * [[sequencePack]]'s cross-document layout: split each document's
+    * token sequence into windows of at most `maxLen` tokens, a new
+    * window starting every `stride` tokens (overlap = maxLen − stride;
+    * stride = maxLen is non-overlapping tiling). The standard prep for
+    * models whose context is shorter than the documents: every token
+    * lands in at least one window, and each window break re-reads the
+    * last `maxLen − stride` tokens for continuity.
+    *
+    * One row per (document, window): `chunk_idx` (0-based), the token
+    * `chunk_start` offset, the window's `n_tokens` (< maxLen only on a
+    * document's tail), and the window text. Empty documents yield no
+    * rows.
+    *
+    * Scale shape: a narrow per-row explode — no shuffle, no state; the
+    * fan-out is ≤ ceil(doc_tokens / stride) rows per document, so
+    * output mass is ~(maxLen/stride)× the corpus and each output row is
+    * bounded by `maxLen` tokens regardless of document length.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  maxLen: Int, stride: Int): DataFrame = {
+    require(maxLen >= 1, "maxLen must be >= 1")
+    require(stride >= 1 && stride <= maxLen,
+      "stride must be in [1, maxLen] (stride > maxLen would drop tokens)")
+    df.withColumn("_w", words(col(textCol)))
+      .withColumn("_n", size(col("_w")))
+      .filter(col("_n") >= 1)
+      .select(col(idCol), col("_w"), col("_n"),
+        posexplode(sequence(lit(0), col("_n") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "chunk_start")))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(maxLen), col("_n") - col("chunk_start")).cast("long")
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("_w"), col("chunk_start") + 1, lit(maxLen)))
+          .as("chunk_text"))
   }
 }

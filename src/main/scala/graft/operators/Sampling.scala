@@ -103,6 +103,49 @@ object Sampling {
       .drop("_stratum", "_cut")
   }
 
+  /** Epoch-weighted oversampling: realize a training mixture whose
+    * per-stratum weights may EXCEED 1 — "2.5 epochs of src0, 0.3 of
+    * src1" — by replicating rows, the step [[stratifiedByHash]] (rates
+    * capped at 1) cannot express. A row in a stratum of weight `w`
+    * appears `floor(w)` times (epoch ids 0..floor(w)−1) plus once more
+    * — as its final epoch — iff `hash64(key, seed) % granularity`
+    * falls under the fractional part, so every realized epoch has the
+    * expected row mass and the whole layout is a pure function of
+    * (key, seed, weights): reproducible, auditable, oracle-checkable.
+    * Weight 0 drops the stratum; weights below 1 degrade to exactly
+    * the stratified sample.
+    *
+    * Adds `epoch` (0-based long). Scale shape: narrow per-row explode,
+    * fan-out ceil(w) per row, no shuffle — the epoch column is what a
+    * downstream [[graft.operators.Packing.sequencePack]] keys on so
+    * replicas land in distinct packs.
+    */
+  def epochMix(df: DataFrame, key: Column, stratum: Column,
+               weights: Map[String, Double], default: Double,
+               seed: Int, granularity: Int = 10000): DataFrame = {
+    require(granularity > 0, "granularity must be positive")
+    require((weights.values.toSeq :+ default).forall(_ >= 0.0),
+      "weights must be >= 0")
+    // exact per-stratum (full epochs, fractional cut) computed driver-side
+    def split(w: Double): (Int, Long) = {
+      val full = math.floor(w).toInt
+      (full, math.round((w - full) * granularity))
+    }
+    val (dFull, dCut) = split(default)
+    val (fullCol, cutCol) = weights.toSeq.sortBy(_._1)
+      .foldLeft((lit(dFull), lit(dCut))) { case ((f, c), (k, w)) =>
+        val (kf, kc) = split(w)
+        (when(stratum === lit(k), lit(kf)).otherwise(f),
+         when(stratum === lit(k), lit(kc)).otherwise(c))
+      }
+    val nCopies = fullCol +
+      when(hash64(key, seed) % granularity < cutCol, lit(1)).otherwise(lit(0))
+    df.withColumn("_nc", nCopies)
+      .filter(col("_nc") >= 1) // sequence(0,-1) would count DOWN, not empty
+      .withColumn("epoch", explode(sequence(lit(0L), col("_nc") - 1L)))
+      .drop("_nc")
+  }
+
   /** Equal-allocation sampling: keep AT MOST `cap` rows per `group`,
     * chosen in deterministic `hash64(key, seed)` order (ties broken by
     * the key itself) — the "diversity sample" primitive: with `group` =

@@ -486,6 +486,45 @@ object Similarity {
       .select("probe_id", "rn", "cell", "cand_id", "cos")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * partition the corpus into k-means cells, then WITHIN each cell drop
+    * every vector whose cosine to a lower-id cell-mate reaches `tau` —
+    * the keep-first rule makes the verdict a pure function of the data
+    * (no iteration order), and each dropped vector reports its smallest
+    * duplicate partner. Complements [[embeddingNearDupPairs]]: hyperplane
+    * buckets are fixed-direction slices, k-means cells adapt to the
+    * density, which is what the published method exploits.
+    *
+    * Returns one row per DROPPED vector: `(cell, id, kept_id, cos)`.
+    *
+    * Scale shape: assignment is one broadcast pass; the pair generation
+    * is a cell-local equi-join — never corpus all-pairs. Σ|cell|² is the
+    * cost, so `k` must grow with the corpus to keep cells bounded
+    * (SemDeDup trains 50k clusters for billions of points); the join
+    * shuffles on `cell`, and a runaway cell is AQE-skew-splittable
+    * because the join key is a plain column.
+    */
+  def semDedup(vectors: DataFrame, vecCol: String, idCol: String,
+               centroids: DataFrame, tau: Double): DataFrame = {
+    val assigned = ivfAssign(vectors, vecCol, idCol, centroids)
+      .withColumn("_n", l2norm(col(vecCol)))
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("_va"), col("_n").as("_na"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("_vb"), col("_n").as("_nb"))
+    val dup = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .filter(col("cos") >= tau)
+    val w = Window.partitionBy(col("id_b")).orderBy(col("id_a"))
+    dup
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("cell"), col("id_b").as(idCol), col("id_a").as("kept_id"),
+        col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, emit
     * within-bucket pairs above the similarity threshold. The dedup twin
     * of [[knnLsh]] — never all-pairs.

@@ -77,4 +77,46 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byLang == Map("rare" -> 5L, "common" -> 10L), byLang)
   }
+
+  test("epochMix: integer weights replicate exactly, epochs dense from 0") {
+    val out = Sampling.epochMix(df, $"id".cast("string"), $"lang",
+      Map("en" -> 2.0, "fr" -> 0.0), default = 1.0, seed = 7)
+    val epochs = out.filter($"lang" === "en").groupBy($"id")
+      .agg(sort_array(collect_list($"epoch")).as("e"))
+      .select($"e").distinct().collect().map(_.getSeq[Long](0))
+    assert(epochs.toSeq == Seq(Seq(0L, 1L)),
+      "weight 2.0 must give every row exactly epochs [0, 1]")
+    assert(out.filter($"lang" === "fr").count() == 0L, "weight 0 drops the stratum")
+    val zh = out.filter($"lang" === "zh").groupBy($"id").count()
+      .select($"count").distinct().collect().map(_.getLong(0))
+    assert(zh.toSeq == Seq(1L), "default 1.0 keeps one epoch-0 copy")
+  }
+
+  test("epochMix: fractional epoch is a hash-selected subset, reproducible") {
+    def run() = Sampling.epochMix(df, $"id".cast("string"), $"lang",
+      Map("en" -> 1.5), default = 1.0, seed = 7)
+    val en = run().filter($"lang" === "en")
+    val perEpoch = en.groupBy($"epoch").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = rows.count(_._2 == "en").toLong
+    assert(perEpoch(0L) == base, "epoch 0 carries every row of the stratum")
+    val frac = perEpoch(1L).toDouble / base
+    assert(frac > 0.4 && frac < 0.6, s"fractional epoch keep-rate $frac far from 0.5")
+    assert(run().collect().toSet == run().collect().toSet, "must be reproducible")
+    // rows granted the fractional epoch have BOTH epochs (it is a replica,
+    // not a substitute)
+    val maxByRow = en.groupBy($"id").agg(
+      count(lit(1)).as("n"), max($"epoch").as("m")).collect()
+    assert(maxByRow.forall(r => r.getLong(1) == r.getLong(2) + 1),
+      "epochs must be dense 0..n-1 per row")
+  }
+
+  test("epochMix: negative weights rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.epochMix(df, $"id", $"lang", Map("en" -> -0.5), 1.0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochMix(df, $"id", $"lang", Map.empty, -1.0, 1)
+    }
+  }
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Similarity.semDedup]]: keep-first verdicts within a cell, the
+  * reported kept partner, cell-locality of the candidate pairs, and
+  * determinism across reruns.
+  */
+class SemDedupSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  // axis-aligned 2-cell quantizer
+  private def cents = Seq(
+    (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))
+  ).toDF("centroid_id", "centroid_vec")
+
+  private def vecs = Seq(
+    (1L, Seq(1.0, 0.01)),  // cell 0, kept (lowest id of the dup set)
+    (2L, Seq(0.99, 0.0)),  // cell 0, dup of 1 → dropped, partner 1
+    (3L, Seq(0.97, 0.05)), // cell 0, dup of 1 AND 2 → dropped, partner 1
+    (4L, Seq(0.0, 1.0)),   // cell 1, alone
+    (5L, Seq(0.3, 1.0))    // cell 1, cos(4,5) ≈ 0.96 < 0.99 → kept
+  ).toDF("vec_id", "embedding")
+
+  test("keep-first within a cell; dropped rows report the smallest partner") {
+    val out = Similarity.semDedup(vecs, "embedding", "vec_id", cents, tau = 0.99)
+      .orderBy($"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 2L, 1L), (0L, 3L, 1L)),
+      s"expected ids 2 and 3 dropped with partner 1, got ${out.toSeq}")
+  }
+
+  test("duplicates split across cells are not candidates") {
+    // identical vectors forced into different cells by the quantizer:
+    // near the 45° boundary a tiny nudge flips the assignment
+    val boundary = Seq(
+      (1L, Seq(1.0, 0.999)), // cos to c0 wins
+      (2L, Seq(0.999, 1.0))  // cos to c1 wins
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(boundary, "embedding", "vec_id", cents, tau = 0.9)
+    assert(out.count() == 0L,
+      "cell-local semdedup must not see cross-cell pairs (recall is the k dial)")
+  }
+
+  test("deterministic across reruns") {
+    def run() = Similarity.semDedup(vecs, "embedding", "vec_id", cents, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(run() == run())
+  }
+
+  test("tau above every within-cell cosine drops nothing") {
+    val out = Similarity.semDedup(vecs, "embedding", "vec_id", cents, tau = 0.9999999)
+    assert(out.count() == 0L)
+  }
+}
