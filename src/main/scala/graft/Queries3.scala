@@ -1048,12 +1048,14 @@ object Queries3 {
           .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
         val ivf = Similarity.knnIvf(probes, corpus, centroids, k = 3)
           .select(lit("ivf").as("method"), $"probe_id", $"cand_id")
-        // the q68 codebook (same m/k/seed), so the recall row measures
-        // exactly the index q68 answers from
+        // the q68 codebook (same m/k/seed/sample), so the recall row
+        // measures exactly the index q68 answers from
+        import KmeansSql.PqConfig
         val cents = Similarity.pqCollect(
-          Similarity.pqTrain(e.select($"vec_id", $"embedding"),
-            "embedding", "vec_id", m = 4, subDim = 16, k = 8,
-            iters = 2, seed = 41), m = 4)
+          Similarity.pqTrain(
+            e.select($"vec_id", $"embedding").filter(PqConfig.trainFilter),
+            "embedding", "vec_id", m = PqConfig.M, subDim = PqConfig.SubDim,
+            k = PqConfig.K, iters = 2, seed = PqConfig.Seed), m = PqConfig.M)
         val pq = Similarity.knnPq(probes, corpus, cents, subDim = 16, k = 3)
           .select(lit("pq").as("method"), $"probe_id", $"cand_id")
         // q71's composite, same definition: coarse-cell cut + PQ ranking
@@ -1077,7 +1079,7 @@ object Queries3 {
       },
       Some(s"""
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        ${KmeansSql.pqCtes(4, 16, 8, 41)},
+        ${KmeansSql.pqCtes(4, 16, 8, 41, KmeansSql.PqConfig.sampleWhere)},
         xp AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 10),
         xc AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
         xs AS (
@@ -1301,14 +1303,26 @@ private[graft] object KmeansSql {
     * training per subspace (seeds `seedBase + j`, centroids in
     * `pq{j}cc2`), argmax codes `pq{j}code`, and the decoded corpus
     * `recon (vec_id, rv)` — [[graft.operators.Similarity.pqTrain]] /
-    * `pqCodeCol` / `pqReconCol` replayed end to end.
+    * `pqCodeCol` / `pqReconCol` replayed end to end. A non-empty
+    * `sampleWhere` restricts the TRAINING side (init + Lloyd
+    * iterations) to the rows it selects — the coding/reconstruction
+    * side always covers the full corpus, mirroring the Spark split
+    * between `pqTrain(trainSet)` and the narrow full-corpus encode.
     */
-  def pqCtes(m: Int, subDim: Int, k: Int, seedBase: Int): String = {
+  def pqCtes(m: Int, subDim: Int, k: Int, seedBase: Int,
+             sampleWhere: String = ""): String = {
     val slices = (0 until m).map(j =>
       s"pq${j}e AS (SELECT vec_id, list_slice(embedding, ${j * subDim + 1}, ${(j + 1) * subDim}) AS embedding FROM e)")
       .mkString(",\n        ")
+    val trainSrc = (j: Int) =>
+      if (sampleWhere.isEmpty) s"pq${j}e" else s"pq${j}s"
+    val sampled =
+      if (sampleWhere.isEmpty) ""
+      else (0 until m).map(j =>
+        s"pq${j}s AS (SELECT * FROM pq${j}e WHERE $sampleWhere)")
+        .mkString("", ",\n        ", ",")
     val trains = (0 until m).map(j =>
-      trainCtesD(s"pq$j", s"pq${j}e", subDim, k, seedBase + j))
+      trainCtesD(s"pq$j", trainSrc(j), subDim, k, seedBase + j))
       .mkString(",\n        ")
     val codes = (0 until m).map(j => s"""
         pq${j}code AS (
@@ -1325,6 +1339,7 @@ private[graft] object KmeansSql {
     val concat = (1 until m).foldLeft("v0.c") { (acc, j) =>
       s"list_concat($acc, v$j.c)" }
     s"""$slices,
+        $sampled
         $trains,
         $codes,
         recon AS (
@@ -1332,6 +1347,26 @@ private[graft] object KmeansSql {
           FROM pq0code c0
           $codeJoins
           $centJoins)"""
+  }
+
+  /** Shared PQ configuration: q68, q50's `pq`/`ivfpq` rows, and q71
+    * must all answer from the SAME codebook (the recall harness
+    * measures exactly the index the ANN queries serve from), so the
+    * m/k/seed constants and the training-sample rule live here once.
+    * Training runs on a deterministic 1/[[SampleMod]] hash sample of
+    * the corpus — the production shape: at 100 TB a PQ codebook is
+    * trained on a bounded sample (k-means quality saturates long
+    * before corpus size), never the full corpus, and a hash cut is the
+    * reproducible, oracle-replayable way to pick it.
+    */
+  private[graft] object PqConfig {
+    val M = 4; val SubDim = 16; val K = 8; val Seed = 41
+    val SampleSeed = 43; val SampleMod = 4
+    def trainFilter: org.apache.spark.sql.Column =
+      graft.functions.GraftFunctions.hash64(
+        col("vec_id").cast("string"), SampleSeed) % SampleMod === 0
+    def sampleWhere: String =
+      s"CAST(('0x' || substr(md5('$SampleSeed:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % $SampleMod = 0"
   }
 
   /** CTE chain `e → init → (iter 1) → (iter 2) → fin`: trains the

@@ -288,14 +288,18 @@ object Queries5 {
     * entries. Training is m tiny k-means runs; encode and reconstruct
     * are NARROW per-row expressions against the collected literal
     * codebook (no join, no shuffle — the corpus is coded in one map
-    * pass); the scan itself is the q14 broadcast-probe shape. The
+    * pass); the scan itself is the q14 broadcast-probe shape. Training
+    * runs on the deterministic 1/4 hash sample of
+    * [[KmeansSql.PqConfig]] — the 100 TB shape: codebook quality
+    * saturates long before corpus size, so the training cost is priced
+    * off the sample while encode/scan still cover every vector. The
     * oracle replays all four trainings
-    * ([[KmeansSql.trainCtesD]]), the argmax coding, the concat
-    * reconstruction, and the ranking.
+    * ([[KmeansSql.trainCtesD]] over the same sample), the argmax
+    * coding, the concat reconstruction, and the ranking.
     */
   val q68KnnPq = {
-    import KmeansSql.{pqCtes, sqlDotD}
-    val M = 4; val SubDim = 16; val K = 8; val Seed = 41
+    import KmeansSql.{pqCtes, sqlDotD, PqConfig}
+    import PqConfig.{M, SubDim, K, Seed}
     QueryDef(
       "q68_knn_pq",
       (s, dir) => {
@@ -308,8 +312,8 @@ object Queries5 {
         // m·k rows — the literal-broadcast pattern (Sampling thresholds):
         // collected once, inlined into the narrow encode/recon expressions
         val cents = Similarity.pqCollect(
-          Similarity.pqTrain(ePinned, "embedding", "vec_id",
-            M, SubDim, K, iters = 2, seed = Seed), M)
+          Similarity.pqTrain(ePinned.filter(PqConfig.trainFilter),
+            "embedding", "vec_id", M, SubDim, K, iters = 2, seed = Seed), M)
         val probes = ePinned.filter($"vec_id" < 5)
           .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
         val corpus = ePinned.select($"vec_id".as("cand_id"),
@@ -320,7 +324,7 @@ object Queries5 {
       },
       Some(s"""
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        ${pqCtes(M, SubDim, K, Seed)},
+        ${pqCtes(M, SubDim, K, Seed, PqConfig.sampleWhere)},
         p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 5),
         sx AS (
           SELECT probe_id, r.vec_id AS cand_id,
@@ -471,8 +475,8 @@ object Queries5 {
     * (coarse-assign CTEs + [[KmeansSql.pqCtes]]).
     */
   val q71KnnIvfPq = {
-    import KmeansSql.{pqCtes, sqlCosD, sqlDotD}
-    val M = 4; val SubDim = 16; val K = 8; val Seed = 41
+    import KmeansSql.{pqCtes, sqlCosD, sqlDotD, PqConfig}
+    import PqConfig.{M, SubDim, K, Seed}
     QueryDef(
       "q71_knn_ivfpq",
       (s, dir) => {
@@ -486,8 +490,8 @@ object Queries5 {
           .orderBy($"vec_id").limit(8)
           .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
         val cents = Similarity.pqCollect(
-          Similarity.pqTrain(e, "embedding", "vec_id",
-            M, SubDim, K, iters = 2, seed = Seed), M)
+          Similarity.pqTrain(e.filter(PqConfig.trainFilter),
+            "embedding", "vec_id", M, SubDim, K, iters = 2, seed = Seed), M)
         val probes = e.filter($"vec_id" < 10)
           .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
         val corpus = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
@@ -498,7 +502,7 @@ object Queries5 {
       },
       Some(s"""
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        ${pqCtes(M, SubDim, K, Seed)},
+        ${pqCtes(M, SubDim, K, Seed, PqConfig.sampleWhere)},
         cent AS (
           SELECT vec_id AS centroid_id, embedding AS centroid_vec
           FROM embeddings WHERE vec_id % 37 = 0 AND vec_id >= 100
