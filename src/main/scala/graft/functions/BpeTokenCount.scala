@@ -68,16 +68,24 @@ object BpeTokenCount {
     */
   final val Sep = '\u001F'
 
-  /** The fixed merge table, in application order. */
-  val merges: Seq[(String, String)] = {
-    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
-    require(in != null, "bpe_merges.txt resource missing")
-    try Source.fromInputStream(in, "UTF-8").getLines()
+  /** Parse `bpe_merges.txt`-format lines: one "a b" merge per line in
+    * application order; blank lines and `#` comments ignored. The one
+    * parser behind both the shipped resource and
+    * [[graft.operators.BpeTrain.loadMerges]]-loaded artifacts.
+    */
+  def parseMerges(lines: Iterator[String]): Seq[(String, String)] =
+    lines
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
         val Array(a, b) = l.split(" ", 2)
         (a, b)
       }.toVector
+
+  /** The fixed merge table, in application order. */
+  val merges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "bpe_merges.txt resource missing")
+    try parseMerges(Source.fromInputStream(in, "UTF-8").getLines())
     finally in.close()
   }
 

@@ -104,4 +104,32 @@ object BpeTrain {
     base.unpersist()
     learned.result().toDF("merge_rank", "a", "b", "pair_count")
   }
+
+  /** Persist a [[train]]ed table as a `bpe_merges.txt`-format artifact
+    * — one "a b" line per merge in learned order, the exact format the
+    * shipped [[BpeTokenCount]] resource uses — so an induced vocabulary
+    * becomes a deployable tokenizer file. O(rounds) driver rows, like
+    * the codebook collects.
+    */
+  def writeMerges(trained: DataFrame, path: String): Unit = {
+    val rows = trained
+      .select(col("merge_rank"), col("a"), col("b"))
+      .orderBy(col("merge_rank")).collect()
+    val body = rows.map(r => s"${r.getString(1)} ${r.getString(2)}")
+    val lines = ("# BPE merge table (application order); see " +
+      "graft/bpe_merges.txt for the format contract") +: body
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a [[writeMerges]] artifact (or any `bpe_merges.txt`-format
+    * file) into the `Seq[(a, b)]` form [[BpeTokenCount.countWordWith]]
+    * and [[BpeTokenCount.compileTable]] execute.
+    */
+  def loadMerges(path: String): Seq[(String, String)] = {
+    val src = scala.io.Source.fromFile(path.toString, "UTF-8")
+    try BpeTokenCount.parseMerges(src.getLines())
+    finally src.close()
+  }
 }

@@ -55,4 +55,26 @@ class BpeTrainSpec extends SparkSpec {
     assert(BpeTokenCount.countWordWith("ad", table) == 2)  // untouched
     assert(BpeTokenCount.countWordWith("cab", table) == 2) // c ab (no wrap-around)
   }
+
+  test("writeMerges/loadMerges round-trips and the artifact executes") {
+    import graft.functions.BpeTokenCount
+    val docs = Seq((1L, "abc abc abc ad")).toDF("doc_id", "text")
+    val trained = BpeTrain.train(docs, "text", rounds = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("bpe").resolve("merges.txt").toString
+    BpeTrain.writeMerges(trained, path)
+    val loaded = BpeTrain.loadMerges(path)
+    assert(loaded == Seq(("a", "b"), ("ab", "c")),
+      s"artifact must round-trip in learned order: $loaded")
+    // the deployable file tokenizes exactly as the in-memory table
+    assert(BpeTokenCount.countWordWith("abc", loaded) == 1)
+    assert(BpeTokenCount.countWordWith("abd", loaded) == 2)
+    // format tolerance: comments and blank lines are ignored, so the
+    // artifact parses under the same contract as the shipped resource
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    assert(raw.startsWith("#"), "artifact should carry a header comment")
+    assert(BpeTokenCount.parseMerges(
+      ("" +: "# c" +: raw.linesIterator.toSeq).iterator) == loaded)
+  }
 }
