@@ -364,11 +364,18 @@ object Queries5 {
         import graft.operators.CountMin
         val ngr = t(s, dir, "documents")
           .select(explode(shingles(words($"text"), 3)).as("ngram"))
-        val sketch = CountMin.build(ngr, $"ngram", Depth, Width)
+        // ≤ depth·width cells by construction — pinning it is bounded at
+        // ANY corpus size, and without it each of estimate's 3 broadcast
+        // reads plus the N read would re-run the corpus n-gram explode
+        val sketch = CountMin.build(ngr, $"ngram", Depth, Width).persist()
         val truth = ngr.groupBy($"ngram").agg(count(lit(1)).as("n_true"))
           .orderBy($"n_true".desc, $"ngram").limit(20)
+        // N = total occurrence mass = the cell sum of any one sketch row
+        // (every occurrence lands in exactly one bucket per row) — read
+        // it from the sketch instead of a third pass over the explode
+        val totalN = sketch.filter($"r" === 0).agg(sum($"cnt").as("_N"))
         CountMin.estimate(truth, $"ngram", sketch, Depth, Width, "n_est")
-          .crossJoin(broadcast(ngr.agg(count(lit(1)).as("_N"))))
+          .crossJoin(broadcast(totalN))
           .select($"ngram", $"n_true", $"n_est",
             ($"n_est" - $"n_true").as("overcount"),
             (($"n_est" - $"n_true") * Width <= $"_N" * 3).as("within_bound"))
@@ -387,7 +394,7 @@ object Queries5 {
                    CAST(('0x' || substr(md5((200 + t2.r) || ':' || ngram), 1, 15)) AS BIGINT) % $Width AS bucket
             FROM ng, (VALUES (0), (1), (2)) t2(r))
           GROUP BY r, bucket),
-        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ng),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cms WHERE r = 0),
         tru AS (
           SELECT ngram, CAST(count(*) AS BIGINT) AS n_true FROM ng
           GROUP BY ngram ORDER BY n_true DESC, ngram LIMIT 20),

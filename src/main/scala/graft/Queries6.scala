@@ -197,6 +197,125 @@ object Queries6 {
         ORDER BY id_a, id_b"""))
   }
 
+  // ------------------------------------------------------------ q76_chunk_pack
+  /** Chunk-then-pack — the composed training layout: long documents are
+    * tiled into ≤48-token chunks ([[graft.operators.Packing.chunkTokens]],
+    * stride = maxLen so no token repeats), then the CHUNKS are laid into
+    * 1024-token packs by the q55 cumulative-offset contract
+    * ([[graft.operators.Packing.sequencePack]] keyed on `doc:idx`).
+    * This is the real pipeline path for corpora whose documents exceed
+    * the context window: q55 packs whole short documents, q72 windows
+    * one document, this runs the two operators end to end. Narrow
+    * explode → two-phase prefix sum; per-pack stats shuffle on the tiny
+    * pack key.
+    */
+  val q76ChunkPack = {
+    val MaxLen = 48; val PackSize = 1024L
+    QueryDef(
+      "q76_chunk_pack",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Packing
+        val chunks = Packing
+          .chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+            maxLen = MaxLen, stride = MaxLen)
+          .select($"doc_id", $"chunk_idx", $"n_tokens",
+            concat_ws(":", $"doc_id", $"chunk_idx").as("chunk_key"))
+        Packing.sequencePack(chunks, "chunk_key", "n_tokens",
+            packSize = PackSize)
+          .groupBy($"pack_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct($"doc_id").as("n_docs"),
+            sum($"n_tokens").cast("long").as("pack_tokens"))
+          .orderBy($"pack_id")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        st AS (
+          SELECT doc_id, len(w) AS n, unnest(range(0, len(w), $MaxLen)) AS s
+          FROM toks WHERE len(w) >= 1),
+        ch AS (
+          SELECT doc_id, least($MaxLen, n - s) AS n_tok,
+                 doc_id || ':' || CAST(s // $MaxLen AS VARCHAR) AS ck
+          FROM st),
+        d AS (
+          SELECT doc_id, n_tok, ck,
+                 CAST(('0x' || substr(md5('17:' || ck), 1, 15)) AS BIGINT) AS h
+          FROM ch),
+        c AS (
+          SELECT doc_id, n_tok,
+                 SUM(n_tok) OVER (ORDER BY h, ck
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d)
+        SELECT CAST((cum - n_tok) // $PackSize AS BIGINT) AS pack_id,
+               count(*) AS n_chunks,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+        FROM c GROUP BY 1 ORDER BY pack_id"""))
+  }
+
+  // -------------------------------------------------------- q77_split_leakage
+  /** Dup-cluster-aware train/val/test split: assigning splits by
+    * per-DOCUMENT hash leaks — two copies of the same text can land in
+    * train and test, and the eval is contaminated by construction. The
+    * leakage-safe rule: group exact duplicates (text hash), elect the
+    * canonical min doc_id, and hash the CANONICAL id for the whole
+    * group's 80/10/10 assignment, so a duplicate set moves as one unit.
+    * Output: per-split doc/group/token mass plus `spanning_groups` —
+    * the number of dup groups split across assignments, 0 by
+    * construction and COMPUTED from the data in both engines, so the
+    * no-leakage invariant itself is oracle-checked. One hash-groupBy
+    * on the text hash (the q9 exact-dedup shuffle) + a tiny split agg;
+    * generalizing canon to a near-dup component id (q36) makes the
+    * same rule near-dup-safe.
+    */
+  val q77SplitLeakage = {
+    val Seed = 19
+    QueryDef(
+      "q77_split_leakage",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Sampling
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", size(words($"text")).cast("long").as("n_tok"),
+            hash64($"text", 5).as("th"))
+        val assigned = Sampling.splitByGroupHash(docs, $"th", $"doc_id",
+          Seq("train" -> 80, "val" -> 90, "test" -> 100), seed = Seed)
+        val spanning = assigned.groupBy($"th")
+          .agg(countDistinct($"split").as("_ns"))
+          .agg(count(when($"_ns" > 1, 1)).as("spanning_groups"))
+        assigned.groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"th").as("n_groups"),
+            sum($"n_tok").as("n_tokens"))
+          .crossJoin(broadcast(spanning))
+          .orderBy($"split")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+                 CAST(('0x' || substr(md5('5:' || text), 1, 15)) AS BIGINT) AS th
+          FROM documents),
+        canon AS (SELECT th, min(doc_id) AS canon_id FROM d GROUP BY th),
+        a AS (
+          SELECT d.doc_id, d.n_tok, d.th,
+                 CASE
+                   WHEN CAST(('0x' || substr(md5('$Seed:' || CAST(canon_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+                   WHEN CAST(('0x' || substr(md5('$Seed:' || CAST(canon_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+          FROM d JOIN canon USING (th)),
+        sp AS (
+          SELECT CAST(count(*) FILTER (ns > 1) AS BIGINT) AS spanning_groups
+          FROM (SELECT th, count(DISTINCT split) AS ns FROM a GROUP BY th))
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT th) AS BIGINT) AS n_groups,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               (SELECT spanning_groups FROM sp) AS spanning_groups
+        FROM a GROUP BY split ORDER BY split"""))
+  }
+
   def all: Seq[QueryDef] = Seq(
-    q72ContextChunks, q73SemDedup, q74EpochMix, q75WinnowMatch)
+    q72ContextChunks, q73SemDedup, q74EpochMix, q75WinnowMatch,
+    q76ChunkPack, q77SplitLeakage)
 }

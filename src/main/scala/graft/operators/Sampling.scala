@@ -146,6 +146,39 @@ object Sampling {
       .drop("_nc")
   }
 
+  /** Leakage-safe train/val/test assignment: hashing each ROW into a
+    * split leaks when the corpus contains duplicates — two copies of
+    * one text can land in train and test, contaminating the eval by
+    * construction. The safe rule implemented here: elect each group's
+    * canonical member (min `id` — with `group` = a dup-cluster key such
+    * as the exact text hash or a q36 component id), and hash the
+    * CANONICAL id for the entire group's assignment, so a duplicate
+    * set moves between splits as one unit.
+    *
+    * `bounds` are cumulative percent cut-offs in ascending order, e.g.
+    * `("train" → 80, "val" → 90, "test" → 100)`: a group lands in the
+    * first label whose bound exceeds `hash64(canon, seed) % 100`. Adds
+    * `split` (and keeps `_canon` internal). One shuffle on `group` for
+    * the canonical election + one equi-join back; the decision is a
+    * pure function of (group contents, seed) — reproducible and
+    * auditable like every hash rule in this module.
+    */
+  def splitByGroupHash(df: DataFrame, group: Column, id: Column,
+                       bounds: Seq[(String, Int)], seed: Int): DataFrame = {
+    require(bounds.nonEmpty, "bounds must be non-empty")
+    require(bounds.map(_._2) == bounds.map(_._2).sorted,
+      "bounds must be ascending cumulative percents")
+    require(bounds.last._2 == 100, "last bound must be 100 (cover every hash)")
+    val canon = df.groupBy(group.as("_sg")).agg(min(id).as("_canon"))
+    val b = hash64(col("_canon").cast("string"), seed) % 100
+    val split = bounds.init.foldRight(lit(bounds.last._1): Column) {
+      case ((label, ub), els) => when(b < ub, lit(label)).otherwise(els)
+    }
+    df.join(canon, group === col("_sg"))
+      .withColumn("split", split)
+      .drop("_sg", "_canon")
+  }
+
   /** Equal-allocation sampling: keep AT MOST `cap` rows per `group`,
     * chosen in deterministic `hash64(key, seed)` order (ties broken by
     * the key itself) — the "diversity sample" primitive: with `group` =

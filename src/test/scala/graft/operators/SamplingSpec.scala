@@ -111,6 +111,43 @@ class SamplingSpec extends SparkSpec {
       "epochs must be dense 0..n-1 per row")
   }
 
+  test("splitByGroupHash: dup groups never span splits; naive per-row hash does") {
+    // 400 distinct texts, each duplicated 3x -> 1200 rows
+    val dups = (0 until 1200).map(i => (i.toLong, s"text${i % 400}"))
+      .toDF("id", "text")
+      .withColumn("th", graft.functions.GraftFunctions.hash64($"text", 5))
+    val bounds = Seq("train" -> 80, "val" -> 90, "test" -> 100)
+    val safe = Sampling.splitByGroupHash(dups, $"th", $"id", bounds, seed = 19)
+    val spanningSafe = safe.groupBy($"th")
+      .agg(countDistinct($"split").as("ns")).filter($"ns" > 1).count()
+    assert(spanningSafe == 0L, "group-hash split must keep dup groups together")
+    val bySplit = safe.groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), bySplit)
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"),
+      s"80/10/10 weighting should dominate train: $bySplit")
+    // negative control: hashing each ROW (group = id) assigns copies of
+    // the same text independently -> leakage the operator exists to stop
+    val naive = Sampling.splitByGroupHash(dups, $"id", $"id", bounds, seed = 19)
+    val spanningNaive = naive.groupBy($"th")
+      .agg(countDistinct($"split").as("ns")).filter($"ns" > 1).count()
+    assert(spanningNaive > 0L,
+      "per-row hashing must demonstrably leak on duplicated data")
+  }
+
+  test("splitByGroupHash: invalid bounds rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitByGroupHash(df, $"lang", $"id", Seq.empty, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitByGroupHash(df, $"lang", $"id",
+        Seq("a" -> 90, "b" -> 80), 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitByGroupHash(df, $"lang", $"id", Seq("a" -> 99), 1)
+    }
+  }
+
   test("epochMix: negative weights rejected") {
     intercept[IllegalArgumentException] {
       Sampling.epochMix(df, $"id", $"lang", Map("en" -> -0.5), 1.0, 1)
