@@ -299,24 +299,8 @@ object Queries3 {
     (s, dir) => {
       import s.implicits._
       import graft.operators.Dedup
-      val sh = t(s, dir, "documents")
-        .select($"doc_id",
-          Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh"))
-        .filter(size($"sh") > 0)
-        .persist()
-      val sig = sh.select($"doc_id", Dedup.minhashSig($"sh", 8).as("sig"))
-      val bands = Dedup.lshBands(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
-      val near = Dedup.lshCandidatePairs(bands, "doc_id")
-        .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
-        .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
-        .filter(Dedup.jaccard($"sh_a", $"sh_b") >= 0.4)
-        .select($"id_a", $"id_b")
-      // connectedComponents consumes `near` EAGERLY (it localCheckpoints
-      // the edge list on entry), so the shingle cache can be released
-      // here — the returned labels no longer reference it.
-      val comp = Dedup.connectedComponents(near, "id_a", "id_b")
-      sh.unpersist()
-      comp
+      Dedup.nearDupComponents(t(s, dir, "documents"), "doc_id", "text",
+          seeds = 8, bands = 4, rowsPerBand = 2, minJaccard = 0.4)
         .groupBy($"component")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -325,48 +309,8 @@ object Queries3 {
             .as("members"))
         .orderBy($"component")
     },
-    Some("""
-      WITH RECURSIVE toks AS (
-        SELECT doc_id, string_split(text, ' ') AS w,
-               list_transform(string_split(text, ' '),
-                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
-        FROM documents),
-      shf AS (
-        SELECT doc_id,
-               list_transform(range(0, len(w) - 2), i ->
-                 ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
-                   * 41 + (wh[i+3] % 1073741824)) AS sh0
-        FROM toks WHERE len(w) >= 3),
-      shx AS (SELECT doc_id, list_transform(sh0, v -> v % 1073741789) AS sh FROM shf),
-      mh AS (
-        SELECT doc_id,
-               list_transform([31, 37, 41, 43, 47, 53, 59, 61], a ->
-                 list_min(list_transform(sh,
-                   h -> (a * (h % 1073741824) + a*7 + 3) % 1073741789))) AS sig
-        FROM shx),
-      bands AS (
-        SELECT doc_id, b,
-               md5(b || ':' || sig[2*b+1] || ',' || sig[2*b+2]) AS band_key
-        FROM mh, unnest(range(0, 4)) AS tt(b)),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        FROM bands a JOIN bands c USING (b, band_key)
-        WHERE a.doc_id < c.doc_id),
-      near AS (
-        SELECT id_a, id_b FROM pairs
-        JOIN shx sa ON sa.doc_id = id_a
-        JOIN shx sb ON sb.doc_id = id_b
-        WHERE CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
-              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.4),
-      e AS (
-        SELECT id_a AS s, id_b AS d FROM near
-        UNION
-        SELECT id_b, id_a FROM near),
-      reach(id, lab) AS (
-        SELECT DISTINCT s, s FROM e
-        UNION
-        SELECT e.d, r.lab FROM reach r JOIN e ON e.s = r.id),
-      comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+    Some(s"""
+      WITH RECURSIVE ${MinhashCcSql.ctes}
       SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
              array_to_string(list_sort(list(id)), ',') AS members
       FROM comp GROUP BY component ORDER BY component"""))
@@ -1246,6 +1190,58 @@ object Queries3 {
   * the dimension/seed/prefix-parametrized generators the q68 product-
   * quantization oracle uses to train one codebook per subspace.
   */
+/** Shared oracle generator for the minhash-LSH → jaccard-verify →
+  * connected-components chain (the q36 pipeline: 3-shingles, 8-seed
+  * minhash, 4 bands × 2 rows, jaccard ≥ 0.4, min-label components).
+  * Splice as `WITH RECURSIVE $ctes …`; the final CTE is
+  * `comp (id, component)` covering every doc that has at least one
+  * near-dup edge (singletons are absent — callers needing total
+  * coverage coalesce to the doc's own id, as q78 does).
+  */
+private[graft] object MinhashCcSql {
+  val ctes: String = """toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               list_transform(string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+        FROM documents),
+      shf AS (
+        SELECT doc_id,
+               list_transform(range(0, len(w) - 2), i ->
+                 ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                   * 41 + (wh[i+3] % 1073741824)) AS sh0
+        FROM toks WHERE len(w) >= 3),
+      shx AS (SELECT doc_id, list_transform(sh0, v -> v % 1073741789) AS sh FROM shf),
+      mh AS (
+        SELECT doc_id,
+               list_transform([31, 37, 41, 43, 47, 53, 59, 61], a ->
+                 list_min(list_transform(sh,
+                   h -> (a * (h % 1073741824) + a*7 + 3) % 1073741789))) AS sig
+        FROM shx),
+      bands AS (
+        SELECT doc_id, b,
+               md5(b || ':' || sig[2*b+1] || ',' || sig[2*b+2]) AS band_key
+        FROM mh, unnest(range(0, 4)) AS tt(b)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM bands a JOIN bands c USING (b, band_key)
+        WHERE a.doc_id < c.doc_id),
+      near AS (
+        SELECT id_a, id_b FROM pairs
+        JOIN shx sa ON sa.doc_id = id_a
+        JOIN shx sb ON sb.doc_id = id_b
+        WHERE CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.4),
+      e AS (
+        SELECT id_a AS s, id_b AS d FROM near
+        UNION
+        SELECT id_b, id_a FROM near),
+      reach(id, lab) AS (
+        SELECT DISTINCT s, s FROM e
+        UNION
+        SELECT e.d, r.lab FROM reach r JOIN e ON e.s = r.id),
+      comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)"""
+}
+
 private[graft] object KmeansSql {
   def sqlDotD(a: String, b: String, dims: Int): String =
     s"list_reduce(list_transform(range(1, ${dims + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"

@@ -315,7 +315,70 @@ object Queries6 {
         FROM a GROUP BY split ORDER BY split"""))
   }
 
+  // ------------------------------------------------------ q78_neardup_split
+  /** Near-dup-cluster-aware split — q77 generalized from exact copies
+    * to NEAR duplicates: the q36 minhash-LSH components
+    * ([[graft.operators.Dedup.nearDupComponents]]) become the split
+    * groups (singletons group as themselves), so two documents that
+    * merely PARAPHRASE each other cannot straddle train and test
+    * either. The `spanning_groups` invariant is again computed from
+    * the data and oracle-checked. Cost over q77: the banded-LSH
+    * candidate join + O(log n) component rounds — never all-pairs
+    * (PlanAuditSpec pins the q36 chain's shape).
+    */
+  val q78NearDupSplit = {
+    val Seed = 19
+    QueryDef(
+      "q78_neardup_split",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.{Dedup, Sampling}
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", size(words($"text")).cast("long").as("n_tok"))
+        val comp = Dedup.nearDupComponents(t(s, dir, "documents"),
+          "doc_id", "text", seeds = 8, bands = 4, rowsPerBand = 2,
+          minJaccard = 0.4)
+        val grouped = docs
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("grp", coalesce($"component", $"doc_id"))
+        val assigned = Sampling.splitByGroupHash(grouped, $"grp", $"doc_id",
+          Seq("train" -> 80, "val" -> 90, "test" -> 100), seed = Seed)
+        val spanning = assigned.groupBy($"grp")
+          .agg(countDistinct($"split").as("_ns"))
+          .agg(count(when($"_ns" > 1, 1)).as("spanning_groups"))
+        assigned.groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"grp").as("n_groups"),
+            sum($"n_tok").as("n_tokens"))
+          .crossJoin(broadcast(spanning))
+          .orderBy($"split")
+      },
+      Some(s"""
+        WITH RECURSIVE ${MinhashCcSql.ctes},
+        d AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+        g AS (
+          SELECT d.doc_id, d.n_tok, coalesce(c.component, d.doc_id) AS grp
+          FROM d LEFT JOIN comp c ON c.id = d.doc_id),
+        canon AS (SELECT grp, min(doc_id) AS canon_id FROM g GROUP BY grp),
+        a AS (
+          SELECT g.doc_id, g.n_tok, g.grp,
+                 CASE
+                   WHEN CAST(('0x' || substr(md5('$Seed:' || CAST(canon_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+                   WHEN CAST(('0x' || substr(md5('$Seed:' || CAST(canon_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+          FROM g JOIN canon USING (grp)),
+        sp AS (
+          SELECT CAST(count(*) FILTER (ns > 1) AS BIGINT) AS spanning_groups
+          FROM (SELECT grp, count(DISTINCT split) AS ns FROM a GROUP BY grp))
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               (SELECT spanning_groups FROM sp) AS spanning_groups
+        FROM a GROUP BY split ORDER BY split"""))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q72ContextChunks, q73SemDedup, q74EpochMix, q75WinnowMatch,
-    q76ChunkPack, q77SplitLeakage)
+    q76ChunkPack, q77SplitLeakage, q78NearDupSplit)
 }

@@ -405,6 +405,35 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The q36 near-dup clustering chain as one call: 3-shingle hashes,
+    * `seeds`-seed minhash, banded LSH candidates, jaccard verification
+    * at `minJaccard`, then [[connectedComponents]]. Returns
+    * `(id, component)` for every document with at least one verified
+    * near-dup edge (singletons are absent; callers needing total
+    * coverage coalesce to the doc's own id). The shingle table is
+    * persisted for the signature + verify passes and released once the
+    * components are materialized (connectedComponents consumes its
+    * edges eagerly).
+    */
+  def nearDupComponents(df: DataFrame, idCol: String, textCol: String,
+                        seeds: Int, bands: Int, rowsPerBand: Int,
+                        minJaccard: Double): DataFrame = {
+    val sh = df.select(col(idCol),
+        shingleHashes3(wordHashes(words(col(textCol)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val sig = sh.select(col(idCol), minhashSig(col("sh"), seeds).as("sig"))
+    val banded = lshBands(sig, idCol, "sig", bands, rowsPerBand)
+    val near = lshCandidatePairs(banded, idCol)
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= minJaccard)
+      .select(col("id_a"), col("id_b"))
+    val comp = connectedComponents(near, "id_a", "id_b")
+    sh.unpersist()
+    comp
+  }
+
   /** Connected components over an undirected edge list — the clustering
     * step that turns near-dup PAIRS into dedup GROUPS (one canonical doc
     * per component). Returns `(id, component)` where `component` is the
