@@ -203,4 +203,39 @@ class PlanAuditSpec extends SparkSpec {
       s"IVF-PQ must restrict candidates to the probe's cell:\n$p")
     assert(p.contains("cell"), p)
   }
+
+  test("q72_context_chunks: narrow explode — no shuffle before the final sort") {
+    val df = SparkEntry.queries("q72_context_chunks")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // exactly the ORDER BY's range exchange; chunking itself adds none
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"chunking must stay narrow:\n$p")
+    assert(p.contains("Generate posexplode"), p)
+  }
+
+  test("q73_semdedup: pairs are cell-local equi-joins, never corpus all-pairs") {
+    val p = plan("q73_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"semdedup must join within cells only:\n$p")
+    // the only nested-loop is the bounded broadcast centroid assign;
+    // the vector-pair join must hash on the cell key
+    assert(p.contains("cell"), p)
+  }
+
+  test("q75_winnow_match: postings join on the fingerprint, never all-pairs") {
+    val p = plan("q75_winnow_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"winnow match must equi-join per-fingerprint postings:\n$p")
+    assert(p.contains("partial_count"), p) // df cap + pair counts combine map-side
+  }
+
+  test("q77/q78 splits: one group shuffle + broadcast spanning check, no cartesian blowup") {
+    for (name <- Seq("q77_split_leakage", "q78_neardup_split")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      // the 1-row spanning aggregate attaches via broadcast
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$name must broadcast the invariant row:\n$p")
+    }
+  }
 }
