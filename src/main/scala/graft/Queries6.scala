@@ -378,7 +378,78 @@ object Queries6 {
         FROM a GROUP BY split ORDER BY split"""))
   }
 
+  // ------------------------------------------------------- q79_dataset_card
+  /** Dataset card: the per-source corpus summary every released
+    * training set ships — document and duplicate counts, whitespace
+    * AND subword token mass (the number that actually prices a
+    * training run, via the q42/q55 tokenizer), average document
+    * length, short-document fraction, and the modal language. One
+    * narrow scoring pass + the q9 exact-dup hash agg + two tiny
+    * (source[, lang]) aggregations; every metric is exact arithmetic
+    * (integer sums, round-at-the-end), so the card is reproducible
+    * and oracle-checked like any query.
+    */
+  val q79DatasetCard = {
+    val ShortTok = 20
+    QueryDef(
+      "q79_dataset_card",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"source", $"lang",
+            size(words($"text")).cast("long").as("n_tok"),
+            bpe_token_count($"text").cast("long").as("n_sub"),
+            hash64($"text", 5).as("th"))
+        val dupCnt = docs.groupBy($"th").agg(count(lit(1)).as("_thn"))
+        val base = docs.join(dupCnt, Seq("th"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when($"_thn" >= 2, 1)).as("n_docs_dup"),
+            sum($"n_tok").as("n_tokens_ws"),
+            sum($"n_sub").as("n_tokens_subword"),
+            round(sum($"n_tok").cast("double") / count(lit(1)), 2)
+              .as("avg_doc_tokens"),
+            round(count(when($"n_tok" < ShortTok, 1)).cast("double")
+              / count(lit(1)), 4).as("pct_short"))
+        val wl = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"_ln".desc, $"lang")
+        val top = docs.groupBy($"source", $"lang")
+          .agg(count(lit(1)).as("_ln"))
+          .withColumn("_rn", row_number().over(wl))
+          .filter($"_rn" === 1)
+          .select($"source", $"lang".as("top_lang"))
+        base.join(top, Seq("source")).orderBy($"source")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, source, lang,
+                 len(string_split(text, ' ')) AS n_tok,
+                 ${graft.functions.BpeTokenCount.duckdbSql("text")} AS n_sub,
+                 CAST(('0x' || substr(md5('5:' || text), 1, 15)) AS BIGINT) AS th
+          FROM documents),
+        dup AS (SELECT th, count(*) AS thn FROM d GROUP BY th),
+        base AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(*) FILTER (thn >= 2) AS BIGINT) AS n_docs_dup,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens_ws,
+                 CAST(sum(n_sub) AS BIGINT) AS n_tokens_subword,
+                 round(CAST(sum(n_tok) AS DOUBLE) / count(*), 2) AS avg_doc_tokens,
+                 round(CAST(count(*) FILTER (n_tok < $ShortTok) AS DOUBLE)
+                       / count(*), 4) AS pct_short
+          FROM d JOIN dup USING (th) GROUP BY source),
+        tl AS (
+          SELECT source, lang AS top_lang,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY count(*) DESC, lang) AS rn
+          FROM d GROUP BY source, lang)
+        SELECT b.source, n_docs, n_docs_dup, n_tokens_ws, n_tokens_subword,
+               avg_doc_tokens, pct_short, top_lang
+        FROM base b JOIN tl ON tl.source = b.source AND tl.rn = 1
+        ORDER BY b.source"""))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q72ContextChunks, q73SemDedup, q74EpochMix, q75WinnowMatch,
-    q76ChunkPack, q77SplitLeakage, q78NearDupSplit)
+    q76ChunkPack, q77SplitLeakage, q78NearDupSplit, q79DatasetCard)
 }
