@@ -390,8 +390,14 @@ object Dedup {
                   minShared: Long, maxDf: Long): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     require(maxDf >= 2, "maxDf must be >= 2 (a shared fingerprint has df 2)")
+    // The postings feed three consumers (the df histogram + both join
+    // sides); pinned so the winnow pass runs once — the q36 shingle
+    // convention. Postings are ~2/(w+1) of the shingle mass; at index
+    // scale they are what you write ONCE as a bucketed table (the q54
+    // band-index pattern) rather than cache.
     val fps = df.select(col(idCol),
         explode(winnowFingerprints(words(col(textCol)), k, w, seed)).as("fp"))
+      .persist()
     val kept = fps.join(
       fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= maxDf)
