@@ -1199,7 +1199,11 @@ object Queries3 {
   * coverage coalesce to the doc's own id, as q78 does).
   */
 private[graft] object MinhashCcSql {
-  val ctes: String = """toks AS (
+  /** Just the 3-shingle-hash prefix (`toks → shf → shx (doc_id, sh)`)
+    * — reusable by queries that need shingle sets without the minhash/
+    * component chain (q80 containment).
+    */
+  val shingleCtes: String = """toks AS (
         SELECT doc_id, string_split(text, ' ') AS w,
                list_transform(string_split(text, ' '),
                  x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
@@ -1210,7 +1214,9 @@ private[graft] object MinhashCcSql {
                  ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
                    * 41 + (wh[i+3] % 1073741824)) AS sh0
         FROM toks WHERE len(w) >= 3),
-      shx AS (SELECT doc_id, list_transform(sh0, v -> v % 1073741789) AS sh FROM shf),
+      shx AS (SELECT doc_id, list_transform(sh0, v -> v % 1073741789) AS sh FROM shf)"""
+
+  val ctes: String = s"""$shingleCtes,
       mh AS (
         SELECT doc_id,
                list_transform([31, 37, 41, 43, 47, 53, 59, 61], a ->

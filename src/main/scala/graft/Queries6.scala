@@ -449,7 +449,105 @@ object Queries6 {
         ORDER BY b.source"""))
   }
 
+  // ------------------------------------------------------ q80_containment
+  /** Directional containment pairs
+    * ([[graft.operators.Dedup.containmentPairs]]): the
+    * doc-inside-doc case jaccard structurally misses — a short text
+    * quoted whole inside a long one has tiny |∩|/|∪| (so q11's
+    * minhash-LSH, whose recall tracks jaccard, skips it) but
+    * containment |∩|/|A| = 1. Candidates come from df-capped shingle
+    * POSTINGS (≥2 shared hashes, boilerplate hashes >50 docs dropped),
+    * verified exactly on the full shingle sets; both directions
+    * reported, pairs kept when the larger reaches 0.6.
+    */
+  val q80Containment = {
+    val MinShared = 2L; val MaxDf = 50L; val Tau = "0.6"
+    QueryDef(
+      "q80_containment",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup
+          .containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+            minShared = MinShared, maxDf = MaxDf,
+            minContainment = Tau.toDouble)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""
+        WITH ${MinhashCcSql.shingleCtes},
+        sd AS (
+          SELECT doc_id, list_distinct(sh) AS sh FROM shx WHERE len(sh) > 0),
+        post AS (SELECT doc_id, unnest(sh) AS h FROM sd),
+        kept AS (SELECT h FROM post GROUP BY h HAVING count(*) <= $MaxDf),
+        kp AS (SELECT post.doc_id, post.h FROM post JOIN kept USING (h)),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM kp a JOIN kp b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= $MinShared),
+        v AS (
+          SELECT id_a, id_b,
+                 round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                       / len(sa.sh), 6) AS cont_a,
+                 round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                       / len(sb.sh), 6) AS cont_b
+          FROM cand
+          JOIN sd sa ON sa.doc_id = id_a
+          JOIN sd sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, cont_a, cont_b FROM v
+        WHERE greatest(cont_a, cont_b) >= $Tau ORDER BY id_a, id_b"""))
+  }
+
+  // --------------------------------------------------- q81_cluster_keep_best
+  /** Cluster-curation cut — dedup that keeps the BEST member, not the
+    * first: for every q36 near-dup component, keep the longest member
+    * (ties → smallest doc_id; "keep the longest version" is the
+    * standard web-dedup heuristic — truncated mirrors lose to the
+    * full text) and report what the cut saves. Per-component argmax is
+    * one rank window over members — never all-pairs (the components
+    * already exist), and the output is one row per CLUSTER, the
+    * curation ledger a pipeline audits.
+    */
+  val q81ClusterKeepBest = QueryDef(
+    "q81_cluster_keep_best",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Dedup
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", size(words($"text")).cast("long").as("n_tok"))
+      val comp = Dedup.nearDupComponents(t(s, dir, "documents"),
+        "doc_id", "text", seeds = 8, bands = 4, rowsPerBand = 2,
+        minJaccard = 0.4)
+      val members = docs
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"component").orderBy($"n_tok".desc, $"doc_id")
+      members
+        .withColumn("_rn", row_number().over(w))
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_members"),
+          max(when($"_rn" === 1, $"doc_id")).as("kept_id"),
+          max(when($"_rn" === 1, $"n_tok")).as("kept_tokens"),
+          sum(when($"_rn" =!= 1, $"n_tok").otherwise(0L)).as("dropped_tokens"))
+        .orderBy($"component")
+    },
+    Some(s"""
+      WITH RECURSIVE ${MinhashCcSql.ctes},
+      d AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      m AS (
+        SELECT c.component, d.doc_id, d.n_tok,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                 ORDER BY d.n_tok DESC, d.doc_id) AS rn
+        FROM comp c JOIN d ON d.doc_id = c.id)
+      SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+             max(CASE WHEN rn = 1 THEN doc_id END) AS kept_id,
+             max(CASE WHEN rn = 1 THEN n_tok END) AS kept_tokens,
+             CAST(sum(CASE WHEN rn != 1 THEN n_tok ELSE 0 END) AS BIGINT)
+               AS dropped_tokens
+      FROM m GROUP BY component ORDER BY component"""))
+
   def all: Seq[QueryDef] = Seq(
     q72ContextChunks, q73SemDedup, q74EpochMix, q75WinnowMatch,
-    q76ChunkPack, q77SplitLeakage, q78NearDupSplit, q79DatasetCard)
+    q76ChunkPack, q77SplitLeakage, q78NearDupSplit, q79DatasetCard,
+    q80Containment, q81ClusterKeepBest)
 }

@@ -411,6 +411,56 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Directional containment pairs: jaccard misses the
+    * doc-inside-doc case (a press release quoted whole inside a long
+    * article has |A∩B|/|A∪B| ≈ |A|/|B| — tiny — while |A∩B|/|A| = 1),
+    * and minhash-LSH recall is proportional to JACCARD, so the right
+    * candidate index here is shingle POSTINGS: pairs sharing at least
+    * `minShared` distinct shingle hashes (fingerprints held by more
+    * than `maxDf` docs dropped as boilerplate — the same cap that
+    * bounds [[winnowPairs]]' buckets), verified EXACTLY on the full
+    * shingle sets. Returns `(id_a, id_b, cont_a, cont_b)` — each
+    * side's share of its own shingles that the other contains,
+    * rounded to 6 — for pairs whose larger direction reaches
+    * `minContainment`.
+    *
+    * Scale shape: postings equi-join (df-capped, never all-pairs) for
+    * candidates; the exact verify joins the two shingle arrays by id.
+    * The df cap is the recall dial: a snippet duplicated into more
+    * than `maxDf` hosts is boilerplate by definition and belongs to
+    * q63/q67's machinery, not pairwise containment.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       minShared: Long, maxDf: Long,
+                       minContainment: Double): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(maxDf >= 2, "maxDf must be >= 2")
+    val sh = df.select(col(idCol),
+        array_distinct(shingleHashes3(wordHashes(words(col(textCol)))))
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist() // feeds the postings AND both exact-verify joins
+    val post = sh.select(col(idCol), explode(col("sh")).as("h"))
+    val kept = post.join(
+      post.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select(col("h")),
+      Seq("h"))
+    val cand = kept.select(col("h"), col(idCol).as("id_a"))
+      .join(kept.select(col("h"), col(idCol).as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minShared)
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("_sa")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("_sb")), "id_b")
+      .withColumn("_ix", size(array_intersect(col("_sa"), col("_sb"))))
+      .select(col("id_a"), col("id_b"),
+        round(col("_ix").cast("double") / size(col("_sa")), 6).as("cont_a"),
+        round(col("_ix").cast("double") / size(col("_sb")), 6).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+  }
+
   /** The q36 near-dup clustering chain as one call: 3-shingle hashes,
     * `seeds`-seed minhash, banded LSH candidates, jaccard verification
     * at `minJaccard`, then [[connectedComponents]]. Returns

@@ -229,6 +229,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // df cap + pair counts combine map-side
   }
 
+  test("q80_containment: candidates from the postings equi-join, never all-pairs") {
+    val p = plan("q80_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must equi-join df-capped postings:\n$p")
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q77/q78 splits: one group shuffle + broadcast spanning check, no cartesian blowup") {
     for (name <- Seq("q77_split_leakage", "q78_neardup_split")) {
       val p = plan(name)
