@@ -546,8 +546,66 @@ object Queries6 {
                AS dropped_tokens
       FROM m GROUP BY component ORDER BY component"""))
 
+  // -------------------------------------------------------- q82_cdc_dedup
+  /** Content-defined chunk dedup ([[graft.operators.Dedup.cdcChunks]]):
+    * chunk boundaries fall where the token HASH says (≡0 mod 16), not
+    * at fixed offsets, so a partial edit shifts only the chunks it
+    * touches — the storage-dedup CDC idea that makes chunk-hash dedup
+    * robust where q72's fixed stride would misalign every window
+    * (CdcChunksSpec pins the shift-invariance). This query reports the
+    * duplicated chunk mass across the corpus: every chunk content
+    * appearing in ≥2 places, with its occurrence count, spread over
+    * distinct documents, token length, and first owner.
+    */
+  val q82CdcDedup = {
+    val AvgLen = 16; val Seed = 23
+    QueryDef(
+      "q82_cdc_dedup",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup
+          .cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+            avgLen = AvgLen, seed = Seed)
+          .groupBy($"chunk_hash")
+          .agg(count(lit(1)).as("n_occurrences"),
+            countDistinct($"doc_id").as("n_docs"),
+            max($"n_tokens").as("n_tokens"),
+            min($"doc_id").as("first_doc"))
+          .filter($"n_occurrences" >= 2)
+          .orderBy($"chunk_hash")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        tk AS (
+          SELECT doc_id, i, w[i+1] AS word,
+                 CASE WHEN CAST(('0x' || substr(md5('0:' || w[i+1]), 1, 15)) AS BIGINT)
+                      % $AvgLen = 0 THEN 1 ELSE 0 END AS flag
+          FROM toks, unnest(range(0, len(w))) t(i)),
+        cid AS (
+          SELECT doc_id, i, word,
+                 coalesce(SUM(flag) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+          FROM tk),
+        ch AS (
+          SELECT doc_id, chunk_id,
+                 CAST(count(*) AS BIGINT) AS n_tok,
+                 string_agg(word, ' ' ORDER BY i) AS ctext
+          FROM cid GROUP BY doc_id, chunk_id),
+        h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('$Seed:' || ctext), 1, 15)) AS BIGINT) AS chunk_hash,
+                 n_tok
+          FROM ch)
+        SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               max(n_tok) AS n_tokens, min(doc_id) AS first_doc
+        FROM h GROUP BY chunk_hash HAVING count(*) >= 2
+        ORDER BY chunk_hash"""))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q72ContextChunks, q73SemDedup, q74EpochMix, q75WinnowMatch,
     q76ChunkPack, q77SplitLeakage, q78NearDupSplit, q79DatasetCard,
-    q80Containment, q81ClusterKeepBest)
+    q80Containment, q81ClusterKeepBest, q82CdcDedup)
 }

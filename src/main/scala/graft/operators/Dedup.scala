@@ -411,6 +411,47 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Content-defined chunking (the storage-dedup CDC idea applied to
+    * text): a chunk boundary falls AFTER every token whose hash is
+    * ≡ 0 (mod `avgLen`), so boundaries are decided by CONTENT, not
+    * position — inserting a sentence at the front of a document shifts
+    * every fixed-stride window ([[Packing.chunkTokens]]) but leaves
+    * all CDC chunks beyond the edit identical, which is what makes
+    * chunk-hash dedup robust to partial edits. Expected chunk length
+    * is `avgLen` tokens.
+    *
+    * Returns one row per chunk: `(id, chunk_id, n_tokens, chunk_hash)`
+    * with `chunk_hash` = [[hash64]] of the chunk text under `seed` —
+    * the content identity downstream dedup groups on.
+    *
+    * Scale shape: one shuffle on the doc id for the running boundary
+    * count (per-doc sort, the sessionize shape), then a (doc, chunk)
+    * agg; chunk rows are ~1/avgLen of the token mass. The boundary
+    * rule reuses the seed-0 word hashes every dedup operator already
+    * computes, so the scan work is shared under CSE.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                avgLen: Int, seed: Int): DataFrame = {
+    require(avgLen >= 2, "avgLen must be >= 2")
+    val toks = df
+      .select(col(idCol), posexplode(words(col(textCol))).as(Seq("_pos", "_word")))
+      // per-word hash64(word, 0) — elementwise identical to wordHashes
+      .withColumn("_flag",
+        when(hash64(col("_word"), 0) % avgLen === 0, 1L).otherwise(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_id", coalesce(sum(col("_flag")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("_pos"), col("_word")))),
+          s => s.getField("_word"))).as("_text"))
+      .withColumn("chunk_hash", hash64(col("_text"), seed))
+      .drop("_text")
+  }
+
   /** Directional containment pairs: jaccard misses the
     * doc-inside-doc case (a press release quoted whole inside a long
     * article has |A∩B|/|A∪B| ≈ |A|/|B| — tiny — while |A∩B|/|A| = 1),
