@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Similarity
+
+/** Streaming IVF index maintenance — the vector-index member of the
+  * incremental family (band index: [[StreamingContentDedup]]; count-min:
+  * [[StreamingHeavyHitters]]; dataset card: [[StreamingCardStats]]):
+  * each micro-batch of new vectors is coarse-assigned against the FIXED
+  * broadcast centroids and its inverted-list rows `(cell, cand_id, cv,
+  * _cn)` land under `batch=<id>`; the live index is the union of every
+  * batch — exactly [[Similarity.writeIvfIndex]]'s lists over the
+  * concatenated stream, because assignment is per-row against frozen
+  * centroids. Probes answer through the unchanged
+  * [[Similarity.knnIvfIndexed]].
+  *
+  * The frozen-quantizer assumption is the standard production contract:
+  * cells drift only when the data distribution does, at which point you
+  * RETRAIN and rebuild — continuously re-clustering would re-assign old
+  * vectors and force a full rewrite per batch, which is exactly the
+  * cost this maintenance scheme exists to avoid. Replay safety: each
+  * batch overwrites its own partition (at-least-once foreachBatch
+  * cannot double-insert); [[graft.operators.Compaction]] rewrites the
+  * partition tree into the bucketed [[Similarity.writeIvfIndex]] layout
+  * when batch count grows.
+  */
+object StreamingVectorIndex {
+
+  /** Start the maintenance query over a streaming frame carrying
+    * `(cand_id, cv)`: per micro-batch, assign against `centroids` and
+    * persist the list rows under `path/batch=<id>`.
+    */
+  def run(stream: DataFrame, centroids: DataFrame, path: String,
+          checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, centroids, path, batchId)
+      }
+      .start()
+
+  /** One batch's inverted-list rows — idempotent per `batchId`. */
+  def writeBatch(batch: DataFrame, centroids: DataFrame, path: String,
+                 batchId: Long): Unit =
+    Similarity.ivfAssign(batch, "cv", "cand_id", centroids)
+      .withColumn("_cn", graft.functions.GraftFunctions.l2norm(col("cv")))
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** The live inverted lists: the union of all persisted batches, in
+    * the exact shape [[Similarity.knnIvfIndexed]] consumes. Reads as
+    * the empty index before any batch commits.
+    */
+  def lists(spark: SparkSession, path: String): DataFrame =
+    (try spark.read.parquet(path)
+     catch {
+       case _: org.apache.spark.sql.AnalysisException =>
+         spark.range(0).select(lit(0L).as("cand_id"),
+           lit(null).cast("array<float>").as("cv"), lit(0L).as("cell"),
+           lit(0.0).as("_cn"))
+     }).drop("batch")
+}

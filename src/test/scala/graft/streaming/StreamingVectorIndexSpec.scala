@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.Similarity
+
+case class VecIn(cand_id: Long, cv: Seq[Double])
+
+/** [[StreamingVectorIndex]]: the streamed lists equal the one-shot
+  * assignment of the concatenated stream, probes answer identically to
+  * the direct IVF path, replay is idempotent, and the pre-commit read
+  * is the empty index.
+  */
+class StreamingVectorIndexSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def cents = Seq(
+    (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))
+  ).toDF("centroid_id", "centroid_vec")
+
+  private val b1 = Seq(VecIn(1L, Seq(0.9, 0.1)), VecIn(2L, Seq(0.1, 0.8)))
+  private val b2 = Seq(VecIn(3L, Seq(0.7, 0.2)), VecIn(4L, Seq(0.2, 0.9)),
+    VecIn(5L, Seq(0.99, 0.01)))
+
+  private def listRows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"cell", $"cand_id", round($"_cn", 9).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("streamed lists == one-shot assignment; probes answer identically") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("svi").toString
+    val in = MemoryStream[VecIn]
+    val q = StreamingVectorIndex.run(in.toDF(), cents,
+      path = s"$dir/ivf", checkpoint = s"$dir/ckpt")
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = StreamingVectorIndex.lists(spark, s"$dir/ivf")
+    val oneShot = Similarity
+      .ivfAssign((b1 ++ b2).toDF(), "cv", "cand_id", cents)
+      .withColumn("_cn", graft.functions.GraftFunctions.l2norm($"cv"))
+    assert(listRows(streamed) == listRows(oneShot),
+      "the streamed index must equal the one-shot assignment")
+
+    val probes = Seq((10L, Seq(1.0, 0.05))).toDF("probe_id", "pv")
+    val viaIndex = Similarity.knnIvfIndexed(probes, cents, streamed, k = 2)
+      .select($"probe_id", $"rn", $"cand_id", $"cos").collect().toSeq
+    val direct = Similarity.knnIvf(probes,
+        (b1 ++ b2).toDF().select($"cand_id", $"cv"), cents, k = 2)
+      .select($"probe_id", $"rn", $"cand_id", $"cos").collect().toSeq
+    assert(viaIndex == direct,
+      s"index probe must match the direct IVF path: $viaIndex vs $direct")
+  }
+
+  test("replayed batch overwrites its own partition — no duplicate entries") {
+    val dir = java.nio.file.Files.createTempDirectory("svi2").toString
+    StreamingVectorIndex.writeBatch(b1.toDF(), cents, s"$dir/ivf", batchId = 5L)
+    StreamingVectorIndex.writeBatch(b1.toDF(), cents, s"$dir/ivf", batchId = 5L)
+    val n = StreamingVectorIndex.lists(spark, s"$dir/ivf").count()
+    assert(n == b1.size.toLong, s"replay must not duplicate list rows: $n")
+  }
+
+  test("index before any batch commits is empty") {
+    val dir = java.nio.file.Files.createTempDirectory("svi0").toString
+    assert(StreamingVectorIndex.lists(spark, s"$dir/ivf").count() == 0L)
+  }
+}
