@@ -54,4 +54,53 @@ object Compaction {
     fs.delete(old, true)
     (nFiles, want)
   }
+
+  /** Compaction for the streaming `batch=<id>` trees
+    * ([[graft.streaming.StreamingHeavyHitters]] /
+    * `StreamingCardStats` / `StreamingVectorIndex`): fold all COMMITTED
+    * batch partitions except the newest into one consolidated
+    * partition, so the directory count stops growing with stream age.
+    * [[compactDir]] must NOT be pointed at these trees — a flat
+    * rewrite turns the `batch` partition column into a data column,
+    * and the next `batch=<id>` append then mixes partitioned and
+    * unpartitioned files, which Spark's partition discovery rejects.
+    *
+    * Replay safety is preserved by construction: foreachBatch only
+    * ever replays the batch AFTER the last checkpoint commit, so
+    * folding every partition EXCEPT the newest (always kept) can never
+    * collide with a replayed overwrite; the consolidated rows land
+    * under the largest folded id, and a rerun is a no-op until new
+    * batches accumulate. Returns (batch dirs before, after).
+    */
+  def compactBatchTree(spark: SparkSession, dir: String): (Int, Int) = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return (0, 0)
+    val batches = fs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(s => s.getPath.getName.stripPrefix("batch=").toLong)
+      .sorted
+    if (batches.length <= 2) return (batches.length, batches.length)
+    val fold = batches.dropRight(1) // newest stays replayable
+    val target = fold.max
+    val staging = new Path(dir + "._compact_staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    // read the folded partitions directly (rows carry no batch column,
+    // matching what writeBatch puts inside a partition dir)
+    spark.read
+      .parquet(fold.map(b => s"$dir/batch=$b"): _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    val old = new Path(dir + "._compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.mkdirs(old)
+    fold.foreach { b =>
+      val p = new Path(s"$dir/batch=$b")
+      require(fs.rename(p, new Path(old, s"batch=$b")), s"rename $p failed")
+    }
+    require(fs.rename(staging, new Path(s"$dir/batch=$target")),
+      s"rename $staging -> batch=$target failed")
+    fs.delete(old, true)
+    (batches.length, 2)
+  }
 }

@@ -22,8 +22,8 @@ import graft.functions.GraftFunctions._
   * foreachBatch delivery cannot double-count. Per-batch cost scales
   * with the batch (one partial agg over its rows); the read-side merge
   * touches ≤ batches · |sources × langs| partial rows, and
-  * [[graft.operators.Compaction]] can rewrite the partition tree as
-  * batch count grows.
+  * [[graft.operators.Compaction.compactBatchTree]] folds committed
+  * partitions as batch count grows.
   */
 object StreamingCardStats {
 

@@ -18,8 +18,8 @@ import graft.operators.CountMin
   * at-least-once delivery cannot double-count — a replayed batch
   * replaces its own cells. Reading is merge-on-read (one tiny
   * depth×width aggregation over ≤ batches·depth·width cells);
-  * [[graft.operators.Compaction]] can rewrite the partition tree when
-  * batch count grows. Per-batch cost scales with the BATCH (one
+  * [[graft.operators.Compaction.compactBatchTree]] folds committed
+  * partitions when batch count grows. Per-batch cost scales with the BATCH (one
   * partial-agg over its keys), never with the stream's history.
   */
 object StreamingHeavyHitters {

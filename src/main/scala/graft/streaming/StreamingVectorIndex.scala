@@ -23,9 +23,9 @@ import graft.operators.Similarity
   * vectors and force a full rewrite per batch, which is exactly the
   * cost this maintenance scheme exists to avoid. Replay safety: each
   * batch overwrites its own partition (at-least-once foreachBatch
-  * cannot double-insert); [[graft.operators.Compaction]] rewrites the
-  * partition tree into the bucketed [[Similarity.writeIvfIndex]] layout
-  * when batch count grows.
+  * cannot double-insert); [[graft.operators.Compaction.compactBatchTree]] folds committed
+  * partitions when batch count grows (a full re-bucketing into the
+  * [[Similarity.writeIvfIndex]] layout is the retrain-time rebuild).
   */
 object StreamingVectorIndex {
 

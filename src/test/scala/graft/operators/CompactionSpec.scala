@@ -25,6 +25,37 @@ class CompactionSpec extends SparkSpec {
     assert(Compaction.compactDir(spark, dir) == (1, 1), "rerun must no-op")
   }
 
+  test("compactBatchTree: folds committed batches, merged reads unchanged, appends still work") {
+    import graft.streaming.StreamingHeavyHitters
+    val dir = java.nio.file.Files.createTempDirectory("cbt").toString + "/cms"
+    for (b <- 0L to 3L)
+      StreamingHeavyHitters.writeBatch(
+        Seq.fill(3)(s"k$b").toDF("key"), "key", dir, 3, 64, b)
+    val before = StreamingHeavyHitters.sketch(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val (n0, n1) = Compaction.compactBatchTree(spark, dir)
+    assert(n0 == 4 && n1 == 2, s"($n0, $n1)")
+    val after = StreamingHeavyHitters.sketch(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(after == before, "folding partitions must not change the merged sketch")
+    assert(Compaction.compactBatchTree(spark, dir) == (2, 2), "rerun must no-op")
+
+    // the newest partition stayed replayable AND new appends keep a
+    // consistent partitioned layout (the property compactDir would break)
+    StreamingHeavyHitters.writeBatch(
+      Seq.fill(3)("k3").toDF("key"), "key", dir, 3, 64, 3L) // replay last
+    StreamingHeavyHitters.writeBatch(
+      Seq("k9").toDF("key"), "key", dir, 3, 64, 4L) // fresh append
+    val merged = StreamingHeavyHitters.sketch(spark, dir)
+    import graft.operators.CountMin
+    val est = CountMin.estimate(
+        Seq("k0", "k3", "k9").toDF("key"), $"key", merged, 3, 64, "e")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("k0" -> 3L, "k3" -> 3L, "k9" -> 1L),
+      s"post-compaction replay + append must stay exact: $est")
+  }
+
   test("compactBandIndex: replayed appends deduplicate; bucketing survives") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
