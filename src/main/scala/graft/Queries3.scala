@@ -1000,11 +1000,13 @@ object Queries3 {
             e.select($"vec_id", $"embedding").filter(PqConfig.trainFilter),
             "embedding", "vec_id", m = PqConfig.M, subDim = PqConfig.SubDim,
             k = PqConfig.K, iters = 2, seed = PqConfig.Seed), m = PqConfig.M)
-        val pq = Similarity.knnPq(probes, corpus, cents, subDim = 16, k = 3)
+        val pq = Similarity.knnPq(probes, corpus, cents,
+            subDim = PqConfig.SubDim, k = 3)
           .select(lit("pq").as("method"), $"probe_id", $"cand_id")
         // q71's composite, same definition: coarse-cell cut + PQ ranking
         val ivfpq = Similarity
-          .knnIvfPq(probes, corpus, centroids, cents, subDim = 16, k = 3)
+          .knnIvfPq(probes, corpus, centroids, cents,
+            subDim = PqConfig.SubDim, k = 3)
           .select(lit("ivfpq").as("method"), $"probe_id", $"cand_id")
         val possible = broadcast(exact.agg(count(lit(1)).as("possible")))
         // a method with ZERO hits must still report recall 0 — the
@@ -1023,7 +1025,9 @@ object Queries3 {
       },
       Some(s"""
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        ${KmeansSql.pqCtes(4, 16, 8, 41, KmeansSql.PqConfig.sampleWhere)},
+        ${KmeansSql.pqCtes(KmeansSql.PqConfig.M, KmeansSql.PqConfig.SubDim,
+             KmeansSql.PqConfig.K, KmeansSql.PqConfig.Seed,
+             KmeansSql.PqConfig.sampleWhere)},
         xp AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 10),
         xc AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
         xs AS (

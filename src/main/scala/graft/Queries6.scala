@@ -55,7 +55,9 @@ object Queries6 {
     * Abbas et al. 2023): cluster the embeddings with the q49 codebook
     * (k=8, 2 Lloyd iterations, seed 31), then within each cell drop
     * every vector whose cosine to a lower-id cell-mate reaches 0.35,
-    * reporting the kept partner. The adaptive-cell counterpart of q26's
+    * reporting its smallest duplicate partner (`dup_of` — under a
+    * transitive chain the partner may itself be dropped; the chain's
+    * minimum always survives). The adaptive-cell counterpart of q26's
     * fixed-hyperplane near-dup pass: candidate pairs are CELL-local
     * (Σ|cell|², bounded by growing k with the corpus), never all-pairs.
     */
@@ -75,7 +77,7 @@ object Queries6 {
           k = 8, iters = 2, seed = 31)
         Similarity.semDedup(ePinned, "embedding", "vec_id", cent,
             tau = Tau.toDouble)
-          .select($"cell", $"vec_id", $"kept_id", $"cos")
+          .select($"cell", $"vec_id", $"dup_of", $"cos")
           .orderBy($"cell", $"vec_id")
       },
       Some(s"""
@@ -87,10 +89,10 @@ object Queries6 {
           JOIN e ea ON ea.vec_id = a.vec_id
           JOIN e eb ON eb.vec_id = b.vec_id),
         d AS (
-          SELECT cell, id_b AS vec_id, id_a AS kept_id, cos,
+          SELECT cell, id_b AS vec_id, id_a AS dup_of, cos,
                  ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
           FROM p WHERE cos >= $Tau)
-        SELECT cell, vec_id, kept_id, cos FROM d
+        SELECT cell, vec_id, dup_of, cos FROM d
         WHERE rn = 1 ORDER BY cell, vec_id"""))
   }
 
@@ -390,7 +392,7 @@ object Queries6 {
     * and oracle-checked like any query.
     */
   val q79DatasetCard = {
-    val ShortTok = 20
+    val ShortTok = graft.operators.TextAnalysis.ShortDocTokens
     QueryDef(
       "q79_dataset_card",
       (s, dir) => {

@@ -71,11 +71,48 @@ object Compaction {
     * collide with a replayed overwrite; the consolidated rows land
     * under the largest folded id, and a rerun is a no-op until new
     * batches accumulate. Returns (batch dirs before, after).
+    *
+    * Crash safety: the originals move whole to a `._compact_old`
+    * holding dir before the consolidated rename and are deleted only
+    * after it, so a crashed fold never loses rows. The next call
+    * recovers first: if the consolidated partition made it into the
+    * tree the fold committed (the held originals are duplicates —
+    * dropped), otherwise it didn't (the held originals are the only
+    * copy — restored whole); either way the stale staging is
+    * discarded and the worst a crash costs is redoing the fold.
+    * Readers see the same brief swap window [[compactDir]] has.
     */
   def compactBatchTree(spark: SparkSession, dir: String): (Int, Int) = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return (0, 0)
+    val staging = new Path(dir + "._compact_staging")
+    val old = new Path(dir + "._compact_old")
+    // recovery: a crashed fold leaves the originals in `old` (they are
+    // all moved there BEFORE the consolidated rename, and `old` is
+    // deleted only after it) plus possibly a stale staging. Whether the
+    // fold committed is decided by ONE condition: the target partition
+    // (= the largest id held in `old`) is back in the tree only if the
+    // staging rename succeeded. Committed → the originals are already
+    // represented in the consolidated partition, so restoring ANY of
+    // them would double-count: drop `old` whole. Not committed → the
+    // tree is missing everything in `old`: restore it whole.
+    if (fs.exists(old)) {
+      val held = fs.listStatus(old)
+        .filter(s => s.getPath.getName.startsWith("batch="))
+      if (held.nonEmpty) {
+        val targetName = held
+          .map(_.getPath.getName)
+          .maxBy(_.stripPrefix("batch=").toLong)
+        if (!fs.exists(new Path(path, targetName)))
+          held.foreach { s =>
+            require(fs.rename(s.getPath, new Path(path, s.getPath.getName)),
+              s"restore ${s.getPath} failed")
+          }
+      }
+      fs.delete(old, true)
+    }
+    if (fs.exists(staging)) fs.delete(staging, true)
     val batches = fs.listStatus(path)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .map(s => s.getPath.getName.stripPrefix("batch=").toLong)
@@ -83,16 +120,13 @@ object Compaction {
     if (batches.length <= 2) return (batches.length, batches.length)
     val fold = batches.dropRight(1) // newest stays replayable
     val target = fold.max
-    val staging = new Path(dir + "._compact_staging")
-    if (fs.exists(staging)) fs.delete(staging, true)
     // read the folded partitions directly (rows carry no batch column,
-    // matching what writeBatch puts inside a partition dir)
+    // matching what writeBatch puts inside a partition dir); the
+    // staging copy is COMPLETE before any original moves
     spark.read
       .parquet(fold.map(b => s"$dir/batch=$b"): _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(staging.toString)
-    val old = new Path(dir + "._compact_old")
-    if (fs.exists(old)) fs.delete(old, true)
     fs.mkdirs(old)
     fold.foreach { b =>
       val p = new Path(s"$dir/batch=$b")

@@ -59,8 +59,12 @@ object Packing {
     *
     * One row per (document, window): `chunk_idx` (0-based), the token
     * `chunk_start` offset, the window's `n_tokens` (< maxLen only on a
-    * document's tail), and the window text. Empty documents yield no
-    * rows.
+    * document's tail), and the window text. Tokenization is the
+    * repo-wide whitespace `words()` convention, under which the empty
+    * string is ONE empty token — so an empty/whitespace document
+    * yields a single empty-text chunk, not zero rows; callers that
+    * must not count that token filter empty texts upstream (the
+    * synthetic corpora carry none).
     *
     * Scale shape: a narrow per-row explode — no shuffle, no state; the
     * fan-out is ≤ ceil(doc_tokens / stride) rows per document, so

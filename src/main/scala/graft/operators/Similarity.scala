@@ -490,12 +490,19 @@ object Similarity {
     * partition the corpus into k-means cells, then WITHIN each cell drop
     * every vector whose cosine to a lower-id cell-mate reaches `tau` —
     * the keep-first rule makes the verdict a pure function of the data
-    * (no iteration order), and each dropped vector reports its smallest
-    * duplicate partner. Complements [[embeddingNearDupPairs]]: hyperplane
+    * (no iteration order). Each dropped vector reports `dup_of`: its
+    * SMALLEST duplicate partner, which under a transitive chain (1≈2,
+    * 2≈3, 1≉3) may itself be dropped — vector 3 reports dup_of=2 while
+    * 2 reports dup_of=1. The surviving canonical is the chain's root
+    * (follow `dup_of` until an id absent from the dropped set; the
+    * minimum of every chain always survives, since it has no lower-id
+    * partner). Callers wanting one-hop canonical attribution should run
+    * [[graft.operators.Dedup.connectedComponents]] over the pairs
+    * instead. Complements [[embeddingNearDupPairs]]: hyperplane
     * buckets are fixed-direction slices, k-means cells adapt to the
     * density, which is what the published method exploits.
     *
-    * Returns one row per DROPPED vector: `(cell, id, kept_id, cos)`.
+    * Returns one row per DROPPED vector: `(cell, id, dup_of, cos)`.
     *
     * Scale shape: assignment is one broadcast pass; the pair generation
     * is a cell-local equi-join — never corpus all-pairs. Σ|cell|² is the
@@ -521,7 +528,7 @@ object Similarity {
     dup
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .select(col("cell"), col("id_b").as(idCol), col("id_a").as("kept_id"),
+      .select(col("cell"), col("id_b").as(idCol), col("id_a").as("dup_of"),
         col("cos"))
   }
 

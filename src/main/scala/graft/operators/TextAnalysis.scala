@@ -22,6 +22,13 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(words(text))
 
+  /** The "short document" threshold the dataset-card surfaces share —
+    * q79's `pct_short` and [[graft.streaming.StreamingCardStats]]'
+    * `n_short` partials must count the same docs or the streaming card
+    * drifts from the batch card it claims to equal.
+    */
+  val ShortDocTokens = 20
+
   /** BPE-ish subword count estimate: word-boundary pieces plus an extra
     * piece per 6 chars of long words (a cheap deterministic proxy for a
     * real tokenizer's subword splits). Superseded for budgeting/packing

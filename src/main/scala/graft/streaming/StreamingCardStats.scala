@@ -51,7 +51,8 @@ object StreamingCardStats {
         bpe_token_count(col("text")).cast("long").as("_ns"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        count(when(col("_nt") < 20, 1)).as("n_short"),
+        count(when(col("_nt") < graft.operators.TextAnalysis.ShortDocTokens, 1))
+          .as("n_short"),
         sum(col("_nt")).as("n_tokens_ws"),
         sum(col("_ns")).as("n_tokens_subword"))
 
@@ -62,15 +63,13 @@ object StreamingCardStats {
     * empty card before any batch commits.
     */
   def card(spark: SparkSession, path: String): DataFrame = {
+    // existence check, not a broad catch — see [[StreamingBatchDirs]]
     val batches =
-      try spark.read.parquet(path)
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          spark.range(0).select(
-            lit("").as("source"), lit("").as("lang"), lit(0L).as("n_docs"),
-            lit(0L).as("n_short"), lit(0L).as("n_tokens_ws"),
-            lit(0L).as("n_tokens_subword"))
-      }
+      if (StreamingBatchDirs.exists(spark, path)) spark.read.parquet(path)
+      else spark.range(0).select(
+        lit("").as("source"), lit("").as("lang"), lit(0L).as("n_docs"),
+        lit(0L).as("n_short"), lit(0L).as("n_tokens_ws"),
+        lit(0L).as("n_tokens_subword"))
     val merged = batches
       .groupBy(col("source"), col("lang"))
       .agg(sum(col("n_docs")).as("n_docs"),

@@ -50,14 +50,13 @@ object StreamingHeavyHitters {
     * sketch — every estimate 0 — not an error.
     */
   def sketch(spark: SparkSession, path: String): DataFrame = {
+    // existence check, not a broad AnalysisException catch: a corrupt
+    // or schema-conflicting tree must fail loudly, only the
+    // nothing-committed-yet case reads as the empty sketch
     val batches =
-      try spark.read.parquet(path)
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          // no batch=<id> partition committed yet → zero touched cells
-          spark.range(0).select(
-            lit(0).as("r"), lit(0L).as("bucket"), lit(0L).as("cnt"))
-      }
+      if (StreamingBatchDirs.exists(spark, path)) spark.read.parquet(path)
+      else spark.range(0).select(
+        lit(0).as("r"), lit(0L).as("bucket"), lit(0L).as("cnt"))
     batches
       .groupBy(col("r"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))

@@ -51,14 +51,16 @@ object StreamingVectorIndex {
 
   /** The live inverted lists: the union of all persisted batches, in
     * the exact shape [[Similarity.knnIvfIndexed]] consumes. Reads as
-    * the empty index before any batch commits.
+    * the empty index before any batch commits — with `cv` typed
+    * `array<float>`, the embeddings-table convention; callers that
+    * index double vectors and must union against the PRE-commit frame
+    * should cast, the post-commit schema always mirrors what
+    * [[writeBatch]] wrote.
     */
   def lists(spark: SparkSession, path: String): DataFrame =
-    (try spark.read.parquet(path)
-     catch {
-       case _: org.apache.spark.sql.AnalysisException =>
-         spark.range(0).select(lit(0L).as("cand_id"),
-           lit(null).cast("array<float>").as("cv"), lit(0L).as("cell"),
-           lit(0.0).as("_cn"))
-     }).drop("batch")
+    // existence check, not a broad catch — see [[StreamingBatchDirs]]
+    (if (StreamingBatchDirs.exists(spark, path)) spark.read.parquet(path)
+     else spark.range(0).select(lit(0L).as("cand_id"),
+       lit(null).cast("array<float>").as("cv"), lit(0L).as("cell"),
+       lit(0.0).as("_cn"))).drop("batch")
 }

@@ -56,6 +56,50 @@ class CompactionSpec extends SparkSpec {
       s"post-compaction replay + append must stay exact: $est")
   }
 
+  test("compactBatchTree: crashed folds recover without loss or double-count") {
+    import graft.streaming.StreamingHeavyHitters
+    import org.apache.hadoop.fs.Path
+    def build(): String = {
+      val d = java.nio.file.Files.createTempDirectory("cbtr").toString + "/cms"
+      for (b <- 0L to 3L)
+        StreamingHeavyHitters.writeBatch(
+          Seq.fill(2)(s"k$b").toDF("key"), "key", d, 3, 64, b)
+      d
+    }
+    def total(d: String): Long = StreamingHeavyHitters.sketch(spark, d)
+      .agg(sum($"cnt")).collect().head.getLong(0)
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // crash BEFORE the consolidated rename: originals stranded in old,
+    // target missing from the tree → recovery must restore them whole
+    val d1 = build()
+    val expect = total(d1)
+    fs.mkdirs(new Path(d1 + "._compact_old"))
+    for (b <- 0 to 2) // the would-be folded set, target = 2
+      fs.rename(new Path(s"$d1/batch=$b"),
+        new Path(d1 + s"._compact_old/batch=$b"))
+    val (r0, r1) = Compaction.compactBatchTree(spark, d1)
+    assert((r0, r1) == (4, 2), s"recovered run must then fold: ($r0, $r1)")
+    assert(total(d1) == expect, "no rows may be lost across crash recovery")
+
+    // crash AFTER the consolidated rename (old not yet deleted): the
+    // held originals are duplicates → recovery must NOT restore them
+    val d2 = build()
+    val expect2 = total(d2)
+    assert(Compaction.compactBatchTree(spark, d2) == (4, 2))
+    // simulate: re-create old holding copies of the folded originals
+    fs.mkdirs(new Path(d2 + "._compact_old"))
+    StreamingHeavyHitters.writeBatch(
+      Seq.fill(2)("k0").toDF("key"), "key", d2 + "._compact_old", 3, 64, 0L)
+    StreamingHeavyHitters.writeBatch(
+      Seq.fill(2)("k1").toDF("key"), "key", d2 + "._compact_old", 3, 64, 1L)
+    StreamingHeavyHitters.writeBatch(
+      Seq.fill(2)("k2").toDF("key"), "key", d2 + "._compact_old", 3, 64, 2L)
+    assert(Compaction.compactBatchTree(spark, d2) == (2, 2))
+    assert(total(d2) == expect2,
+      "committed-fold recovery must drop the held duplicates, not restore them")
+  }
+
   test("compactBandIndex: replayed appends deduplicate; bucketing survives") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),

@@ -32,6 +32,21 @@ class SemDedupSpec extends SparkSpec {
       s"expected ids 2 and 3 dropped with partner 1, got ${out.toSeq}")
   }
 
+  test("transitive chain: dup_of may itself be dropped; the chain minimum survives") {
+    // angles 0°/17°/34°: cos(1,2)=cos(2,3)≈0.956 ≥ τ, cos(1,3)≈0.829 < τ
+    def at(deg: Double) =
+      Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val chain = Seq((1L, at(0)), (2L, at(17)), (3L, at(34)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(chain, "embedding", "vec_id", cents, tau = 0.95)
+      .orderBy($"vec_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // 3's smallest partner is 2 — which is itself dropped (dup_of=1);
+    // following the chain bottoms out at 1, the surviving minimum
+    assert(out.toSeq == Seq((2L, 1L), (3L, 2L)),
+      s"chain must report per-hop partners, got ${out.toSeq}")
+  }
+
   test("duplicates split across cells are not candidates") {
     // identical vectors forced into different cells by the quantizer:
     // near the 45° boundary a tiny nudge flips the assignment
