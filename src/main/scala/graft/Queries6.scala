@@ -606,8 +606,64 @@ object Queries6 {
         ORDER BY chunk_hash"""))
   }
 
+  // ----------------------------------------------------------- q83_cdc_cut
+  /** CDC duplicate-chunk removal
+    * ([[graft.operators.Dedup.cutDuplicateChunks]]): q82 DETECTS the
+    * duplicated chunk mass, this ships the cut (the q58→q67 pattern) —
+    * every chunk content keeps its first occurrence corpus-wide and
+    * affected documents rebuild from their surviving chunks, with
+    * before/after token counts. Content-defined boundaries mean the
+    * same boilerplate block is cut wherever it sits in a document.
+    */
+  val q83CdcCut = {
+    val AvgLen = 16; val Seed = 23
+    QueryDef(
+      "q83_cdc_cut",
+      (s, dir) => {
+        import s.implicits._
+        graft.operators.Dedup
+          .cutDuplicateChunks(t(s, dir, "documents"), "doc_id", "text",
+            avgLen = AvgLen, seed = Seed)
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        tk AS (
+          SELECT doc_id, i, w[i+1] AS word,
+                 CASE WHEN CAST(('0x' || substr(md5('0:' || w[i+1]), 1, 15)) AS BIGINT)
+                      % $AvgLen = 0 THEN 1 ELSE 0 END AS flag
+          FROM toks, unnest(range(0, len(w))) t(i)),
+        cid AS (
+          SELECT doc_id, i, word,
+                 coalesce(SUM(flag) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+          FROM tk),
+        ch AS (
+          SELECT doc_id, chunk_id,
+                 CAST(count(*) AS BIGINT) AS n_tok,
+                 string_agg(word, ' ' ORDER BY i) AS ctext
+          FROM cid GROUP BY doc_id, chunk_id),
+        rk AS (
+          SELECT doc_id, chunk_id, n_tok, ctext,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY CAST(('0x' || substr(md5('$Seed:' || ctext), 1, 15)) AS BIGINT)
+                   ORDER BY doc_id, chunk_id) AS rn
+          FROM ch),
+        agg AS (
+          SELECT doc_id,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tok_before,
+                 CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+                   AS n_tok_after,
+                 coalesce(string_agg(CASE WHEN rn = 1 THEN ctext END, ' '
+                   ORDER BY chunk_id), '') AS text_clean
+          FROM rk GROUP BY doc_id)
+        SELECT doc_id, n_tok_before, n_tok_after, text_clean FROM agg
+        WHERE n_tok_after < n_tok_before ORDER BY doc_id"""))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q72ContextChunks, q73SemDedup, q74EpochMix, q75WinnowMatch,
     q76ChunkPack, q77SplitLeakage, q78NearDupSplit, q79DatasetCard,
-    q80Containment, q81ClusterKeepBest, q82CdcDedup)
+    q80Containment, q81ClusterKeepBest, q82CdcDedup, q83CdcCut)
 }

@@ -422,7 +422,9 @@ object Dedup {
     *
     * Returns one row per chunk: `(id, chunk_id, n_tokens, chunk_hash)`
     * with `chunk_hash` = [[hash64]] of the chunk text under `seed` —
-    * the content identity downstream dedup groups on.
+    * the content identity downstream dedup groups on. `keepText = true`
+    * additionally carries `chunk_text`, for consumers that rebuild
+    * documents from surviving chunks ([[cutDuplicateChunks]]).
     *
     * Scale shape: one shuffle on the doc id for the running boundary
     * count (per-doc sort, the sessionize shape), then a (doc, chunk)
@@ -431,7 +433,7 @@ object Dedup {
     * computes, so the scan work is shared under CSE.
     */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
-                avgLen: Int, seed: Int): DataFrame = {
+                avgLen: Int, seed: Int, keepText: Boolean = false): DataFrame = {
     require(avgLen >= 2, "avgLen must be >= 2")
     val toks = df
       .select(col(idCol), posexplode(words(col(textCol))).as(Seq("_pos", "_word")))
@@ -441,15 +443,46 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    toks
+    val chunks = toks
       .withColumn("chunk_id", coalesce(sum(col("_flag")).over(w), lit(0L)))
       .groupBy(col(idCol), col("chunk_id"))
       .agg(count(lit(1)).as("n_tokens"),
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("_pos"), col("_word")))),
-          s => s.getField("_word"))).as("_text"))
-      .withColumn("chunk_hash", hash64(col("_text"), seed))
-      .drop("_text")
+          s => s.getField("_word"))).as("chunk_text"))
+      .withColumn("chunk_hash", hash64(col("chunk_text"), seed))
+    if (keepText) chunks else chunks.drop("chunk_text")
+  }
+
+  /** The CDC cut — [[cdcChunks]] detection turned into the rewrite
+    * (the q58→q67 pattern): every chunk CONTENT keeps its first
+    * occurrence corpus-wide (smallest (id, chunk_id)) and every other
+    * occurrence is removed; documents rebuild from their surviving
+    * chunks in order. Because boundaries are content-defined, the same
+    * boilerplate block is cut wherever it appears in a document — the
+    * shift-robustness fixed-window cutting lacks. Returns the AFFECTED
+    * documents: `(id, n_tok_before, n_tok_after, text_clean)`.
+    *
+    * One rank window on `chunk_hash` (the canonical election) over
+    * chunk rows — ~1/avgLen of the token mass — then a per-doc
+    * rebuild agg. Never all-pairs.
+    */
+  def cutDuplicateChunks(df: DataFrame, idCol: String, textCol: String,
+                         avgLen: Int, seed: Int): DataFrame = {
+    val ch = cdcChunks(df, idCol, textCol, avgLen, seed, keepText = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_hash")).orderBy(col(idCol), col("chunk_id"))
+    ch.withColumn("_rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(sum(col("n_tokens")).as("n_tok_before"),
+        sum(when(col("_rn") === 1, col("n_tokens")).otherwise(0L))
+          .as("n_tok_after"),
+        // collect_list skips the nulls the when() leaves for cut chunks
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("_rn") === 1, struct(col("chunk_id"), col("chunk_text"))))),
+          s => s.getField("chunk_text"))).as("text_clean"))
+      .filter(col("n_tok_after") < col("n_tok_before"))
   }
 
   /** Directional containment pairs: jaccard misses the

@@ -50,6 +50,25 @@ class CdcChunksSpec extends SparkSpec {
     assert(ids.toSeq == (0L until n).toSeq)
   }
 
+  test("cutDuplicateChunks: later copies lose the shared chunks, owner untouched") {
+    val uniq = (0 until 200).map(i => s"u$i").mkString(" ")
+    val tail = (0 until 60).map(i => s"own$i").mkString(" ")
+    val docs = Seq((1L, uniq), (2L, uniq + " " + tail)).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicateChunks(docs, "doc_id", "text",
+        avgLen = 16, seed = 23)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.map(_._1).toSeq == Seq(2L),
+      s"only the later copy is affected (doc 1 owns first occurrence): ${out.toSeq}")
+    val (_, before, after, clean) = out.head
+    assert(before == 260L, s"before must count all of doc 2's tokens: $before")
+    // doc 2 keeps its own tail plus at most one boundary-straddling chunk
+    // (the chunk where uniq's tail and doc 2's suffix meet differs from
+    // doc 1's final chunk, so it survives)
+    assert(after >= 60L && after < 100L, s"shared chunks must be cut: $after")
+    assert(clean.contains("own59") && !clean.contains("u0 "),
+      s"clean text keeps the tail, drops the shared head: $clean")
+  }
+
   test("identical content yields identical chunk hashes across docs") {
     // distinct tokens — `body` repeats with period 211, which would
     // duplicate chunks WITHIN a doc and break the pair count
