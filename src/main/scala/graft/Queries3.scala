@@ -992,14 +992,11 @@ object Queries3 {
           .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
         val ivf = Similarity.knnIvf(probes, corpus, centroids, k = 3)
           .select(lit("ivf").as("method"), $"probe_id", $"cand_id")
-        // the q68 codebook (same m/k/seed/sample), so the recall row
+        // the q68 codebook (same m/k/seed/sample) resolved from the
+        // shared train-once on-disk artifact, so the recall row
         // measures exactly the index q68 answers from
         import KmeansSql.PqConfig
-        val cents = Similarity.pqCollect(
-          Similarity.pqTrain(
-            e.select($"vec_id", $"embedding").filter(PqConfig.trainFilter),
-            "embedding", "vec_id", m = PqConfig.M, subDim = PqConfig.SubDim,
-            k = PqConfig.K, iters = 2, seed = PqConfig.Seed), m = PqConfig.M)
+        val cents = PqConfig.cents(s, dir)
         val pq = Similarity.knnPq(probes, corpus, cents,
             subDim = PqConfig.SubDim, k = 3)
           .select(lit("pq").as("method"), $"probe_id", $"cand_id")
@@ -1373,6 +1370,39 @@ private[graft] object KmeansSql {
         col("vec_id").cast("string"), SampleSeed) % SampleMod === 0
     def sampleWhere: String =
       s"CAST(('0x' || substr(md5('$SampleSeed:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % $SampleMod = 0"
+
+    /** The shared train-once codebook artifact for this config over
+      * `dir`'s embeddings table
+      * ([[graft.operators.Similarity.pqCodebookOnce]]): q50, q68 and
+      * q71 all probe the SAME on-disk codebook, trained by whichever
+      * of them runs first instead of once each — within a run the
+      * other two (and every re-measure pass) read the tiny parquet.
+      * The artifact path is keyed by the config constants AND a
+      * (name, size, mtime) fingerprint of the embeddings parquet, so a
+      * regenerated dataset trains a fresh codebook rather than serving
+      * a stale one.
+      */
+    def cents(s: org.apache.spark.sql.SparkSession,
+              dir: String): Seq[Seq[Seq[Double]]] = {
+      def fp(f: java.io.File): String =
+        if (f.isDirectory)
+          f.listFiles.sortBy(_.getName).map(fp).mkString("[", ",", "]")
+        else s"${f.getName}:${f.length}:${f.lastModified}"
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val raw = s"m$M:sd$SubDim:k$K:seed$Seed:ss$SampleSeed:sm$SampleMod:" +
+        s"${src.getAbsolutePath}:${fp(src)}"
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_artifacts", s"pq_codebook_$key").toString
+      graft.operators.Similarity.pqCodebookOnce(s, path, M) {
+        graft.operators.Similarity.pqTrain(
+          s.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding")).filter(trainFilter),
+          "embedding", "vec_id", m = M, subDim = SubDim, k = K,
+          iters = 2, seed = Seed)
+      }
+    }
   }
 
   /** CTE chain `e → init → (iter 1) → (iter 2) → fin`: trains the

@@ -285,14 +285,18 @@ object Queries5 {
     * every corpus vector (4×3 bits replaces 64 floats — PQ's storage
     * win), and answer top-3 by ASYMMETRIC distance: the exact probe
     * against the corpus vector's reconstruction from its codebook
-    * entries. Training is m tiny k-means runs; encode and reconstruct
-    * are NARROW per-row expressions against the collected literal
+    * entries. Training is m tiny k-means runs over the deterministic
+    * 1/4 hash sample of [[KmeansSql.PqConfig]], paid ONCE per dataset:
+    * the codebook is a train-once on-disk artifact
+    * ([[KmeansSql.PqConfig.cents]] →
+    * [[graft.operators.Similarity.pqCodebookOnce]]) shared with q50
+    * and q71 — the 100 TB shape, where the codebook is a build-time
+    * index artifact probed by every query batch (codebook quality
+    * saturates long before corpus size, so it is priced off the sample
+    * while encode/scan still cover every vector). Encode and
+    * reconstruct are NARROW per-row expressions against the literal
     * codebook (no join, no shuffle — the corpus is coded in one map
-    * pass); the scan itself is the q14 broadcast-probe shape. Training
-    * runs on the deterministic 1/4 hash sample of
-    * [[KmeansSql.PqConfig]] — the 100 TB shape: codebook quality
-    * saturates long before corpus size, so the training cost is priced
-    * off the sample while encode/scan still cover every vector. The
+    * pass); the scan itself is the q14 broadcast-probe shape. The
     * oracle replays all four trainings
     * ([[KmeansSql.trainCtesD]] over the same sample), the argmax
     * coding, the concat reconstruction, and the ranking.
@@ -306,17 +310,14 @@ object Queries5 {
         import s.implicits._
         import graft.operators.Similarity
         val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
-        val ePinned =
-          if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-            e.persist() else e
         // m·k rows — the literal-broadcast pattern (Sampling thresholds):
-        // collected once, inlined into the narrow encode/recon expressions
-        val cents = Similarity.pqCollect(
-          Similarity.pqTrain(ePinned.filter(PqConfig.trainFilter),
-            "embedding", "vec_id", M, SubDim, K, iters = 2, seed = Seed), M)
-        val probes = ePinned.filter($"vec_id" < 5)
+        // resolved from the train-once on-disk artifact shared with
+        // q50/q71 (PqConfig.cents), then inlined into the narrow
+        // encode/recon expressions
+        val cents = PqConfig.cents(s, dir)
+        val probes = e.filter($"vec_id" < 5)
           .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
-        val corpus = ePinned.select($"vec_id".as("cand_id"),
+        val corpus = e.select($"vec_id".as("cand_id"),
           $"embedding".as("cv"))
         Similarity.knnPq(probes, corpus, cents, SubDim, k = 3)
           .select($"probe_id", $"rn".cast("long").as("rn"), $"cand_id", $"cos")
@@ -489,16 +490,12 @@ object Queries5 {
       (s, dir) => {
         import s.implicits._
         import graft.operators.Similarity
-        val e0 = t(s, dir, "embeddings").select($"vec_id", $"embedding")
-        val e =
-          if (e0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-            e0.persist() else e0
+        val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
         val centroids = e.filter($"vec_id" % 37 === 0 && $"vec_id" >= 100)
           .orderBy($"vec_id").limit(8)
           .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
-        val cents = Similarity.pqCollect(
-          Similarity.pqTrain(e.filter(PqConfig.trainFilter),
-            "embedding", "vec_id", M, SubDim, K, iters = 2, seed = Seed), M)
+        // train-once on-disk codebook shared with q50/q68
+        val cents = PqConfig.cents(s, dir)
         val probes = e.filter($"vec_id" < 10)
           .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
         val corpus = e.select($"vec_id".as("cand_id"), $"embedding".as("cv"))

@@ -434,6 +434,55 @@ object Similarity {
     }
   }
 
+  private val pqArtifactMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
+
+  /** Train-once PQ codebook ARTIFACT — the production counterpart of
+    * calling [[pqTrain]] inline: the first caller for `artifactPath`
+    * trains the codebook (the by-name `train` frame), writes it as a
+    * committed parquet directory, and every later caller — in this JVM
+    * (memoized) or another — reads the tiny artifact instead of
+    * re-running the m k-means trainings. This is the [[writeIvfIndex]]
+    * shape applied to the PQ codebook: at 100 TB the codebook is a
+    * build-time index artifact probed by every query batch, never a
+    * per-query training job.
+    *
+    * Commit protocol: train into a scratch sibling, then one atomic
+    * directory rename onto `artifactPath` — a half-written artifact is
+    * never visible under the final name, and a concurrent builder
+    * losing the rename race just deletes its scratch copy (the training
+    * is deterministic, so both copies are identical). Requires a
+    * filesystem with atomic rename (local FS/HDFS), like
+    * [[graft.operators.Compaction.compactDir]]. Callers must key
+    * `artifactPath` by BOTH the training config and a fingerprint of
+    * the input data, so a regenerated dataset can never serve a stale
+    * codebook.
+    */
+  def pqCodebookOnce(spark: org.apache.spark.sql.SparkSession,
+                     artifactPath: String, m: Int)
+                    (train: => DataFrame): Seq[Seq[Seq[Double]]] =
+    pqArtifactMemo.computeIfAbsent(artifactPath, _ => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dst = Paths.get(artifactPath)
+      if (!Files.exists(dst)) {
+        Files.createDirectories(dst.getParent)
+        val tmp = Paths.get(
+          artifactPath + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+        train.select(col("subspace"), col("centroid_id"), col("centroid_vec"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          // lost the race to an identical artifact; drop the scratch copy
+          val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+            spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+        }
+      }
+      pqCollect(spark.read.parquet(artifactPath)
+        .select(col("subspace").cast("int"), col("centroid_id").cast("long"),
+          col("centroid_vec")), m)
+    })
+
   /** PQ asymmetric-distance top-k: probes `(probe_id, pv)` against the
     * corpus `(cand_id, cv)` decoded through the literal codebook —
     * [[knnExact]]'s broadcast-probe shape with the candidate side
