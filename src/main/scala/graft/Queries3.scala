@@ -1284,17 +1284,24 @@ private[graft] object KmeansSql {
 
   /** CTE chain training a `k`-cell codebook over CTE `src` (columns
     * `vec_id, embedding` of `dims` dims) with 2 Lloyd iterations under
-    * `seed` — final centroids land in `${p}cc2 (cid, c)`.
+    * `seed` — final centroids land in `${p}cc2 (cid, c)`. `kSql` is
+    * spliced into the init `LIMIT`, so it may be a literal or a scalar
+    * subquery deriving the cell count from the data (the
+    * [[graft.operators.Similarity.autoCells]] oracle shape).
     */
-  def trainCtesD(p: String, src: String, dims: Int, k: Int, seed: Int): String = s"""
+  def trainCtesK(p: String, src: String, dims: Int, kSql: String, seed: Int): String = s"""
         ${p}init AS (
           SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
                  list_transform(embedding, x -> x::DOUBLE) AS c
           FROM (SELECT vec_id, embedding,
                        CAST(('0x' || substr(md5('$seed:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-                FROM $src ORDER BY h, vec_id LIMIT $k)),
+                FROM $src ORDER BY h, vec_id LIMIT $kSql)),
         ${sqlIterD(p, 1, s"${p}init", src, dims)},
         ${sqlIterD(p, 2, s"${p}cc1", src, dims)}"""
+
+  /** [[trainCtesK]] with a literal cell count. */
+  def trainCtesD(p: String, src: String, dims: Int, k: Int, seed: Int): String =
+    trainCtesK(p, src, dims, k.toString, seed)
   /** Unprefixed 64-dim iteration over the `e` CTE — the q49/q66 shape,
     * delegated to the parametrized generator so the two can never
     * drift.
@@ -1409,8 +1416,15 @@ private[graft] object KmeansSql {
     * codebook and argmax-assigns every vector to it — `fin` carries
     * `(vec_id, cid, cos)`. Splice as `WITH $trainAssignCtes …`.
     */
-  def trainAssignCtes: String = s"""e AS (SELECT vec_id, embedding FROM embeddings),
-        ${trainCtesD("", "e", 64, 8, 31)},
+  def trainAssignCtes: String = trainAssignCtesK("8")
+
+  /** [[trainAssignCtes]] with the cell count spliced as SQL — q73
+    * passes the [[graft.operators.Similarity.autoCells]] scalar
+    * subquery so the oracle derives the same data-dependent k the
+    * Spark side computes.
+    */
+  def trainAssignCtesK(kSql: String): String = s"""e AS (SELECT vec_id, embedding FROM embeddings),
+        ${trainCtesK("", "e", 64, kSql, 31)},
         fin AS (
           SELECT vec_id, cid, cos FROM (
             SELECT vec_id, cid, cos,

@@ -52,18 +52,25 @@ object Queries6 {
 
   // ------------------------------------------------------------- q73_semdedup
   /** Semantic dedup ([[graft.operators.Similarity.semDedup]], SemDeDup —
-    * Abbas et al. 2023): cluster the embeddings with the q49 codebook
-    * (k=8, 2 Lloyd iterations, seed 31), then within each cell drop
-    * every vector whose cosine to a lower-id cell-mate reaches 0.35,
-    * reporting its smallest duplicate partner (`dup_of` — under a
-    * transitive chain the partner may itself be dropped; the chain's
-    * minimum always survives). The adaptive-cell counterpart of q26's
-    * fixed-hyperplane near-dup pass: candidate pairs are CELL-local
-    * (Σ|cell|², bounded by growing k with the corpus), never all-pairs.
+    * Abbas et al. 2023): cluster the embeddings with a trained codebook
+    * (2 Lloyd iterations, seed 31) whose cell count is DERIVED from the
+    * corpus size ([[graft.operators.Similarity.autoCells]], target ~64
+    * vectors/cell — k ∝ n, the published method's dial: ~50k clusters
+    * for billions of points), then within each cell drop every vector
+    * whose cosine to a lower-id cell-mate reaches 0.35, reporting its
+    * smallest duplicate partner (`dup_of` — under a transitive chain
+    * the partner may itself be dropped; the chain's minimum always
+    * survives). The adaptive-cell counterpart of q26's fixed-hyperplane
+    * near-dup pass: candidate pairs are CELL-local and cells stay
+    * ~`TargetCell` regardless of corpus size, so the Σ|cell|² pair work
+    * is corpus-linear, never all-pairs and never quadratic-at-scale.
+    * The oracle derives the identical k with an integer-exact scalar
+    * subquery spliced into the training init's LIMIT.
     */
   val q73SemDedup = {
-    import KmeansSql.{trainAssignCtes, sqlCos}
+    import KmeansSql.{trainAssignCtesK, sqlCos}
     val Tau = "0.35"
+    val TargetCell = 64L
     QueryDef(
       "q73_semdedup",
       (s, dir) => {
@@ -74,14 +81,17 @@ object Queries6 {
           if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
             e.persist() else e
         val cent = Similarity.kmeans(ePinned, "embedding", "vec_id",
-          k = 8, iters = 2, seed = 31)
+          k = Similarity.autoCells(ePinned.count(), TargetCell),
+          iters = 2, seed = 31)
         Similarity.semDedup(ePinned, "embedding", "vec_id", cent,
             tau = Tau.toDouble)
           .select($"cell", $"vec_id", $"dup_of", $"cos")
           .orderBy($"cell", $"vec_id")
       },
       Some(s"""
-        WITH $trainAssignCtes,
+        WITH ${trainAssignCtesK(
+          s"""(SELECT GREATEST(1, (count(*) + ${TargetCell - 1}) // $TargetCell)
+              FROM embeddings)""")},
         p AS (
           SELECT a.cid AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
                  ${sqlCos("ea.embedding", "eb.embedding")} AS cos

@@ -54,6 +54,24 @@ object Similarity {
     p
   }
 
+  /** Number of k-means cells sized so the expected cell occupancy is
+    * ~`targetCell`: `max(1, ceil(n / targetCell))` — [[autoPlanes]]'s
+    * trick applied to the [[semDedup]] quantizer. Within-cell pair
+    * generation is Σ|cell|², so a FIXED cell count goes quadratic as
+    * the corpus grows (100× data at fixed k is 10,000× pair work);
+    * deriving k from n keeps it O(n · targetCell) — corpus-linear in
+    * expectation, which is how the published SemDeDup runs (~50k
+    * clusters for billions of points, i.e. k ∝ n). Integer-exact on
+    * purpose, like [[autoPlanes]]: the SQL oracle derives the identical
+    * k via `GREATEST(1, (count(*) + targetCell - 1) // targetCell)`,
+    * and integer arithmetic cannot disagree across engines the way a
+    * float `ceil` could.
+    */
+  def autoCells(n: Long, targetCell: Long = 64L): Int = {
+    require(targetCell > 0, "targetCell must be > 0")
+    math.max(1L, (n + targetCell - 1) / targetCell).toInt
+  }
+
   /** Sign-of-projection bucket code (0 .. 2^planes-1) for a vector
     * column: one zip_with dot product per plane against a literal
     * hyperplane array.

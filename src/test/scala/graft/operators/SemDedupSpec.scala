@@ -70,4 +70,17 @@ class SemDedupSpec extends SparkSpec {
     val out = Similarity.semDedup(vecs, "embedding", "vec_id", cents, tau = 0.9999999)
     assert(out.count() == 0L)
   }
+
+  test("autoCells: integer-exact ceil(n/target), floored at 1, k grows with n") {
+    assert(Similarity.autoCells(0, 64) == 1)   // empty corpus still trains 1 cell
+    assert(Similarity.autoCells(1, 64) == 1)
+    assert(Similarity.autoCells(64, 64) == 1)  // exact multiple: no phantom cell
+    assert(Similarity.autoCells(65, 64) == 2)
+    assert(Similarity.autoCells(500, 64) == 8)   // the sf0.01 embeddings count
+    assert(Similarity.autoCells(2000, 64) == 32) // the sf0.1 embeddings count
+    // the scale property: 100x the data is ~100x the cells, so the
+    // expected within-cell pair work (n · targetCell) stays linear
+    assert(Similarity.autoCells(640000, 64) == 100 * Similarity.autoCells(6400, 64))
+    intercept[IllegalArgumentException](Similarity.autoCells(10, 0))
+  }
 }
