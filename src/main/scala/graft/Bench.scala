@@ -28,6 +28,18 @@ import org.apache.spark.sql.SparkSession
   *    the threshold, are flagged in the JSON (`contended_queries` +
   *    run-level `contended`) so a bad run can't masquerade as a
   *    regression.
+  *  - previous-round yardstick (round-10 finding: queries whose code was
+  *    untouched since round 9 reported 3-5x phantom regressions in a run
+  *    the warmup-only guard stamped `contended: false` — warmup and
+  *    timed runs were EQUALLY slowed, so the ratio looked clean): the
+  *    last round's per-query times are read from `BENCH.json` (override
+  *    with SPARK_GRAFT_BENCH_PREV; skipped when the sf differs), any
+  *    query whose best exceeds 2.5x its previous time + 0.2 s gets the
+  *    same one extra timed pass, and the JSON reports `rerun_delta`
+  *    (seconds recovered by each rerun — a large delta means the first
+  *    window was noisy, not the code) plus `prev_outliers` (still over
+  *    the previous-round threshold after the rerun — a REAL candidate
+  *    regression, or a deliberate trade recorded in BASELINE.md).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -76,30 +88,55 @@ object Bench {
     // queries aren't flagged on scheduler jitter alone
     def thresh(n: String): Double =
       if (warm(n) < 0) Double.MaxValue else 2.5 * warm(n) + 0.2
+    // previous-round per-query times (same JSON this main emits, read
+    // before it is overwritten; ignored when missing or a different sf)
+    val prevFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH.json")
+    val prev: Map[String, Double] = try {
+      val txt = Files.readString(Paths.get(prevFile))
+      val sfOk = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
+      val start = txt.indexOf("\"queries\":{")
+      val end = if (start < 0) -1 else txt.indexOf('}', start)
+      if (!sfOk || end < 0) Map.empty
+      else """"(q[A-Za-z0-9_]+)":(-?[0-9.][0-9.eE+-]*)""".r
+        .findAllMatchIn(txt.substring(start, end + 1))
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 >= 0).toMap
+    } catch { case _: Exception => Map.empty }
+    def prevThresh(n: String): Double =
+      prev.get(n).map(2.5 * _ + 0.2).getOrElse(Double.MaxValue)
     val results = names.map { n =>
       val t1 = execute(n)
       val t2 = execute(n)
       // if EITHER timed run failed, report the failure marker — taking
       // the surviving run's time would mask a 50%-flaky query
       var best = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
-      var contended = false
-      if (best > thresh(n)) {
+      var rerunDelta = Option.empty[Double]
+      if (best > thresh(n) || best > prevThresh(n)) {
         val t3 = execute(n) // one retry in a possibly quieter window
+        val before = best
         if (t3 >= 0 && t3 < best) best = t3
-        contended = best > thresh(n)
+        rerunDelta = Some(before - best)
       }
+      val contended = best > thresh(n)
+      val prevOutlier = best >= 0 && best > prevThresh(n)
       clearCache()
-      (n, best, contended)
+      (n, best, contended, rerunDelta, prevOutlier)
     }
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val flagged = results.collect { case (k, _, true) => "\"" + k + "\"" }
+    val flagged = results.collect { case (k, _, true, _, _) => "\"" + k + "\"" }
+    val deltas = results.collect { case (k, _, _, Some(d), _) =>
+      "\"" + k + "\":" + d }
+    val prevOut = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""contended":${flagged.nonEmpty},""" +
         s""""contended_queries":${flagged.mkString("[", ",", "]")},""" +
+        s""""rerun_delta":${deltas.mkString("{", ",", "}")},""" +
+        s""""prev_outliers":${prevOut.mkString("[", ",", "]")},""" +
         s""""sf":"$sfDir"}"""
     Files.writeString(Paths.get(outFile), json + "\n")
     println(json)
