@@ -170,11 +170,18 @@ object Queries3 {
       GROUP BY 1 ORDER BY o_orderpriority"""))
 
   // ----------------------------------------------------------- q33_multimodal
-  /** Multimodal planning + decode ([[Multimodal]]): resize targets and
-    * frame-sample offsets are pure column math; n_bytes/mean_byte come
-    * out of the partition-local decode kernel (mapPartitions over the
-    * payload bytes — the stub is deterministic, so the oracle rebuilds
-    * the same values arithmetically).
+  /** Multimodal planning + REAL image decode ([[Multimodal]]): resize
+    * targets and frame-sample offsets are pure column math; image rows
+    * are decoded by the partition-local `javax.imageio` kernel
+    * ([[Multimodal.MediaCodecImageIO]]) and report their DECODED
+    * width/height and per-channel pixel means, with the deliberately
+    * corrupt payload (id 57) degrading to `decode_ok = false`. The
+    * synthetic PNGs are lossless encodings of an integer pixel formula,
+    * so the codec-less oracle predicts the decoded stats arithmetically
+    * — the cross-engine check that the decode is faithful, not merely
+    * present. Byte-level stats stay for audio/video; they are NULL for
+    * image rows because a PNG's encoded byte length is an encoder
+    * detail no oracle should pin.
     */
   val q33Multimodal = QueryDef(
     "q33_multimodal",
@@ -182,7 +189,13 @@ object Queries3 {
       import s.implicits._
       val media = Multimodal.syntheticMedia(s, 60)
       val feats = Multimodal.decodeFeatures(media).toDF()
-        .select($"media_id", $"n_bytes", round($"mean_byte", 6).as("mean_byte"))
+        .select($"media_id",
+          when($"kind" =!= "image", $"n_bytes").as("n_bytes"),
+          when($"kind" =!= "image", round($"mean_byte", 6)).as("mean_byte"),
+          $"decode_ok", $"decoded_width", $"decoded_height",
+          round($"mean_r", 6).as("mean_r"),
+          round($"mean_g", 6).as("mean_g"),
+          round($"mean_b", 6).as("mean_b"))
       val planned = Multimodal.withFrameSamples(
         Multimodal.withResizePlan(media.toDF(), maxSide = 256), nFrames = 4)
         .select($"media_id", $"kind", $"target_width", $"target_height",
@@ -196,7 +209,10 @@ object Queries3 {
                id % 64 + 16 AS n_b,
                CASE WHEN id % 3 = 0 THEN id % 5000 + 100 END AS width,
                CASE WHEN id % 3 = 0 THEN id % 3000 + 100 END AS height,
-               CASE WHEN id % 3 = 2 THEN id % 90000 + 1000 END AS duration_ms
+               CASE WHEN id % 3 = 2 THEN id % 90000 + 1000 END AS duration_ms,
+               (id % 3 = 0 AND id % 60 != 57) AS ok,
+               CASE WHEN id % 3 = 0 AND id % 60 != 57 THEN id % 7 + 2 END AS dw,
+               CASE WHEN id % 3 = 0 AND id % 60 != 57 THEN id % 5 + 2 END AS dh
         FROM range(0, 60) t(id))
       SELECT id AS media_id, kind,
              CASE WHEN width IS NOT NULL THEN
@@ -210,9 +226,19 @@ object Queries3 {
                array_to_string(list_transform(range(0, 4),
                  i -> CAST(floor(i * duration_ms / 4.0) AS INTEGER)), ',')
              ELSE '' END AS frame_offsets,
-             CAST(n_b AS BIGINT) AS n_bytes,
-             round(CAST(list_sum(list_transform(range(0, n_b),
-               j -> (id * 31 + j * 7) % 256)) AS DOUBLE) / n_b, 6) AS mean_byte
+             CASE WHEN kind != 'image' THEN CAST(n_b AS BIGINT) END AS n_bytes,
+             CASE WHEN kind != 'image' THEN
+               round(CAST(list_sum(list_transform(range(0, n_b),
+                 j -> (id * 31 + j * 7) % 256)) AS DOUBLE) / n_b, 6) END AS mean_byte,
+             ok AS decode_ok,
+             CAST(dw AS INTEGER) AS decoded_width,
+             CAST(dh AS INTEGER) AS decoded_height,
+             CASE WHEN ok THEN round(CAST(list_sum(list_transform(range(0, dw * dh),
+               i -> (id * 31 + (i % dw) * 7 + (i // dw) * 13) % 256)) AS DOUBLE) / (dw * dh), 6) END AS mean_r,
+             CASE WHEN ok THEN round(CAST(list_sum(list_transform(range(0, dw * dh),
+               i -> (id * 17 + (i % dw) * 5 + (i // dw) * 11) % 256)) AS DOUBLE) / (dw * dh), 6) END AS mean_g,
+             CASE WHEN ok THEN round(CAST(list_sum(list_transform(range(0, dw * dh),
+               i -> (id * 23 + (i % dw) * 3 + (i // dw) * 19) % 256)) AS DOUBLE) / (dw * dh), 6) END AS mean_b
       FROM m ORDER BY media_id"""))
 
   // ------------------------------------------------------------- q34_lag_lead

@@ -55,6 +55,40 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("frame_offsets_ms").isNotNull).count() == 0)
   }
 
+  test("imageio kernel: decoded dims and channel means match the pixel formula") {
+    val feats = decodeFeatures(syntheticMedia(spark, 12)).collect()
+      .filter(f => f.kind == "image").sortBy(_.media_id)
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val id = f.media_id
+      assert(f.decode_ok, s"image $id must decode")
+      val (w, h) = (synthW(id), synthH(id))
+      assert(f.decoded_width.contains(w) && f.decoded_height.contains(h))
+      // PNG is lossless: the decoded means equal the formula means exactly
+      val px = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+      def mean(c: (Long, Int, Int) => Int) =
+        px.map { case (x, y) => c(id, x, y) }.sum.toDouble / (w * h)
+      assert(f.mean_r.contains(mean(synthR)), s"mean_r mismatch for $id")
+      assert(f.mean_g.contains(mean(synthG)), s"mean_g mismatch for $id")
+      assert(f.mean_b.contains(mean(synthB)), s"mean_b mismatch for $id")
+    }
+  }
+
+  test("corrupt payload degrades to decode_ok=false, never fails the partition") {
+    // n=60 includes CorruptImageId (57): an image row whose payload is
+    // junk bytes still claiming format=png
+    val feats = decodeFeatures(syntheticMedia(spark, 60)).collect()
+    val bad = feats.find(_.media_id == CorruptImageId).get
+    assert(bad.kind == "image" && !bad.decode_ok)
+    assert(bad.decoded_width.isEmpty && bad.mean_r.isEmpty)
+    assert(bad.n_bytes > 0) // byte-level stats survive the failed decode
+    // every OTHER image row decoded fine in the same pass
+    assert(feats.count(f => f.kind == "image" && f.decode_ok) ==
+      feats.count(_.kind == "image") - 1)
+    // non-image rows never claim a codec decode
+    assert(feats.filter(_.kind != "image").forall(f => !f.decode_ok))
+  }
+
   test("features join embeddings-style downstream ops (cosine over stub vectors)") {
     import graft.functions.GraftFunctions.cosine
     val f = decodeFeatures(media).toDF()
