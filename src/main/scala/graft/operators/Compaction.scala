@@ -81,7 +81,21 @@ object Compaction {
     * copy — restored whole); either way the stale staging is
     * discarded and the worst a crash costs is redoing the fold.
     * Readers see the same brief swap window [[compactDir]] has.
+    *
+    * Filesystem contract (same as [[compactDir]]): the hold/commit
+    * protocol relies on ATOMIC directory rename — local FS and HDFS
+    * qualify; on object stores, where rename is copy+delete, a reader
+    * or a crash can observe partially-copied state, so these trees
+    * belong on a rename-atomic filesystem (or behind a committer).
+    * Directories under `dir` whose name is `batch=<non-numeric>` are
+    * not ours and are skipped, both in normal listing and in crash
+    * recovery.
     */
+  /** `batch=<id>` name → id; None for foreign (non-numeric) names. */
+  private def batchId(name: String): Option[Long] =
+    if (!name.startsWith("batch=")) None
+    else name.stripPrefix("batch=").toLongOption
+
   def compactBatchTree(spark: SparkSession, dir: String): (Int, Int) = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -99,11 +113,11 @@ object Compaction {
     // tree is missing everything in `old`: restore it whole.
     if (fs.exists(old)) {
       val held = fs.listStatus(old)
-        .filter(s => s.getPath.getName.startsWith("batch="))
+        .filter(s => batchId(s.getPath.getName).isDefined)
       if (held.nonEmpty) {
         val targetName = held
           .map(_.getPath.getName)
-          .maxBy(_.stripPrefix("batch=").toLong)
+          .maxBy(n => batchId(n).get)
         if (!fs.exists(new Path(path, targetName)))
           held.foreach { s =>
             require(fs.rename(s.getPath, new Path(path, s.getPath.getName)),
@@ -114,8 +128,8 @@ object Compaction {
     }
     if (fs.exists(staging)) fs.delete(staging, true)
     val batches = fs.listStatus(path)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(s => s.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(_.isDirectory)
+      .flatMap(s => batchId(s.getPath.getName))
       .sorted
     if (batches.length <= 2) return (batches.length, batches.length)
     val fold = batches.dropRight(1) // newest stays replayable

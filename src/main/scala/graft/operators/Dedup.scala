@@ -395,6 +395,13 @@ object Dedup {
     // convention. Postings are ~2/(w+1) of the shingle mass; at index
     // scale they are what you write ONCE as a bucketed table (the q54
     // band-index pattern) rather than cache.
+    // Cache lifetime: the RETURNED plan consumes this pin lazily, so it
+    // cannot be released here (unlike nearDupComponents, which
+    // materializes its edges eagerly). The pin is unreferenced once the
+    // caller's action completes; a long-lived session running many
+    // queries should clearCache() between them (graft.Bench does) or
+    // let the ContextCleaner collect it — the prod shape writes the
+    // postings to disk once instead of caching at all.
     val fps = df.select(col(idCol),
         explode(winnowFingerprints(words(col(textCol)), k, w, seed)).as("fp"))
       .persist()
@@ -513,7 +520,10 @@ object Dedup {
         array_distinct(shingleHashes3(wordHashes(words(col(textCol)))))
           .as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist() // feeds the postings AND both exact-verify joins
+      // feeds the postings AND both exact-verify joins; consumed lazily
+      // by the returned plan, so not releasable here — see the cache-
+      // lifetime note in winnowPairs (same contract)
+      .persist()
     val post = sh.select(col(idCol), explode(col("sh")).as("h"))
     val kept = post.join(
       post.groupBy(col("h")).agg(count(lit(1)).as("_df"))

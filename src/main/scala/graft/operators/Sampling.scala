@@ -174,7 +174,11 @@ object Sampling {
     val split = bounds.init.foldRight(lit(bounds.last._1): Column) {
       case ((label, ub), els) => when(b < ub, lit(label)).otherwise(els)
     }
-    df.join(canon, group === col("_sg"))
+    // null-safe equality: a null group is a legitimate grouping key
+    // (groupBy keeps it), and a plain === join would silently DROP its
+    // rows from the assignment — the one failure mode a leakage-safety
+    // utility must not have
+    df.join(canon, group <=> col("_sg"))
       .withColumn("split", split)
       .drop("_sg", "_canon")
   }

@@ -51,11 +51,14 @@ object StreamingVectorIndex {
 
   /** The live inverted lists: the union of all persisted batches, in
     * the exact shape [[Similarity.knnIvfIndexed]] consumes. Reads as
-    * the empty index before any batch commits — with `cv` typed
-    * `array<float>`, the embeddings-table convention; callers that
-    * index double vectors and must union against the PRE-commit frame
-    * should cast, the post-commit schema always mirrors what
-    * [[writeBatch]] wrote.
+    * the empty index before any batch commits — with the
+    * embeddings-table convention types: `cand_id` long, `cv`
+    * `array<float>`, `cell` long. The POST-commit schema instead
+    * mirrors whatever [[writeBatch]] wrote, i.e. the stream's
+    * `cand_id`/`cv` types and the centroids' `centroid_id` type —
+    * callers off the convention (string ids, double vectors, int
+    * cells) that union against the pre-commit frame should either cast
+    * or use the template overload below, which cannot drift.
     */
   def lists(spark: SparkSession, path: String): DataFrame =
     // existence check, not a broad catch — see [[StreamingBatchDirs]]
@@ -63,4 +66,19 @@ object StreamingVectorIndex {
      else spark.range(0).select(lit(0L).as("cand_id"),
        lit(null).cast("array<float>").as("cv"), lit(0L).as("cell"),
        lit(0.0).as("_cn"))).drop("batch")
+
+  /** [[lists]] with the pre-commit schema DERIVED instead of assumed:
+    * `template` is any batch frame shaped like the stream's
+    * micro-batches (`(cand_id, cv)` — an empty slice is fine), and the
+    * empty index is built by running the exact [[writeBatch]]
+    * expressions over its empty head, so the pre- and post-commit
+    * schemas agree by construction for any id/vector/cell types.
+    */
+  def lists(spark: SparkSession, path: String,
+            template: DataFrame, centroids: DataFrame): DataFrame =
+    if (StreamingBatchDirs.exists(spark, path))
+      spark.read.parquet(path).drop("batch")
+    else
+      Similarity.ivfAssign(template.limit(0), "cv", "cand_id", centroids)
+        .withColumn("_cn", graft.functions.GraftFunctions.l2norm(col("cv")))
 }

@@ -56,6 +56,21 @@ class CompactionSpec extends SparkSpec {
       s"post-compaction replay + append must stay exact: $est")
   }
 
+  test("compactBatchTree: foreign batch= names are skipped, not a crash") {
+    import graft.streaming.StreamingHeavyHitters
+    val dir = java.nio.file.Files.createTempDirectory("cbtf").toString + "/cms"
+    for (b <- 0L to 3L)
+      StreamingHeavyHitters.writeBatch(
+        Seq.fill(2)(s"k$b").toDF("key"), "key", dir, 3, 64, b)
+    // a non-numeric batch= directory dropped in by some other tool
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "batch=stray"))
+    val (n0, n1) = Compaction.compactBatchTree(spark, dir)
+    assert(n0 == 4 && n1 == 2, s"foreign dir must not count or throw: ($n0, $n1)")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "batch=stray")), "foreign dir left alone")
+  }
+
   test("compactBatchTree: crashed folds recover without loss or double-count") {
     import graft.streaming.StreamingHeavyHitters
     import org.apache.hadoop.fs.Path

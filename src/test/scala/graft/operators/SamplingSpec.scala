@@ -135,6 +135,19 @@ class SamplingSpec extends SparkSpec {
       "per-row hashing must demonstrably leak on duplicated data")
   }
 
+  test("splitByGroupHash: a null group is assigned (one unit), not silently dropped") {
+    // null text -> null group key; groupBy keeps it as a group, and the
+    // null-safe join must carry its rows into exactly one split
+    val withNull = Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, None))
+      .toDF("id", "g")
+    val bounds = Seq("train" -> 80, "test" -> 100)
+    val out = Sampling.splitByGroupHash(withNull, $"g", $"id", bounds, seed = 3)
+    assert(out.count() == 4L, "null-group rows must survive the join")
+    val nullSplits = out.filter($"g".isNull)
+      .select($"split").distinct().collect().map(_.getString(0))
+    assert(nullSplits.length == 1, "the null group moves as one unit")
+  }
+
   test("splitByGroupHash: invalid bounds rejected") {
     intercept[IllegalArgumentException] {
       Sampling.splitByGroupHash(df, $"lang", $"id", Seq.empty, 1)

@@ -69,4 +69,24 @@ class StreamingVectorIndexSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("svi0").toString
     assert(StreamingVectorIndex.lists(spark, s"$dir/ivf").count() == 0L)
   }
+
+  test("template overload: pre- and post-commit schemas agree for any id type") {
+    // string cand_id + double vectors — off the embeddings convention,
+    // where the fixed pre-commit schema would mismatch the written one
+    val dir = java.nio.file.Files.createTempDirectory("svi3").toString
+    val strBatch = Seq(("a", Seq(0.9, 0.1)), ("b", Seq(0.1, 0.8)))
+      .toDF("cand_id", "cv")
+    val pre = StreamingVectorIndex.lists(spark, s"$dir/ivf", strBatch, cents)
+    assert(pre.count() == 0L)
+    StreamingVectorIndex.writeBatch(strBatch, cents, s"$dir/ivf", batchId = 0L)
+    val post = StreamingVectorIndex.lists(spark, s"$dir/ivf", strBatch, cents)
+    assert(post.count() == 2L)
+    // union must resolve: the derived empty frame has the written types
+    assert(pre.unionByName(post.select(pre.columns.map(col): _*)).count() == 2L)
+    // simpleString: parquet reads arrays back element-nullable, which
+    // unionByName reconciles — only the TYPES must agree
+    assert(pre.schema.map(f => (f.name, f.dataType.simpleString)).toSet ==
+      post.select(pre.columns.map(col): _*)
+        .schema.map(f => (f.name, f.dataType.simpleString)).toSet)
+  }
 }
