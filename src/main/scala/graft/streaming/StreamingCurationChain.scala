@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.GraftFunctions.hash64
+
+/** The streaming curation chain — the three incremental-maintenance
+  * pieces composed into ONE per-batch pipeline, the continuous form of
+  * the batch curation funnel:
+  *
+  *  1. [[StreamingContentDedup]] gates the batch (intra-batch + against
+  *     the on-disk band index) and lands the admitted documents under
+  *     `keptDir/batch=<id>`;
+  *  2. [[StreamingCardStats]] writes the dataset-card partials OF THE
+  *     ADMITTED documents (read back from the kept store — the single
+  *     source of truth — and re-joined to the batch's source/lang);
+  *  3. [[StreamingVectorIndex]] appends the admitted documents'
+  *     embeddings to the IVF lists under `indexDir/batch=<id>`.
+  *
+  * Batch-atomic consistency across the three artifacts: the streaming
+  * checkpoint commits only after the WHOLE chain returns, so a crash at
+  * any point replays the batch from stage 1; every stage is idempotent
+  * per batch (kept/card/index overwrite their own `batch=<id>`
+  * partition; the band-index append is replay-safe because the probe
+  * excludes same-id matches), and stages 2–3 derive from the stage-1
+  * artifact rather than the raw batch — so after the replay all three
+  * artifacts describe exactly the admitted documents of batches 0..N,
+  * once each, no matter where the crash fell. Same recovery discipline
+  * as [[graft.operators.Compaction.compactBatchTree]]: decide from what
+  * committed, never from what was attempted.
+  *
+  * Per-batch cost scales with the batch (the [[StreamingContentDedup]]
+  * contract); nothing here re-reads the corpus.
+  */
+object StreamingCurationChain {
+
+  /** Deterministic hash-projection text embedding — the STAND-IN for a
+    * model encoder (inference is out of scope, the
+    * `pipeline.UdfExtractor` precedent): `dims` pseudo-random unit-scale
+    * components derived from the text, so the vector-index stage runs
+    * real plumbing on real columns. Swap for a model UDF at the same
+    * seam.
+    */
+  def textEmbedding(text: Column, dims: Int = 8): Column =
+    transform(sequence(lit(0), lit(dims - 1)), d =>
+      (hash64(concat(text, lit(":"), d.cast("string")), 7) % 1000)
+        .cast("double") / 1000.0)
+
+  /** One batch through the whole chain. `onStage(batchId, k)` fires
+    * after stage k commits — an observability/test seam (the crash spec
+    * injects failures between stages through it).
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, prefix: String,
+                   keptDir: String, cardDir: String, indexDir: String,
+                   centroids: DataFrame, batchId: Long,
+                   jaccardMin: Double = 0.5, buckets: Int = 8,
+                   dims: Int = 8,
+                   onStage: (Long, Int) => Unit = (_, _) => ()): Unit = {
+    StreamingContentDedup.processBatch(spark,
+      batch.select(col("doc_id"), col("text")), prefix,
+      s"$keptDir/batch=$batchId", jaccardMin, buckets)
+    onStage(batchId, 1)
+    val kept = spark.read.parquet(s"$keptDir/batch=$batchId")
+      .join(batch.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
+    StreamingCardStats.writeBatch(kept, cardDir, batchId)
+    onStage(batchId, 2)
+    StreamingVectorIndex.writeBatch(
+      kept.select(col("doc_id").as("cand_id"),
+        textEmbedding(col("text"), dims).as("cv")),
+      centroids, indexDir, batchId)
+    onStage(batchId, 3)
+  }
+
+  /** Start the chain on a streaming `(doc_id, text, lang, source)`
+    * source with a FROZEN coarse quantizer (the
+    * [[StreamingVectorIndex]] contract).
+    */
+  def start(source: DataFrame, prefix: String, keptDir: String,
+            cardDir: String, indexDir: String, centroids: DataFrame,
+            checkpoint: String, jaccardMin: Double = 0.5, buckets: Int = 8,
+            dims: Int = 8,
+            onStage: (Long, Int) => Unit = (_, _) => ()): StreamingQuery = {
+    StreamingContentDedup.bootstrapIndex(source.sparkSession, prefix, buckets)
+    source.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, prefix, keptDir, cardDir,
+          indexDir, centroids, batchId, jaccardMin, buckets, dims, onStage)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+case class ChainDoc(doc_id: Long, text: String, lang: String, source: String)
+
+/** [[StreamingCurationChain]]: the dedup gate, the card partials, and
+  * the vector index driven as ONE foreachBatch chain over ≥3 batches,
+  * with a mid-chain crash (after the card write, before the index
+  * append) replayed from the checkpoint — all three artifacts must
+  * describe exactly the admitted documents, once each.
+  */
+class StreamingCurationChainSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def centroids = Seq(
+    (0L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+    (1L, Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+  ).toDF("centroid_id", "centroid_vec")
+
+  test("3 batches with a killed batch replayed: kept, card, index stay consistent") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("chain").toString
+    val prefix = "graft_spec_chain"
+    val crashArmed = new AtomicBoolean(true)
+    def chain(onStage: (Long, Int) => Unit) = StreamingCurationChain.start(
+      in.toDF(), prefix, keptDir = s"$dir/kept", cardDir = s"$dir/card",
+      indexDir = s"$dir/ivf", centroids = centroids,
+      checkpoint = s"$dir/ckpt", onStage = onStage)
+    lazy val in = MemoryStream[ChainDoc]
+
+    // batch 0: 1≡2 (intra-batch dup -> keep 1), 3 novel
+    in.addData(
+      ChainDoc(1L, "alpha beta gamma delta epsilon zeta", "en", "web"),
+      ChainDoc(2L, "alpha beta gamma delta epsilon zeta", "en", "web"),
+      ChainDoc(3L, "the quick brown fox jumps over lazy dogs", "en", "books"))
+    val q1 = chain((id, stage) =>
+      if (id == 1L && stage == 2 && crashArmed.getAndSet(false))
+        throw new RuntimeException("injected crash: card written, index not"))
+    q1.processAllAvailable()
+
+    // batch 1: 4 duplicates batch-0's doc 1 (cross-batch -> blocked),
+    // 5 novel — and the chain DIES between stage 2 and stage 3
+    in.addData(
+      ChainDoc(4L, "alpha beta gamma delta epsilon zeta", "en", "web"),
+      ChainDoc(5L, "entirely new content appears in this batch", "de", "web"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    assert(!q1.isActive)
+    // the torn state the crash left behind: card partial for batch 1
+    // exists, its index partition does not
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/card/batch=1")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/ivf/batch=1")))
+
+    // restart from the same checkpoint: batch 1 replays whole, then
+    // batch 2 (6 novel, 7 duplicates 5 intra-batch) flows through
+    val q2 = chain((_, _) => ())
+    q2.processAllAvailable()
+    in.addData(
+      ChainDoc(6L, "sixth document with its own fresh words", "fr", "web"),
+      ChainDoc(7L, "entirely new content appears in this batch", "de", "web"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    // ---- the three artifacts agree on the admitted set, once each ----
+    val kept = spark.read.parquet(s"$dir/kept")
+    val keptIds = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptIds == Seq(1L, 3L, 5L, 6L), s"kept = $keptIds")
+
+    // card: the replayed batch overwrote its own partial — every
+    // admitted doc counted exactly once, with its batch's source/lang
+    val card = spark.read.parquet(s"$dir/card")
+      .groupBy($"source", $"lang").agg(sum($"n_docs").as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(card == Map(("web", "en") -> 1L, ("books", "en") -> 1L,
+      ("web", "de") -> 1L, ("web", "fr") -> 1L), s"card = $card")
+    assert(card.values.sum == keptIds.size.toLong)
+
+    // index: exactly the admitted docs, with the lists equal to the
+    // one-shot assignment of the kept store's embeddings
+    val lists = StreamingVectorIndex.lists(spark, s"$dir/ivf")
+    val listed = lists.select("cand_id").as[Long].collect().sorted.toSeq
+    assert(listed == keptIds, s"indexed = $listed")
+    val oneShot = graft.operators.Similarity.ivfAssign(
+      kept.select($"doc_id".as("cand_id"),
+        StreamingCurationChain.textEmbedding($"text").as("cv")),
+      "cv", "cand_id", centroids)
+    val cells = lists.select("cand_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShotCells = oneShot.select("cand_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells == oneShotCells,
+      s"streamed cells $cells != one-shot $oneShotCells")
+  }
+}
