@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Soak-table generator: writes an N× scaled copy of the documents and
+  * embeddings tables for scale rehearsals (`SoakGen <srcDir> <dstDir>
+  * <factor>`). The scaling preserves the ORIGINAL duplicate rate
+  * instead of multiplying it: replica k > 0 suffixes every token with
+  * `~k`, so replicas of one document are near-dups of each other's
+  * replicas within k but never across k — 100× data means 100× the
+  * dup clusters, not clusters 100× the size (the latter would measure
+  * an intentional quadratic, not the engine). Embeddings rotate by
+  * k mod dims — norm-preserving, decorrelating most replica pairs
+  * while leaving the per-replica neighborhood structure intact.
+  * Replica ids live in a disjoint id range (`+ k·10^7`).
+  */
+object SoakGen {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: SoakGen <srcDir> <dstDir> <factor>")
+    val Array(src, dst, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1, "factor must be >= 1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val reps = spark.range(factor).select(col("id").as("_k"))
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("_k") * 10000000L).as("doc_id"),
+        when(col("_k") === 0, col("text"))
+          .otherwise(array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("~"), col("_k"))), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val vecs = spark.read.parquet(s"$src/embeddings.parquet")
+    val dims = vecs.select(size(col("embedding"))).head().getInt(0)
+    val rot = (col("_k") % dims).cast("int")
+    vecs.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("_k") * 10000000L).as("vec_id"),
+        concat(slice(col("embedding"), rot + 1, lit(dims) - rot),
+          slice(col("embedding"), lit(1), rot)).as("embedding"),
+        col("label"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    println(s"""{"dst":"$dst","factor":$factor}""")
+    spark.stop()
+  }
+}
