@@ -418,6 +418,64 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Write the winnow fingerprint postings as a bucketed on-disk index —
+    * the production shape [[winnowPairs]]' scaladoc promises: at index
+    * scale the df-capped postings are written ONCE, bucketed by the
+    * probe key, instead of being re-fingerprinted and cached per run.
+    * The df cap is applied at BUILD time (a fingerprint held by more
+    * than `maxDf` corpus documents is boilerplate — q63's territory —
+    * and indexing it would un-bound every future probe), so the stored
+    * table is exactly the postings a probe may match. Same catalog
+    * contract as [[writeBandIndex]]: returns the table name,
+    * [[probeWinnowIndex]] reopens it, and probes equi-join INTO the
+    * bucketed scan — the corpus side is never re-shuffled and never
+    * recomputed.
+    */
+  def writeWinnowIndex(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, w: Int, seed: Int, maxDf: Long,
+                       prefix: String, buckets: Int): String = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    // Pinned for the build only (df histogram + kept join read it
+    // twice); the bucketed write is an eager action, so — unlike
+    // winnowPairs, whose returned PLAN consumes its pin — the cache is
+    // releasable before returning.
+    val fps = df.select(col(idCol),
+        explode(winnowFingerprints(words(col(textCol)), k, w, seed)).as("fp"))
+      .persist()
+    val kept = fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf)
+        .select(col("fp")),
+      Seq("fp"))
+    val name = ScaleJoins.writeBucketed(
+      kept.select(col("fp"), col(idCol)), s"${prefix}_winnow", "fp", buckets)
+    fps.unpersist()
+    name
+  }
+
+  /** Probe a batch's exploded fingerprints `(idCol, fp)` against a
+    * [[writeWinnowIndex]] table: corpus documents sharing at least
+    * `minShared` fingerprints with a batch document, as
+    * `(id_new, id_old, n_shared)`. Cost scales with the BATCH times the
+    * per-fingerprint df (≤ the build-time cap) — the corpus side reads
+    * co-partitioned from the bucketed scan, only the small batch side
+    * hashes into the buckets. Both sides are fingerprint SETS
+    * ([[winnowFingerprints]] dedups), so `n_shared` counts distinct
+    * shared fingerprints.
+    */
+  def probeWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+                       prefix: String, batchFps: DataFrame, idCol: String,
+                       minShared: Long): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val postings = spark.table(s"${prefix}_winnow")
+      .select(col("fp"), col(idCol).as("id_old"))
+    batchFps.select(col("fp"), col(idCol).as("id_new"))
+      .join(postings, Seq("fp"))
+      .groupBy(col("id_new"), col("id_old"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Content-defined chunking (the storage-dedup CDC idea applied to
     * text): a chunk boundary falls AFTER every token whose hash is
     * ≡ 0 (mod `avgLen`), so boundaries are decided by CONTENT, not

@@ -82,6 +82,63 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("writeWinnowIndex/probeWinnowIndex: probe matches winnowPairs on the " +
+    "union, reads the corpus bucketed, and the build cap excludes boilerplate") {
+    // 8+ shared tokens (k=4, w=5 → guarantee window = 8) between corpus
+    // doc 1 and batch doc 10; doc 11 shares nothing
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "totally novel content right here nothing shared at all today"))
+      .toDF("doc_id", "text")
+    Dedup.writeWinnowIndex(corpus, "doc_id", "text",
+      k = 4, w = 5, seed = 11, maxDf = 50, prefix = "graft_spec_winnow",
+      buckets = 4)
+    val batchFps = batch.select($"doc_id",
+      explode(Dedup.winnowFingerprints(words($"text"), 4, 5, 11)).as("fp"))
+
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val m = Dedup.probeWinnowIndex(spark, "graft_spec_winnow", batchFps,
+        "doc_id", minShared = 2)
+      val plan = m.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"corpus postings must be read as a bucketed scan:\n$plan")
+      val fpExchanges = "Exchange hashpartitioning\\(fp".r.findAllIn(plan).size
+      assert(fpExchanges == 1,
+        s"want exactly 1 fp exchange (batch side), got $fpExchanges:\n$plan")
+
+      val got = m.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got.keySet == Set((10L, 1L)), s"probe matches = $got")
+      // the probe agrees with the one-shot pair operator on the union
+      val oneShot = Dedup.winnowPairs(corpus.union(batch), "doc_id", "text",
+          k = 4, w = 5, seed = 11, minShared = 2, maxDf = 50)
+        .filter($"id_b" >= 10L && $"id_a" < 10L)
+        .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getLong(2)).toMap
+      assert(got == oneShot, s"probe $got != one-shot cross pairs $oneShot")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+
+    // boilerplate exclusion is a BUILD property: with maxDf = 1 the
+    // shared fingerprints (df ≥ 2 across corpus docs 1 and 3's planted
+    // copy below) never enter the index, so the probe finds nothing
+    val boiler = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    Dedup.writeWinnowIndex(boiler, "doc_id", "text",
+      k = 4, w = 5, seed = 11, maxDf = 1, prefix = "graft_spec_winnow_b",
+      buckets = 2)
+    val none = Dedup.probeWinnowIndex(spark, "graft_spec_winnow_b", batchFps,
+      "doc_id", minShared = 1)
+    assert(none.count() == 0, "capped fingerprints must not be probeable")
+  }
+
   test("repeatedSpans: cross-doc spans merge; internal-only repetition excluded") {
     val span = (1 to 12).map(i => s"s$i").mkString(" ")      // 12 shared tokens
     val innerRep = (1 to 10).map(i => s"r$i").mkString(" ")  // intra-doc only
