@@ -1438,6 +1438,82 @@ private[graft] object KmeansSql {
     }
   }
 
+  /** One GROUPED Lloyd iteration: [[sqlIterD]] with a `gid` column
+    * threading through — vectors in CTE `src (gid, vec_id, embedding)`
+    * assign only against their own group's centroids in
+    * `cin (gid, cid, c)`, per-(gid, cid, d) exact-decimal mean update,
+    * empty (gid, cid) cells carried over. The SQL replay of one
+    * [[graft.operators.Similarity.kmeansGrouped]] iteration.
+    */
+  def sqlIterG(p: String, i: Int, cin: String, src: String, dims: Int): String = s"""
+      ${p}a$i AS (
+        SELECT gid, vec_id, embedding, cid FROM (
+          SELECT s.gid, s.vec_id, s.embedding, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                   ORDER BY ${sqlCosD("s.embedding", "c.c", dims)} DESC, c.cid) AS rn
+          FROM $src s JOIN $cin c ON s.gid = c.gid)
+        WHERE rn = 1),
+      ${p}u$i AS (
+        SELECT gid, cid, d,
+               round(CAST(SUM(CAST(embedding[d] AS DECIMAL(27,12))) AS DOUBLE)
+                     / COUNT(*), 9) AS m
+        FROM ${p}a$i, unnest(range(1, ${dims + 1})) AS ${p}t$i(d)
+        GROUP BY gid, cid, d),
+      ${p}c$i AS (
+        SELECT gid, cid, list(m ORDER BY d) AS c FROM ${p}u$i GROUP BY gid, cid),
+      ${p}cc$i AS (
+        SELECT gid, cid, c FROM ${p}c$i
+        UNION ALL
+        SELECT o.gid, o.cid, o.c FROM $cin o
+        WHERE NOT EXISTS (SELECT 1 FROM ${p}c$i x
+                          WHERE x.gid = o.gid AND x.cid = o.cid))"""
+
+  /** CTE chain replaying the HIERARCHICAL quantizer + assignment
+    * ([[graft.operators.Similarity.semDedupHier]]'s cell derivation):
+    * coarse cell count from the integer-exact `min(g): g²·t ≥ n` scan
+    * ([[graft.operators.Similarity.coarseCells]]), coarse 2-iteration
+    * training + argmax assign (`gv (gid, vec_id, embedding)`), per-gid
+    * fine cell counts `⌈|gid|/t⌉`, per-gid lowest-hash fine init, two
+    * grouped Lloyd iterations, and the final fine argmax — `hfin`
+    * carries `(gid, cid, vec_id)`. Splice as
+    * `WITH ${trainAssignCtesHier(t)} …`.
+    */
+  def trainAssignCtesHier(targetCell: Long, seedCoarse: Int = 31,
+                          seedFine: Int = 37): String = s"""e AS (SELECT vec_id, embedding FROM embeddings),
+        ${trainCtesK("h", "e",  64,
+          s"""(SELECT min(g) FROM range(1, 100001) AS gr(g)
+               WHERE g * g * $targetCell >= (SELECT count(*) FROM e))""",
+          seedCoarse)},
+        gv AS (
+          SELECT gid, vec_id, embedding FROM (
+            SELECT e.vec_id, e.embedding, cc.cid AS gid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sqlCos("e.embedding", "cc.c")} DESC, cc.cid) AS rn
+            FROM e, hcc2 cc)
+          WHERE rn = 1),
+        gs AS (
+          SELECT gid, (count(*) + ${targetCell - 1}) // $targetCell AS mc
+          FROM gv GROUP BY gid),
+        fi AS (
+          SELECT gid, cid, c FROM (
+            SELECT g.gid,
+                   ROW_NUMBER() OVER (PARTITION BY g.gid ORDER BY g.h, g.vec_id) - 1 AS cid,
+                   list_transform(g.embedding, x -> x::DOUBLE) AS c, gs.mc
+            FROM (SELECT gv.*,
+                         CAST(('0x' || substr(md5('$seedFine:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                  FROM gv) g
+            JOIN gs ON g.gid = gs.gid)
+          WHERE cid < mc),
+        ${sqlIterG("f", 1, "fi", "gv", 64)},
+        ${sqlIterG("f", 2, "fcc1", "gv", 64)},
+        hfin AS (
+          SELECT gid, cid, vec_id FROM (
+            SELECT s.gid, c.cid, s.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                     ORDER BY ${sqlCos("s.embedding", "c.c")} DESC, c.cid) AS rn
+            FROM gv s JOIN fcc2 c ON s.gid = c.gid)
+          WHERE rn = 1)"""
+
   /** CTE chain `e → init → (iter 1) → (iter 2) → fin`: trains the
     * codebook and argmax-assigns every vector to it — `fin` carries
     * `(vec_id, cid, cos)`. Splice as `WITH $trainAssignCtes …`.

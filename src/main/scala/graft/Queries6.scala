@@ -672,8 +672,197 @@ object Queries6 {
         WHERE n_tok_after < n_tok_before ORDER BY doc_id"""))
   }
 
+  // -------------------------------------------------------- q84_winnow_index
+  /** Incremental winnow matching — q75's MOSS fingerprints in q54's
+    * daily-ingest shape: the corpus half (every doc except the
+    * `% 10 = 7` batch) is fingerprinted, df-capped and written ONCE as
+    * the bucketed postings index
+    * ([[graft.operators.Dedup.writeWinnowIndex]] — the on-disk
+    * production form winnowPairs' cache-lifetime note documents); the
+    * new batch probes INTO the bucketed scan
+    * ([[graft.operators.Dedup.probeWinnowIndex]]) with no corpus-side
+    * shuffle and no corpus-side recompute. Output: per batch doc with
+    * ≥1 fingerprint, how many corpus docs share ≥2 fingerprints with
+    * it (≈ a verbatim run of `w + k − 1 = 8` tokens, twice) and the
+    * keep verdict. The df cap is corpus-side only — an index-build
+    * property, deliberately NOT recomputed per batch (a batch must not
+    * resurrect boilerplate the build excluded).
+    */
+  val q84WinnowIndex = {
+    val K = 4; val W = 5; val Seed = 11
+    val MinShared = 2L; val MaxDf = 50L
+    QueryDef(
+      "q84_winnow_index",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Dedup
+        val docs = t(s, dir, "documents")
+        // one-time index build over the corpus half (at 100 TB: a
+        // nightly job, not part of the probe path)
+        Dedup.writeWinnowIndex(docs.filter($"doc_id" % 10 =!= 7),
+          "doc_id", "text", k = K, w = W, seed = Seed, maxDf = MaxDf,
+          prefix = "graft_q84_corpus", buckets = 8)
+        // batch half: fingerprint once, keep the per-doc sets for the
+        // probe universe (docs with no complete window emit no rows)
+        val batch = docs.filter($"doc_id" % 10 === 7)
+          .select($"doc_id",
+            Dedup.winnowFingerprints(words($"text"), K, W, Seed).as("fps"))
+          .filter(size($"fps") > 0)
+          .persist()
+        val matches = Dedup.probeWinnowIndex(s, "graft_q84_corpus",
+            batch.select($"doc_id", explode($"fps").as("fp")),
+            "doc_id", minShared = MinShared)
+          .groupBy($"id_new").agg(count(lit(1)).as("n_partners"))
+        batch.select($"doc_id")
+          .join(matches, $"doc_id" === $"id_new", "left")
+          .select($"doc_id",
+            coalesce($"n_partners", lit(0L)).as("n_partners"),
+            (coalesce($"n_partners", lit(0L)) === 0).as("kept"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        gh AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_transform(range(0, len(w) - ${K - 1}), i ->
+                     array_to_string(list_slice(w, i + 1, i + $K), ' ')),
+                   x -> CAST(('0x' || substr(md5('$Seed:' || x), 1, 15)) AS BIGINT)) AS g
+          FROM toks WHERE len(w) >= $K),
+        fp AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(0, len(g) - ${W - 1}), i ->
+                   list_min(list_slice(g, i + 1, i + $W)))) AS fps
+          FROM gh WHERE len(g) >= $W),
+        ex AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        cex AS (SELECT doc_id, fp FROM ex WHERE doc_id % 10 != 7),
+        bex AS (SELECT doc_id, fp FROM ex WHERE doc_id % 10 = 7),
+        kept AS (
+          SELECT fp FROM cex GROUP BY fp HAVING count(*) <= $MaxDf),
+        ke AS (SELECT cex.doc_id, cex.fp FROM cex JOIN kept USING (fp)),
+        m AS (
+          SELECT b.doc_id AS id_new, ke.doc_id AS id_old
+          FROM bex b JOIN ke ON b.fp = ke.fp
+          GROUP BY 1, 2 HAVING count(*) >= $MinShared),
+        agg AS (
+          SELECT id_new, count(*) AS n_partners FROM m GROUP BY 1)
+        SELECT f.doc_id,
+               CAST(coalesce(n_partners, 0) AS BIGINT) AS n_partners,
+               coalesce(n_partners, 0) = 0 AS kept
+        FROM fp f LEFT JOIN agg ON agg.id_new = f.doc_id
+        WHERE f.doc_id % 10 = 7
+        ORDER BY f.doc_id"""))
+  }
+
+  // ---------------------------------------------------- q85_token_compression
+  /** Tokenizer compression ratio — chars per SUBWORD token
+    * ([[graft.operators.TextAnalysis.subwordCount]], the same shipped
+    * merge table q42's budget and q55's packing count with) per
+    * (lang, source) slice, plus how many documents fall under 3.0
+    * chars/token. The classic tokenizer-fit curation signal: natural
+    * text compresses to several chars per token, while gibberish,
+    * wrong-script, or tokenizer-hostile text fragments toward 1 — a
+    * slice whose ratio sags (or whose fragmented count spikes) is
+    * either junk or a language the tokenizer under-serves. The slice
+    * ratio is a RATIO OF INTEGER SUMS (sum_chars / sum_tokens), exact
+    * and order-free cross-engine; only the per-doc flag divides
+    * per-row (one double op, deterministic both sides). Map-only scan
+    * + one tiny-key agg: partial-combined, no corpus shuffle beyond
+    * the (lang, source) hash.
+    */
+  val q85TokenCompression = QueryDef(
+    "q85_token_compression",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.TextAnalysis
+      t(s, dir, "documents")
+        .select($"lang", $"source",
+          length($"text").cast("long").as("n_chars"),
+          TextAnalysis.subwordCount($"text").cast("long").as("n_tok"))
+        .groupBy($"lang", $"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          sum($"n_tok").as("sum_tokens"),
+          round(sum($"n_chars").cast("double") / sum($"n_tok"), 6)
+            .as("chars_per_token"),
+          sum(when($"n_chars".cast("double") / $"n_tok" < 3.0, 1L)
+            .otherwise(0L)).as("n_fragmented"))
+        .orderBy($"lang", $"source")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               ${graft.functions.BpeTokenCount.duckdbSql("text")} AS n_tok
+        FROM documents)
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+             round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tok), 6)
+               AS chars_per_token,
+             CAST(sum(CASE WHEN CAST(n_chars AS DOUBLE) / n_tok < 3.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_fragmented
+      FROM d GROUP BY lang, source ORDER BY lang, source"""))
+
+  // ------------------------------------------------------- q86_semdedup_hier
+  /** Hierarchical SemDeDup ([[graft.operators.Similarity.semDedupHier]])
+    * — q73's semantics with the residual quadratic removed, the 100 TB
+    * instantiation: the round-11 100× soak measured q73's flat derived-k
+    * assignment at 212× for 100× data (n·(n/64) brute-force argmin —
+    * BASELINE.md), so here a coarse ⌈√(n/64)⌉-cell codebook partitions
+    * the corpus first and every coarse cell trains its OWN
+    * ⌈|cell|/64⌉-centroid fine codebook
+    * ([[graft.operators.Similarity.kmeansGrouped]] — one batched frame,
+    * the pqTrain trick on data-dependent groups). Both assignment
+    * levels are n·√(n/64); expected fine-cell occupancy stays ~64 at
+    * any n, so the within-cell pair pass stays corpus-linear. Same
+    * keep-smallest-id / transitive-chain contract as q73. The oracle
+    * replays BOTH training levels — the integer-exact coarse-count
+    * scan, the coarse Lloyd rounds, the per-group fine init by hash
+    * rank, the grouped Lloyd rounds, and both argmax assignments.
+    */
+  val q86SemDedupHier = {
+    import KmeansSql.{trainAssignCtesHier, sqlCos}
+    val Tau = "0.35"
+    val TargetCell = 64L
+    QueryDef(
+      "q86_semdedup_hier",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Similarity
+        val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val ePinned =
+          if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            e.persist() else e
+        Similarity.semDedupHier(ePinned, "embedding", "vec_id",
+            targetCell = TargetCell, tau = Tau.toDouble)
+          .select($"coarse", $"cell", $"vec_id", $"dup_of", $"cos")
+          .orderBy($"coarse", $"cell", $"vec_id")
+      },
+      Some(s"""
+        WITH ${trainAssignCtesHier(TargetCell)},
+        p AS (
+          SELECT a.gid AS coarse, a.cid AS cell,
+                 a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${sqlCos("ea.embedding", "eb.embedding")} AS cos
+          FROM hfin a JOIN hfin b
+            ON a.gid = b.gid AND a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN e ea ON ea.vec_id = a.vec_id
+          JOIN e eb ON eb.vec_id = b.vec_id),
+        d AS (
+          SELECT coarse, cell, id_b AS vec_id, id_a AS dup_of, cos,
+                 ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+          FROM p WHERE cos >= $Tau)
+        SELECT coarse, cell, vec_id, dup_of, cos FROM d
+        WHERE rn = 1 ORDER BY coarse, cell, vec_id"""))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q72ContextChunks, q73SemDedup, q74EpochMix, q75WinnowMatch,
     q76ChunkPack, q77SplitLeakage, q78NearDupSplit, q79DatasetCard,
-    q80Containment, q81ClusterKeepBest, q82CdcDedup, q83CdcCut)
+    q80Containment, q81ClusterKeepBest, q82CdcDedup, q83CdcCut,
+    q84WinnowIndex, q85TokenCompression, q86SemDedupHier)
 }

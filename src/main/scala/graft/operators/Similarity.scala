@@ -72,6 +72,150 @@ object Similarity {
     math.max(1L, (n + targetCell - 1) / targetCell).toInt
   }
 
+  /** Coarse-level cell count for the HIERARCHICAL quantizer: the
+    * smallest `g` with `g² · targetCell ≥ n`, i.e. ⌈√(n/targetCell)⌉ —
+    * so coarse cells hold ~√(n·targetCell) vectors and the per-coarse-
+    * cell fine codebooks hold ~√(n/targetCell) centroids each, putting
+    * BOTH assignment levels at n·√(n/targetCell) dot products instead
+    * of the flat quantizer's n²/targetCell ([[autoCells]] keeps the
+    * PAIR pass linear, but flat assignment against k = n/targetCell
+    * centroids is the residual quadratic the 100× soak measured —
+    * BASELINE.md round-11). Integer-exact search loop, O(√n) driver
+    * iterations: no float `sqrt`, so the SQL oracle's
+    * `min(g) WHERE g·g·targetCell ≥ n` scan cannot disagree by an ulp.
+    */
+  def coarseCells(n: Long, targetCell: Long = 64L): Int = {
+    require(targetCell > 0, "targetCell must be > 0")
+    var g = 1L
+    while (g * g * targetCell < n) g += 1
+    g.toInt
+  }
+
+  /** Per-group spherical k-means, all groups BATCHED in one frame —
+    * [[pqTrain]]'s batching applied to data-dependent groups instead of
+    * fixed subspaces: every `groupCol` value trains an INDEPENDENT
+    * codebook of `max(1, ⌈|group| / targetCell⌉)` cells (the
+    * [[autoCells]] arithmetic applied per group), with the same
+    * deterministic contract as [[kmeans]] — per-group lowest-hash init
+    * (ties by id), round-6 cosine argmax assignment (ties by smallest
+    * cid), exact-decimal mean update rounded to 9, empty cells keeping
+    * their previous centroid. Returns `(groupCol, centroid_id,
+    * centroid_vec)` — Σ ⌈|group|/targetCell⌉ ≈ n/targetCell rows.
+    *
+    * Scale shape: each Lloyd iteration joins vectors to ONLY their own
+    * group's centroids (equi-join on the group key — AQE broadcasts
+    * while the codebook is small and shuffle-joins past that), so the
+    * per-iteration cost is n · (cells per group), not n · (total
+    * cells). Callers should persist `vectors` across the passes.
+    */
+  def kmeansGrouped(vectors: DataFrame, vecCol: String, idCol: String,
+                    groupCol: String, targetCell: Long, iters: Int,
+                    seed: Int): DataFrame = {
+    require(targetCell >= 1, "targetCell must be >= 1")
+    require(iters >= 0, "iters must be >= 0")
+    val id = col(idCol); val g = col(groupCol)
+    val h = hash64(id.cast("string"), seed)
+    val mc = vectors.groupBy(g)
+      .agg(count(lit(1)).as("_cnt"))
+      .select(g, expr(s"(_cnt + ${targetCell - 1}) DIV $targetCell").as("_mc"))
+    val wInit = Window.partitionBy(g).orderBy(h, id)
+    val init = vectors.join(mc, Seq(groupCol))
+      .withColumn("_rn", row_number().over(wInit))
+      .filter(col("_rn") <= col("_mc"))
+      .select(g, (col("_rn") - 1).cast("long").as("centroid_id"),
+        col(vecCol).as("centroid_vec"))
+    var cent = Checkpoints.pin(init)
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy(id)
+        .orderBy(col("_ccos").desc, col("centroid_id"))
+      val assigned = vectors.select(g, id, col(vecCol))
+        .join(cent, Seq(groupCol))
+        .withColumn("_ccos", round(cosine(col(vecCol), col("centroid_vec")), 6))
+        .withColumn("_arn", row_number().over(wAssign))
+        .filter(col("_arn") === 1)
+        .select(g, col("centroid_id").as("cell"), col(vecCol))
+      val updated = assigned
+        .select(g, col("cell"), posexplode(col(vecCol)).as(Seq("_d", "_x")))
+        .groupBy(g, col("cell"), col("_d"))
+        .agg(round(sum(col("_x").cast("decimal(27,12)")).cast("double")
+          / count(lit(1)), 9).as("_m"))
+        .groupBy(g, col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("_d"), col("_m")))),
+          s => s.getField("_m")).as("centroid_vec"))
+        .select(g, col("cell").as("centroid_id"), col("centroid_vec"))
+      val keptEmpty = cent.join(
+        updated.select(g, col("centroid_id")),
+        Seq(groupCol, "centroid_id"), "left_anti")
+      val next = Checkpoints.pin(
+        updated.unionByName(keptEmpty.select(g, col("centroid_id"),
+          transform(col("centroid_vec"), x => x.cast("double")).as("centroid_vec"))))
+      Checkpoints.release(cent)
+      cent = next
+    }
+    cent
+  }
+
+  /** Hierarchical (two-level) SemDeDup — [[semDedup]]'s semantics with
+    * the quadratic assignment removed, the at-scale instantiation: a
+    * coarse codebook of [[coarseCells]] cells partitions the corpus
+    * ([[kmeans]] + [[ivfAssign]], n·√(n/t) work), each coarse cell
+    * trains its own fine codebook of ⌈|cell|/targetCell⌉ centroids
+    * ([[kmeansGrouped]], again n·√(n/t)), and within-(coarse, fine)-cell
+    * pairs at rounded cosine ≥ `tau` are dropped keep-smallest-id —
+    * expected fine-cell occupancy is ~targetCell at ANY n, so the pair
+    * pass stays corpus-linear AND no step ever evaluates n · (n/t)
+    * distances. This is the shape the published SemDeDup actually runs
+    * at scale (a bounded-k clustering per shard); the flat [[semDedup]]
+    * remains the reference semantics for broadcast-small codebooks.
+    *
+    * Returns one row per DROPPED vector:
+    * `(coarse, cell, id, dup_of, cos)` — `dup_of` is the smallest
+    * duplicate partner within the SAME (coarse, cell), with the
+    * transitive-chain caveat documented on [[semDedup]].
+    */
+  def semDedupHier(vectors: DataFrame, vecCol: String, idCol: String,
+                   targetCell: Long, tau: Double, iters: Int = 2,
+                   seedCoarse: Int = 31, seedFine: Int = 37): DataFrame = {
+    val n = vectors.count()
+    val coarseCent = kmeans(vectors, vecCol, idCol,
+      k = coarseCells(n, targetCell), iters = iters, seed = seedCoarse)
+    val asg = ivfAssign(vectors, vecCol, idCol, coarseCent)
+      .withColumnRenamed("cell", "_coarse")
+    val fine = kmeansGrouped(asg, vecCol, idCol, "_coarse", targetCell,
+      iters = iters, seed = seedFine)
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("_ccos").desc, col("centroid_id"))
+    // NOT pinned, on measurement: the pair join consumes the assignment
+    // twice (a/b sides), and caching it here was tried and is ~20%
+    // SLOWER at sf0.1 AND at the 100× soak scale — materializing
+    // n corpus-scale rows costs more than re-running the narrow argmax
+    // passes against the (checkpointed) codebooks, whose recompute
+    // overlaps the pair join's own shuffle. Recorded in BASELINE.md
+    // round-11 (the literal-centroid precedent: measure, keep the
+    // faster shape, write the negative result down).
+    val cells = asg.join(fine, Seq("_coarse"))
+      .withColumn("_ccos", round(cosine(col(vecCol), col("centroid_vec")), 6))
+      .withColumn("_arn", row_number().over(wAssign))
+      .filter(col("_arn") === 1)
+      .select(col("_coarse"), col("centroid_id").as("_cell"), col(idCol),
+        col(vecCol), l2norm(col(vecCol)).as("_n"))
+    val a = cells.select(col("_coarse"), col("_cell"), col(idCol).as("id_a"),
+      col(vecCol).as("_va"), col("_n").as("_na"))
+    val b = cells.select(col("_coarse"), col("_cell"), col(idCol).as("id_b"),
+      col(vecCol).as("_vb"), col("_n").as("_nb"))
+    val dup = a.join(b, Seq("_coarse", "_cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .filter(col("cos") >= tau)
+    val w = Window.partitionBy(col("id_b")).orderBy(col("id_a"))
+    dup
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("_coarse").as("coarse"), col("_cell").as("cell"),
+        col("id_b").as(idCol), col("id_a").as("dup_of"), col("cos"))
+  }
+
   /** Sign-of-projection bucket code (0 .. 2^planes-1) for a vector
     * column: one zip_with dot product per plane against a literal
     * hyperplane array.

@@ -222,11 +222,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cell"), p)
   }
 
+  test("q86_semdedup_hier: fine training and pairs join on the coarse/fine " +
+    "keys — the only nested-loop is the bounded coarse-centroid assign") {
+    val p = plan("q86_semdedup_hier")
+    assert(!p.contains("CartesianProduct"),
+      s"hierarchical semdedup must never cross-join the corpus:\n$p")
+    // the pair join consumes the assignment twice (a/b sides, each
+    // recomputed — caching was measured ~20% slower, see the
+    // semDedupHier scaladoc), so the bounded coarse-centroid assign
+    // (g ≈ √(n/t) broadcast rows) appears once per side; anything MORE
+    // would mean an unbounded nested-loop crept into the Lloyd rounds
+    // or the pair pass itself
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 2, s"only the per-side coarse assigns may nested-loop, got $bnl:\n$p")
+    // and the pair pass — the plan ABOVE the first window filter —
+    // must hash on the cell keys
+    assert(p.contains("Exchange hashpartitioning(_coarse"),
+      s"pair pass must shuffle on the (coarse, fine) cell keys:\n$p")
+  }
+
   test("q75_winnow_match: postings join on the fingerprint, never all-pairs") {
     val p = plan("q75_winnow_match")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"winnow match must equi-join per-fingerprint postings:\n$p")
     assert(p.contains("partial_count"), p) // df cap + pair counts combine map-side
+  }
+
+  test("q84_winnow_index: probe reads the postings index bucketed — " +
+    "no corpus-side fp exchange") {
+    // plan() evaluates the query, which builds the index as a side
+    // effect; the returned probe plan must then read it co-partitioned
+    val p = plan("q84_winnow_index")
+    assert(p.contains("Bucketed: true"),
+      s"probe must read the winnow postings as a bucketed scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probe must equi-join the postings:\n$p")
+    val fpExchanges = "Exchange hashpartitioning\\(fp".r.findAllIn(p).size
+    assert(fpExchanges <= 1,
+      s"corpus postings must not re-shuffle on fp (batch side only):\n$p")
   }
 
   test("q80_containment: candidates from the postings equi-join, never all-pairs") {

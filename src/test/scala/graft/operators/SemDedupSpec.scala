@@ -83,4 +83,77 @@ class SemDedupSpec extends SparkSpec {
     assert(Similarity.autoCells(640000, 64) == 100 * Similarity.autoCells(6400, 64))
     intercept[IllegalArgumentException](Similarity.autoCells(10, 0))
   }
+
+  test("coarseCells: smallest g with g^2*t >= n — both assignment levels n*sqrt(n/t)") {
+    assert(Similarity.coarseCells(1, 64) == 1)
+    assert(Similarity.coarseCells(64, 64) == 1)
+    assert(Similarity.coarseCells(256, 64) == 2)  // 2^2*64 = 256 exactly
+    assert(Similarity.coarseCells(257, 64) == 3)
+    assert(Similarity.coarseCells(2000, 64) == 6)   // sf0.1: 6^2*64=2304 >= 2000
+    assert(Similarity.coarseCells(200000, 64) == 56) // the 100x soak corpus
+    // the scale property: g grows with sqrt(n), so assignment cost
+    // n*g is n^1.5/sqrt(t), never the flat quantizer's n^2/t
+    assert(Similarity.coarseCells(640000, 64) == 100)
+    intercept[IllegalArgumentException](Similarity.coarseCells(10, 0))
+  }
+
+  test("kmeansGrouped == an independent flat kmeans per group (same seed)") {
+    // two groups with different sizes → different derived cell counts
+    // (target 2: |A|=5 → 3 cells, |B|=3 → 2 cells)
+    val gvecs = Seq(
+      ("A", 1L, Seq(1.0, 0.0)), ("A", 2L, Seq(0.9, 0.1)),
+      ("A", 3L, Seq(0.0, 1.0)), ("A", 4L, Seq(0.1, 0.9)),
+      ("A", 5L, Seq(0.7, 0.7)),
+      ("B", 11L, Seq(1.0, 0.2)), ("B", 12L, Seq(0.2, 1.0)),
+      ("B", 13L, Seq(0.6, 0.6))
+    ).toDF("g", "vec_id", "embedding")
+    val grouped = Similarity.kmeansGrouped(gvecs, "embedding", "vec_id",
+        "g", targetCell = 2L, iters = 2, seed = 37)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Double](2).toSeq)
+      .toMap
+    for ((grp, mc) <- Seq(("A", 3), ("B", 2))) {
+      val flat = Similarity.kmeans(
+          gvecs.filter($"g" === grp).select($"vec_id", $"embedding"),
+          "embedding", "vec_id", k = mc, iters = 2, seed = 37)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      for ((cid, c) <- flat)
+        assert(grouped((grp, cid)) == c,
+          s"group $grp cell $cid: batched ${grouped((grp, cid))} != flat $c")
+      assert(grouped.keys.count(_._1 == grp) == flat.size)
+    }
+  }
+
+  test("semDedupHier: exact twins always share a cell and drop keep-smallest-id") {
+    // exact duplicates get identical round-6 cosines to EVERY centroid at
+    // both levels, so the argmax tie-break lands them in the same fine
+    // cell no matter what the trained quantizers look like
+    val base = (0 until 24).map { i =>
+      val a = math.toRadians(i * 15.0)
+      (100L + i, Seq(math.cos(a), math.sin(a)))
+    }
+    val twins = Seq((1L, base(3)._2), (2L, base(3)._2), (3L, base(11)._2))
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val out = Similarity.semDedupHier(df, "embedding", "vec_id",
+        targetCell = 4L, tau = 0.999999)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(out.contains((2L, 1L)), s"twin 2 must drop with partner 1: $out")
+    assert(out.contains((103L, 1L)), s"103 duplicates 1, 2 and 100+3; its smallest partner is 1: $out")
+  }
+
+  test("semDedupHier: deterministic across reruns; nothing drops above every cosine") {
+    val df = (0 until 20).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.3), math.sin(i * 0.3), 0.1 * (i % 3)))
+    }.toDF("vec_id", "embedding")
+    def run() = Similarity.semDedupHier(df, "embedding", "vec_id",
+        targetCell = 4L, tau = 0.97)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val first = run()
+    assert(first == run(), "hierarchical semdedup must be deterministic")
+    for ((_, _, id, dupOf, cos) <- first) {
+      assert(dupOf < id, "partner is always a smaller id")
+      assert(cos >= 0.97)
+    }
+  }
 }
