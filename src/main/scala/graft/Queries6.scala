@@ -860,9 +860,88 @@ object Queries6 {
         WHERE rn = 1 ORDER BY coarse, cell, vec_id"""))
   }
 
+  // -------------------------------------------------------- q87_quality_probe
+  /** Trained linear quality probe
+    * ([[graft.operators.QualityProbe]]): fit a least-squares scorer by
+    * 3 fixed-step GD rounds on weakly-labeled seeds (src0 documents
+    * → 1.0, src1 → 0.0 — the trusted/untrusted-source workflow), then
+    * score EVERY document with the frozen weights in one narrow map
+    * pass and threshold at 0.5. Features are the q13 heuristic columns
+    * scaled to ~[0,1]: bias, capped length score, punctuation ratio,
+    * stopword ratio, scaled mean token length. The oracle replays all
+    * three GD rounds — sequential-dot predictions, exact decimal
+    * gradient sums rounded to 9, fixed-step updates rounded to 9 —
+    * then the scoring pass.
+    */
+  val q87QualityProbe = {
+    import KmeansSql.sqlDotD
+    val Dims = 5; val Iters = 3; val Lr = "0.5"
+    val stopwords = Queries2.Vocab.stopwords
+    val sqlPunct = graft.operators.TextAnalysis.PunctClass.replace("'", "''")
+    val sqlStop = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    def iterCtes(i: Int): String = s"""
+        e$i AS (
+          SELECT x, y, ${sqlDotD("x", "w", Dims)} - y AS err
+          FROM ft, w${i - 1}),
+        g$i AS (
+          SELECT d,
+                 round(CAST(SUM(CAST(x[d] * err AS DECIMAL(27,12))) AS DOUBLE)
+                       / (SELECT count(*) FROM ft), 9) AS g
+          FROM e$i, unnest(range(1, ${Dims + 1})) AS t$i(d) GROUP BY d),
+        w$i AS (
+          SELECT list(round(wv - $Lr * g, 9) ORDER BY d) AS w
+          FROM (SELECT d, g, w[d] AS wv FROM g$i, w${i - 1}))"""
+    QueryDef(
+      "q87_quality_probe",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.{QualityProbe, TextAnalysis}
+        val x = array(
+          lit(1.0),
+          least(TextAnalysis.tokenCount($"text").cast("double") / 100.0,
+            lit(1.0)),
+          TextAnalysis.punctRatio($"text"),
+          TextAnalysis.stopwordRatio($"text", stopwords),
+          TextAnalysis.avgTokenLen($"text") / 10.0)
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"source", x.as("x"))
+        val seed = docs.filter($"source".isin("src0", "src1"))
+          .select($"x", when($"source" === "src0", 1.0).otherwise(0.0).as("y"))
+        val w = QualityProbe.trainLinear(seed, "x", "y",
+          dims = Dims, iters = Iters, lr = Lr.toDouble)
+        docs.select($"doc_id",
+            QualityProbe.scoreCol($"x", w.toSeq).as("score"))
+          .withColumn("keep", $"score" >= 0.5)
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, source, text,
+                 string_split(text, ' ') AS tw,
+                 string_split(lower(text), ' ') AS lw
+          FROM documents),
+        f AS (
+          SELECT doc_id, source,
+                 [1.0,
+                  least(CAST(len(tw) AS DOUBLE) / 100.0, 1.0),
+                  round(CAST(length(text) - length(regexp_replace(text, '$sqlPunct', '', 'g')) AS DOUBLE) / length(text), 6),
+                  round(CAST(len(list_filter(lw, t -> list_contains($sqlStop, t))) AS DOUBLE) / len(lw), 6),
+                  round(CAST(list_sum(list_transform(tw, t -> length(t))) AS DOUBLE) / len(tw), 6) / 10.0] AS x
+          FROM base),
+        ft AS (
+          SELECT x, CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+          FROM f WHERE source IN ('src0', 'src1')),
+        w0 AS (SELECT ${Seq.fill(Dims)("0.0").mkString("[", ", ", "]")} AS w),
+        ${(1 to Iters).map(iterCtes).mkString(",")}
+        SELECT doc_id,
+               round(${sqlDotD("x", "w", Dims)}, 6) AS score,
+               round(${sqlDotD("x", "w", Dims)}, 6) >= 0.5 AS keep
+        FROM f, w$Iters ORDER BY doc_id"""))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q72ContextChunks, q73SemDedup, q74EpochMix, q75WinnowMatch,
     q76ChunkPack, q77SplitLeakage, q78NearDupSplit, q79DatasetCard,
     q80Containment, q81ClusterKeepBest, q82CdcDedup, q83CdcCut,
-    q84WinnowIndex, q85TokenCompression, q86SemDedupHier)
+    q84WinnowIndex, q85TokenCompression, q86SemDedupHier, q87QualityProbe)
 }

@@ -67,6 +67,31 @@ object StreamingVectorIndex {
        lit(null).cast("array<float>").as("cv"), lit(0L).as("cell"),
        lit(0.0).as("_cn"))).drop("batch")
 
+  /** Retrain-time rebuild — the lifecycle step the frozen-quantizer
+    * contract defers to: fold every committed batch partition of the
+    * streaming tree into the bucketed [[Similarity.writeIvfIndex]]
+    * catalog layout, re-assigned against the NEW (retrained) centroids.
+    * After the rebuild the index serves probes through the same
+    * [[Similarity.knnIvfIndexed]] path with no batch-union scan and the
+    * cell join co-partitioned from disk, and a fresh
+    * [[run]]/[[writeBatch]] stream (new `path`, new checkpoint, the new
+    * centroids) resumes incremental maintenance on top.
+    *
+    * `prefix` should be VERSIONED by the caller (`myindex_v2`):
+    * [[graft.operators.ScaleJoins.writeBucketed]] drops and rewrites
+    * the catalog tables non-atomically, so rebuilding in place would
+    * expose a missing-table window to concurrent probes — write the
+    * next version, then swap readers, then drop the old (the
+    * [[graft.operators.Dedup.compactBandIndex]] catalog-swap note).
+    * Returns the (centroids, lists) table names.
+    */
+  def rebuildIndex(spark: SparkSession, path: String,
+                   newCentroids: DataFrame, prefix: String,
+                   buckets: Int): (String, String) =
+    Similarity.writeIvfIndex(
+      lists(spark, path).select(col("cand_id"), col("cv")),
+      newCentroids, prefix, buckets)
+
   /** [[lists]] with the pre-commit schema DERIVED instead of assumed:
     * `template` is any batch frame shaped like the stream's
     * micro-batches (`(cand_id, cv)` — an empty slice is fine), and the

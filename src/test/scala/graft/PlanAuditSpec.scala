@@ -278,4 +278,16 @@ class PlanAuditSpec extends SparkSpec {
         s"$name must broadcast the invariant row:\n$p")
     }
   }
+
+  test("q87_quality_probe: frozen-weight scoring is one map pass — " +
+    "no join, no hash shuffle before the final sort") {
+    // plan() runs trainLinear as a side effect (O(dims) collects over
+    // the seed set); the RETURNED corpus-scoring plan must then carry
+    // the learned weights as literals
+    val p = plan("q87_quality_probe")
+    assert(!p.contains("Join"),
+      s"scoring must attach weights as literals, not a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scoring is narrow — only the final sort may range-exchange:\n$p")
+  }
 }

@@ -57,6 +57,46 @@ class StreamingVectorIndexSpec extends SparkSpec {
       s"index probe must match the direct IVF path: $viaIndex vs $direct")
   }
 
+  test("rebuildIndex: retrained centroids re-bucket the whole stream into " +
+    "the writeIvfIndex layout; probes match the one-shot index") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("svir").toString
+    val in = MemoryStream[VecIn]
+    val q = StreamingVectorIndex.run(in.toDF(), cents,
+      path = s"$dir/ivf", checkpoint = s"$dir/ckpt")
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    // the distribution drifted: retrain on everything accumulated so far
+    val allVecs = (b1 ++ b2).toDF()
+    val retrained = Similarity.kmeans(allVecs.select($"cand_id", $"cv"),
+      "cv", "cand_id", k = 2, iters = 2, seed = 5)
+    StreamingVectorIndex.rebuildIndex(spark, s"$dir/ivf", retrained,
+      prefix = "graft_spec_svi_v2", buckets = 2)
+    val (centsDisk, listsDisk) =
+      Similarity.readIvfIndex(spark, "graft_spec_svi_v2")
+
+    // the rebuilt lists equal a one-shot writeIvfIndex over the same
+    // vectors and centroids…
+    val oneShot = Similarity
+      .ivfAssign(allVecs.select($"cand_id", $"cv"), "cv", "cand_id", retrained)
+      .withColumn("_cn", graft.functions.GraftFunctions.l2norm($"cv"))
+    assert(listRows(listsDisk) == listRows(oneShot),
+      "rebuilt lists must equal the one-shot assignment under the new codebook")
+    // …and probes served from the rebuilt catalog match the direct path
+    val probes = Seq((10L, Seq(0.8, 0.3))).toDF("probe_id", "pv")
+    val viaRebuilt = Similarity
+      .knnIvfIndexed(probes, centsDisk, listsDisk, k = 2)
+      .select($"probe_id", $"rn", $"cand_id", $"cos").collect().toSeq
+    val direct = Similarity.knnIvf(probes,
+        allVecs.select($"cand_id", $"cv"), retrained, k = 2)
+      .select($"probe_id", $"rn", $"cand_id", $"cos").collect().toSeq
+    assert(viaRebuilt == direct,
+      s"rebuilt-index probe must match the direct path: $viaRebuilt vs $direct")
+  }
+
   test("replayed batch overwrites its own partition — no duplicate entries") {
     val dir = java.nio.file.Files.createTempDirectory("svi2").toString
     StreamingVectorIndex.writeBatch(b1.toDF(), cents, s"$dir/ivf", batchId = 5L)
