@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval — BM25 ranking over the corpus, the
+  * inverted-index workhorse behind search/RAG candidate generation and
+  * the "retrieve near-duplicates of the eval set" decontamination
+  * variant. Reference scope: the reference pipeline queries external
+  * search providers (`app/search/provider_search.py`) and never ranks
+  * locally; a corpus-local ranked retrieval is north-star surface.
+  *
+  * Scoring is the Robertson/Lucene BM25 variant:
+  * `idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)`,
+  * `score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))`.
+  *
+  * Determinism contract (oracle replays the arithmetic): `idf` rounds
+  * to 9 right after the `ln` (libm last-ulp divergence — the q37
+  * discipline), each per-term contribution rounds to 9 (pure IEEE
+  * +/×/÷ after that, identical cross-engine), contributions sum as
+  * exact decimals (order-free), and the final score rounds to 6 BEFORE
+  * ranking so both engines rank identical values; ties break on the
+  * document id.
+  *
+  * Scale shape: ONE tokenize pass — `tf` carries the doc length in its
+  * grouping key (functionally dependent on the id, so cardinality is
+  * unchanged and the doc-length join disappears), and `df` re-uses
+  * `tf`'s (id, term) exchange (the q37 ReuseExchange trick). The query
+  * set is small by contract and broadcast against `tf` FIRST, so
+  * everything after the postings cut is query-term-sized: the corpus
+  * shuffles once for tf, once for the (query, doc) score sum, and the
+  * top-k is a per-query window over candidate docs only. `N`/`avgdl`
+  * attach as a broadcast 1-row aggregate, never a driver collect.
+  */
+object Retrieval {
+
+  /** BM25 top-`k` documents per query. `queries` is a small
+    * `(query_id, term)` frame — one row per query term, terms distinct
+    * per query by contract. Returns
+    * `(query_id, rn, <idCol>, score)` with `rn` 1-based per query,
+    * ordered by `(query_id, rn)`.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val id = col(idCol)
+    // len rides along from the tokenize projection and joins the
+    // grouping key: functionally dependent on the id, so cardinality is
+    // unchanged, the doc-length attach costs no join and no window, and
+    // tf stays a single exchange
+    val tok = docs.select(id,
+      size(split(col(textCol), " ")).cast("double").as("_len"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = tok.groupBy(id, col("_len"), col("term"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("_n"),
+      (sum(size(split(col(textCol), " "))).cast("double") /
+        count(lit(1))).as("_avgdl"))
+    val idf = round(
+      log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0), 9)
+    // evaluation ORDER mirrors the oracle SQL exactly (left-to-right
+    // +/×/÷) so the doubles agree bit-for-bit before their round(…, 9)
+    val norm = lit(1.0 - b) + lit(b) * col("_len") / col("_avgdl")
+    val contrib = round(
+      col("_idf") * (col("_tf") * lit(k1 + 1.0)) /
+        (col("_tf") + lit(k1) * norm), 9)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, id.asc)
+    tf.join(broadcast(queries), "term") // postings cut: query terms only
+      .join(broadcast(dfreq.crossJoin(stats).select(col("term"), idf.as("_idf"))),
+        "term")
+      .crossJoin(broadcast(stats.select(col("_avgdl"))))
+      .select(col("query_id"), id, contrib.as("_c"))
+      .groupBy(col("query_id"), id)
+      .agg(round(sum(col("_c").cast("decimal(27,12)")).cast("double"), 6)
+        .as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), id, col("score"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+}

@@ -279,6 +279,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q88_bm25: postings cut is a broadcast join on the query terms — " +
+    "the corpus never cross-joins and never shuffles past the tf exchange " +
+    "except on (query, doc) keys") {
+    val p = plan("q88_bm25")
+    assert(!p.contains("CartesianProduct"), s"no corpus cross join:\n$p")
+    // the term joins (query set + vocab-bounded idf) broadcast
+    assert(p.contains("BroadcastHashJoin"), s"query/idf term joins broadcast:\n$p")
+    // the only nested-loops are the 1-row stats attaches
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 2, s"only 1-row stats rows may nested-loop, got $bnl:\n$p")
+  }
+
   test("q87_quality_probe: frozen-weight scoring is one map pass — " +
     "no join, no hash shuffle before the final sort") {
     // plan() runs trainLinear as a side effect (O(dims) collects over

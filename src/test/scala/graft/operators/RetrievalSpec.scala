@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 docs with known term statistics: "rare" appears only in doc 1,
+  // "common" in all four; doc 4 holds gamma ONCE like doc 2 but is 3×
+  // longer (pure filler), isolating the length penalty from tf.
+  private def docs = Seq(
+    (1L, "rare common alpha beta"),
+    (2L, "alpha common alpha gamma"),
+    (3L, "beta gamma common delta"),
+    (4L, "alpha common alpha gamma pad pad pad pad pad pad pad pad")
+  ).toDF("doc_id", "text")
+
+  private def topFor(terms: (Int, String)*): Seq[(Long, Long, Long, Double)] = {
+    val q = terms.toDF("query_id", "term")
+      .select($"query_id".cast("long").as("query_id"), $"term")
+    Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 4)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+  }
+
+  test("rare term outranks a corpus-wide term for the only doc holding it") {
+    val hits = topFor(1 -> "rare", 1 -> "common")
+    assert(hits.head._3 == 1L, s"doc 1 holds the rare term: $hits")
+    // every other doc matches only 'common', whose idf is the
+    // all-docs floor ln(0.5/4.5 + 1) — strictly below doc 1's score
+    assert(hits.tail.forall(_._4 < hits.head._4), hits.toString)
+  }
+
+  test("length normalization: same tf in a 3x longer doc scores lower") {
+    // docs 2 and 4 both hold 'gamma' exactly once; the b·len/avgdl
+    // penalty must rank the concise doc above the padded one
+    val hits = topFor(1 -> "gamma")
+    val byDoc = hits.map(h => h._3 -> h._4).toMap
+    assert(byDoc(2L) > byDoc(4L),
+      s"padded doc must not outrank the concise one: $hits")
+  }
+
+  test("multi-term scores sum per doc; k bounds each query independently") {
+    val hits = topFor(1 -> "alpha", 1 -> "beta", 2 -> "delta")
+    val q1 = hits.filter(_._1 == 1L)
+    assert(q1.map(_._2) == (1L to q1.size).toSeq, s"dense 1-based rn: $q1")
+    // doc 1 matches alpha+beta, doc 3 matches only beta → doc 1 above
+    val byDoc = q1.map(h => h._3 -> h._4).toMap
+    assert(byDoc(1L) > byDoc(3L), q1.toString)
+    // query 2: only doc 3 contains delta
+    assert(hits.filter(_._1 == 2L).map(_._3) == Seq(3L), hits.toString)
+  }
+
+  test("k truncates: top-1 keeps exactly one row per query") {
+    val q = Seq(1 -> "common").toDF("query_id", "term")
+      .select($"query_id".cast("long").as("query_id"), $"term")
+    val hits = Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 1).collect()
+    assert(hits.length == 1 && hits.head.getLong(1) == 1L, hits.mkString(","))
+  }
+}
