@@ -75,5 +75,62 @@ object Queries7 {
         ORDER BY query_id, rn"""))
   }
 
-  def all: Seq[QueryDef] = Seq(q88Bm25)
+  // ----------------------------------------------------------------- q89_dsir
+  /** DSIR importance resampling ([[graft.operators.Dsir]]): hashed
+    * unigram+bigram features (64 buckets, seed 89), target model fit on
+    * src0 documents, raw model on the whole corpus, per-doc log
+    * importance weight Σ count_b · ln(p̂_b/q̂_b) with add-1 smoothing,
+    * deterministic top-100 resample. The oracle replays the bucket
+    * counts, the smoothed rounded log-ratios, and the decimal per-doc
+    * sums.
+    */
+  val q89Dsir = QueryDef(
+    "q89_dsir",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Dsir
+      val w = Dsir.importanceWeights(t(s, dir, "documents"),
+        "doc_id", "text", isTarget = $"source" === "src0",
+        buckets = 64, seed = 89)
+      Dsir.selectTopN(w, "doc_id", n = 100)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      grams AS (
+        SELECT doc_id, source, g FROM (
+          SELECT doc_id, source, unnest(w) AS g FROM toks
+          UNION ALL
+          SELECT doc_id, source,
+                 array_to_string(list_slice(w, i + 1, i + 2), ' ') AS g
+          FROM toks, unnest(range(0, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 2)),
+      b AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5('89:' || g), 1, 15)) AS BIGINT) % 64
+                 AS bucket
+        FROM grams),
+      counts AS (
+        SELECT bucket, CAST(count(*) AS DOUBLE) AS cr,
+               CAST(count(*) FILTER (WHERE source = 'src0') AS DOUBLE) AS ct
+        FROM b GROUP BY 1),
+      tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM counts),
+      ratio AS (
+        SELECT bucket,
+               round(ln(((ct + 1.0) / (tt + 64.0)) /
+                        ((cr + 1.0) / (tr + 64.0))), 9) AS lr
+        FROM counts, tot),
+      wgt AS (
+        SELECT doc_id,
+               round(CAST(SUM(CAST(lr AS DECIMAL(27,12))) AS DOUBLE), 6)
+                 AS logw
+        FROM b JOIN ratio USING (bucket) GROUP BY 1),
+      r AS (
+        SELECT doc_id, logw,
+               CAST(row_number() OVER (ORDER BY logw DESC, doc_id) AS BIGINT)
+                 AS rn
+        FROM wgt)
+      SELECT rn, doc_id, logw FROM r WHERE rn <= 100 ORDER BY rn"""))
+
+  def all: Seq[QueryDef] = Seq(q88Bm25, q89Dsir)
 }

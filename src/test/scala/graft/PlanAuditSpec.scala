@@ -291,6 +291,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnl <= 2, s"only 1-row stats rows may nested-loop, got $bnl:\n$p")
   }
 
+  test("q89_dsir: ratio table broadcasts, top-N is a distributed " +
+    "TakeOrdered — never an unpartitioned window over the corpus") {
+    val p = plan("q89_dsir")
+    assert(!p.contains("CartesianProduct"), s"no corpus cross join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the resample cut must be a distributed top-k merge:\n$p")
+    // the buckets-row ratio table attaches by broadcast; the corpus
+    // gram stream must not exchange on the bucket key for the join
+    assert(p.contains("BroadcastHashJoin"), s"ratio join broadcasts:\n$p")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1, s"only the 1-row totals may nested-loop, got $bnl:\n$p")
+  }
+
   test("q87_quality_probe: frozen-weight scoring is one map pass — " +
     "no join, no hash shuffle before the final sort") {
     // plan() runs trainLinear as a side effect (O(dims) collects over
