@@ -874,12 +874,61 @@ object Queries6 {
     * then the scoring pass.
     */
   val q87QualityProbe = {
+    import ProbeSql.{Iters, scoreSql}
+    QueryDef(
+      "q87_quality_probe",
+      (s, dir) => {
+        import s.implicits._
+        probeScored(s, dir)
+          .withColumn("keep", $"score" >= 0.5)
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH ${ProbeSql.ctes}
+        SELECT doc_id,
+               $scoreSql AS score,
+               $scoreSql >= 0.5 AS keep
+        FROM f, w$Iters ORDER BY doc_id"""))
+  }
+
+  /** The q87 probe, trained and applied — `(doc_id, score)` for every
+    * document, shared with the q92 margin-selection view of the same
+    * model (train once per QueryDef invocation; the SQL side shares
+    * [[ProbeSql]] the same way).
+    */
+  private[graft] def probeScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{QualityProbe, TextAnalysis}
+    import ProbeSql.{Dims, Iters, Lr}
+    val x = array(
+      lit(1.0),
+      least(TextAnalysis.tokenCount($"text").cast("double") / 100.0,
+        lit(1.0)),
+      TextAnalysis.punctRatio($"text"),
+      TextAnalysis.stopwordRatio($"text", Queries2.Vocab.stopwords),
+      TextAnalysis.avgTokenLen($"text") / 10.0)
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", $"source", x.as("x"))
+    val seed = docs.filter($"source".isin("src0", "src1"))
+      .select($"x", when($"source" === "src0", 1.0).otherwise(0.0).as("y"))
+    val w = QualityProbe.trainLinear(seed, "x", "y",
+      dims = Dims, iters = Iters, lr = Lr.toDouble)
+    docs.select($"doc_id", QualityProbe.scoreCol($"x", w.toSeq).as("score"))
+  }
+
+  /** The q87 oracle chain, shared with q92: feature CTEs (`base`/`f`),
+    * the weak-label training set (`ft`), and the `Iters` GD rounds
+    * ending in weights CTE `w`[[Iters]]. Consumers select against
+    * `f, w`[[Iters]] with [[scoreSql]] as the frozen-weight score.
+    */
+  private[graft] object ProbeSql {
     import KmeansSql.sqlDotD
     val Dims = 5; val Iters = 3; val Lr = "0.5"
-    val stopwords = Queries2.Vocab.stopwords
-    val sqlPunct = graft.operators.TextAnalysis.PunctClass.replace("'", "''")
-    val sqlStop = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-    def iterCtes(i: Int): String = s"""
+    private val sqlPunct =
+      graft.operators.TextAnalysis.PunctClass.replace("'", "''")
+    private val sqlStop =
+      Queries2.Vocab.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    private def iterCtes(i: Int): String = s"""
         e$i AS (
           SELECT x, y, ${sqlDotD("x", "w", Dims)} - y AS err
           FROM ft, w${i - 1}),
@@ -891,31 +940,8 @@ object Queries6 {
         w$i AS (
           SELECT list(round(wv - $Lr * g, 9) ORDER BY d) AS w
           FROM (SELECT d, g, w[d] AS wv FROM g$i, w${i - 1}))"""
-    QueryDef(
-      "q87_quality_probe",
-      (s, dir) => {
-        import s.implicits._
-        import graft.operators.{QualityProbe, TextAnalysis}
-        val x = array(
-          lit(1.0),
-          least(TextAnalysis.tokenCount($"text").cast("double") / 100.0,
-            lit(1.0)),
-          TextAnalysis.punctRatio($"text"),
-          TextAnalysis.stopwordRatio($"text", stopwords),
-          TextAnalysis.avgTokenLen($"text") / 10.0)
-        val docs = t(s, dir, "documents")
-          .select($"doc_id", $"source", x.as("x"))
-        val seed = docs.filter($"source".isin("src0", "src1"))
-          .select($"x", when($"source" === "src0", 1.0).otherwise(0.0).as("y"))
-        val w = QualityProbe.trainLinear(seed, "x", "y",
-          dims = Dims, iters = Iters, lr = Lr.toDouble)
-        docs.select($"doc_id",
-            QualityProbe.scoreCol($"x", w.toSeq).as("score"))
-          .withColumn("keep", $"score" >= 0.5)
-          .orderBy($"doc_id")
-      },
-      Some(s"""
-        WITH base AS (
+    def scoreSql: String = s"round(${sqlDotD("x", "w", Dims)}, 6)"
+    def ctes: String = s"""base AS (
           SELECT doc_id, source, text,
                  string_split(text, ' ') AS tw,
                  string_split(lower(text), ' ') AS lw
@@ -932,11 +958,7 @@ object Queries6 {
           SELECT x, CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
           FROM f WHERE source IN ('src0', 'src1')),
         w0 AS (SELECT ${Seq.fill(Dims)("0.0").mkString("[", ", ", "]")} AS w),
-        ${(1 to Iters).map(iterCtes).mkString(",")}
-        SELECT doc_id,
-               round(${sqlDotD("x", "w", Dims)}, 6) AS score,
-               round(${sqlDotD("x", "w", Dims)}, 6) >= 0.5 AS keep
-        FROM f, w$Iters ORDER BY doc_id"""))
+        ${(1 to Iters).map(iterCtes).mkString(",")}"""
   }
 
   def all: Seq[QueryDef] = Seq(

@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-11 query surface: corpus-local retrieval and
+/** Round-11 query surface: corpus-local retrieval, hybrid fusion, and
   * importance-weighted selection. Oracle-parity rules as in
   * [[Queries]]/[[Queries2]].
   */
@@ -12,34 +13,14 @@ object Queries7 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  // ----------------------------------------------------------------- q88_bm25
-  /** BM25 top-5 retrieval ([[graft.operators.Retrieval.bm25TopK]]):
-    * three fixed keyword queries ranked against the whole documents
-    * table with Lucene-variant BM25 (k1 = 1.2, b = 0.75). The oracle
-    * replays the arithmetic CTE-for-CTE — idf rounded to 9 after the
+  /** Shared BM25 oracle chain (the q88 arithmetic, CTE-for-CTE): from a
+    * `q (query_id, term)` CTE body to the ranked
+    * `r (query_id, doc_id, score, rn)` — idf rounded to 9 after the
     * ln, per-term contributions rounded to 9, decimal contribution
-    * sums, score rounded to 6 before the per-query rank.
+    * sums rounded to 6 before the per-query rank. q88 cuts `r` at its
+    * k; q90 cuts at its candidate depth and fuses.
     */
-  val q88Bm25 = {
-    val queryTerms: Seq[(Int, String)] = Seq(
-      1 -> "spark", 1 -> "join", 1 -> "hash",
-      2 -> "slow", 2 -> "scan", 2 -> "filter", 2 -> "vector",
-      3 -> "customer", 3 -> "order", 3 -> "data")
-    val sqlValues = queryTerms
-      .map { case (q, w) => s"($q, '$w')" }.mkString(", ")
-    QueryDef(
-      "q88_bm25",
-      (s, dir) => {
-        import s.implicits._
-        val queries = queryTerms.toDF("query_id", "term")
-          .select($"query_id".cast("long"), $"term")
-        graft.operators.Retrieval.bm25TopK(
-          t(s, dir, "documents"), "doc_id", "text", queries, k = 5)
-      },
-      Some(s"""
-        WITH q AS (
-          SELECT CAST(query_id AS BIGINT) AS query_id, term
-          FROM (VALUES $sqlValues) v(query_id, term)),
+  private def bm25SqlCtes(qBody: String): String = s"""q AS ($qBody),
         tok AS (
           SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS len,
                  unnest(string_split(text, ' ')) AS term
@@ -70,7 +51,34 @@ object Queries7 {
           SELECT query_id, doc_id, score,
                  CAST(row_number() OVER (PARTITION BY query_id
                    ORDER BY score DESC, doc_id) AS BIGINT) AS rn
-          FROM s)
+          FROM s)"""
+
+  // ----------------------------------------------------------------- q88_bm25
+  /** BM25 top-5 retrieval ([[graft.operators.Retrieval.bm25TopK]]):
+    * three fixed keyword queries ranked against the whole documents
+    * table with Lucene-variant BM25 (k1 = 1.2, b = 0.75). The oracle
+    * replays the arithmetic CTE-for-CTE ([[bm25SqlCtes]]).
+    */
+  val q88Bm25 = {
+    val queryTerms: Seq[(Int, String)] = Seq(
+      1 -> "spark", 1 -> "join", 1 -> "hash",
+      2 -> "slow", 2 -> "scan", 2 -> "filter", 2 -> "vector",
+      3 -> "customer", 3 -> "order", 3 -> "data")
+    val sqlValues = queryTerms
+      .map { case (q, w) => s"($q, '$w')" }.mkString(", ")
+    QueryDef(
+      "q88_bm25",
+      (s, dir) => {
+        import s.implicits._
+        val queries = queryTerms.toDF("query_id", "term")
+          .select($"query_id".cast("long"), $"term")
+        graft.operators.Retrieval.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text", queries, k = 5)
+      },
+      Some(s"""
+        WITH ${bm25SqlCtes(s"""
+          SELECT CAST(query_id AS BIGINT) AS query_id, term
+          FROM (VALUES $sqlValues) v(query_id, term)""")}
         SELECT query_id, rn, doc_id, score FROM r WHERE rn <= 5
         ORDER BY query_id, rn"""))
   }
@@ -132,5 +140,171 @@ object Queries7 {
         FROM wgt)
       SELECT rn, doc_id, logw FROM r WHERE rn <= 100 ORDER BY rn"""))
 
-  def all: Seq[QueryDef] = Seq(q88Bm25, q89Dsir)
+  // ----------------------------------------------------------- q90_hybrid_rrf
+  /** Hybrid retrieval with reciprocal-rank fusion
+    * ([[graft.operators.Retrieval.rrfFuse]]): query-by-example over
+    * three probe documents — the lexical side ranks each probe's
+    * distinct terms with q88's BM25 (top-20, self dropped, ranks
+    * recomputed), the dense side is q14's exact-cosine top-20 over the
+    * probe's embedding (doc_id = vec_id by construction of the
+    * testdata), and RRF (c = 60) merges the two candidate lists into a
+    * fused top-10 — the standard "lexical recalls what the embedding
+    * misses" retrieval stack for RAG and retrieval-based
+    * decontamination. The oracle replays both rankings and the fusion
+    * arithmetic end to end.
+    *
+    * Scale shape: probes broadcast on BOTH sides (query terms into the
+    * postings cut, probe vectors into the corpus stream); the fusion
+    * stage only ever sees (queries × 20 × 2) candidate rows.
+    */
+  val q90HybridRrf = {
+    val Depth = 20; val C = 60; val K = 10
+    QueryDef(
+      "q90_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.{Retrieval, Similarity}
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        val queries = docs.filter($"doc_id" < 3)
+          .select($"doc_id".as("query_id"),
+            explode(split($"text", " ")).as("term"))
+          .distinct()
+        val wLex = Window.partitionBy($"query_id")
+          .orderBy($"score".desc, $"doc_id".asc)
+        val lex = Retrieval.bm25TopK(docs, "doc_id", "text", queries, Depth)
+          .filter($"doc_id" =!= $"query_id")
+          .withColumn("rn", row_number().over(wLex).cast("long"))
+          .select($"query_id", $"doc_id", $"rn")
+        val probes = emb.filter($"vec_id" < 3)
+          .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+        val corpus = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+        val dense = Similarity.knnExact(probes, corpus, Depth)
+          .select($"probe_id".as("query_id"), $"cand_id".as("doc_id"),
+            $"rn".cast("long").as("rn"))
+        Retrieval.rrfFuse(Seq(lex, dense), c = C, k = K)
+      },
+      Some({
+        import KmeansSql.sqlDot
+        s"""
+        WITH ${bm25SqlCtes("""
+          SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents WHERE doc_id < 3)""")},
+        lr AS (
+          SELECT query_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+          FROM r WHERE rn <= $Depth AND doc_id != query_id),
+        p AS (SELECT vec_id AS probe_id, embedding AS pv
+              FROM embeddings WHERE vec_id < 3),
+        cand AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+        ds AS (
+          SELECT probe_id, cand_id,
+                 round(${sqlDot("pv", "cv")} /
+                       (sqrt(${sqlDot("pv", "pv")}) * sqrt(${sqlDot("cv", "cv")})), 6) AS cos
+          FROM p, cand WHERE probe_id != cand_id),
+        dr AS (
+          SELECT probe_id AS query_id, cand_id AS doc_id, rn FROM (
+            SELECT probe_id, cand_id,
+                   CAST(row_number() OVER (PARTITION BY probe_id
+                     ORDER BY cos DESC, cand_id) AS BIGINT) AS rn
+            FROM ds)
+          WHERE rn <= $Depth),
+        contrib AS (
+          SELECT query_id, doc_id, round(1.0 / ($C + rn), 9) AS rc FROM lr
+          UNION ALL
+          SELECT query_id, doc_id, round(1.0 / ($C + rn), 9) AS rc FROM dr),
+        fs AS (
+          SELECT query_id, doc_id,
+                 round(CAST(SUM(CAST(rc AS DECIMAL(27,12))) AS DOUBLE), 6)
+                   AS rrf
+          FROM contrib GROUP BY 1, 2),
+        fr AS (
+          SELECT query_id, doc_id, rrf,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf DESC, doc_id) AS BIGINT) AS rn
+          FROM fs)
+        SELECT query_id, rn, doc_id, rrf FROM fr WHERE rn <= $K
+        ORDER BY query_id, rn"""
+      }))
+  }
+
+  // ------------------------------------------------------ q91_weighted_sample
+  /** Quality-weighted sampling without replacement
+    * ([[graft.operators.Sampling.weightedSample]], Efraimidis–Spirakis
+    * exponential race): weight each document by `ln(1 + n_chars)` (a
+    * stand-in for any positive quality score — the q87 probe slots in
+    * unchanged), draw a deterministic uniform from `hash64(doc_id)`,
+    * race on `-ln(u)/w`, keep the 100 smallest keys — a true weighted
+    * draw, where a plain hash cut (q38) would ignore every other row's
+    * weight. The oracle replays the hash-uniform, both rounded lns,
+    * and the key rank.
+    */
+  val q91WeightedSample = QueryDef(
+    "q91_weighted_sample",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.weightedSample(
+        t(s, dir, "documents"), "doc_id",
+        round(log(lit(1.0) + $"n_chars"), 9), n = 100, seed = 91)
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, round(ln(1.0 + n_chars), 9) AS wgt,
+               round(ln((CAST(('0x' || substr(md5('91:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 1000000 + 1) / 1000000.0), 9) AS lnu
+        FROM documents),
+      k AS (SELECT doc_id, wgt, round(-lnu / wgt, 9) AS ekey FROM w),
+      r AS (
+        SELECT doc_id, wgt, ekey,
+               CAST(row_number() OVER (ORDER BY ekey, doc_id) AS BIGINT) AS rn
+        FROM k)
+      SELECT rn, doc_id, wgt, ekey FROM r WHERE rn <= 100 ORDER BY rn"""))
+
+  // -------------------------------------------------------- q92_probe_margin
+  /** Margin-based selection on the trained quality probe
+    * ([[Queries6.probeScored]] — q87's model, trained identically):
+    * rank every document by how CLOSE its frozen-weight score sits to
+    * the 0.5 decision boundary and keep the 50 most uncertain — the
+    * active-learning routing step ("send boundary documents to a
+    * stronger labeler") that turns the probe from a filter into a
+    * labeling budget allocator. The margin is
+    * `round(abs(score − 0.5), 6)` on the already-rounded score, so the
+    * oracle replays it exactly; the cut is orderBy+limit
+    * (TakeOrdered), never a corpus-wide window.
+    */
+  val q92ProbeMargin = {
+    import Queries6.ProbeSql
+    QueryDef(
+      "q92_probe_margin",
+      (s, dir) => {
+        import s.implicits._
+        val scored = Queries6.probeScored(s, dir)
+          .withColumn("margin", round(abs($"score" - 0.5), 6))
+        val w = Window.orderBy($"margin".asc, $"doc_id".asc)
+        scored.orderBy($"margin".asc, $"doc_id".asc).limit(50)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .select($"rn", $"doc_id", $"score", $"margin")
+          .orderBy($"rn")
+      },
+      Some(s"""
+        WITH ${ProbeSql.ctes},
+        scored AS (
+          SELECT doc_id, ${ProbeSql.scoreSql} AS score
+          FROM f, w${ProbeSql.Iters}),
+        m AS (
+          SELECT doc_id, score, round(abs(score - 0.5), 6) AS margin
+          FROM scored),
+        r AS (
+          SELECT doc_id, score, margin,
+                 CAST(row_number() OVER (ORDER BY margin, doc_id) AS BIGINT)
+                   AS rn
+          FROM m)
+        SELECT rn, doc_id, score, margin FROM r WHERE rn <= 50 ORDER BY rn"""))
+  }
+
+  def all: Seq[QueryDef] = Seq(
+    q88Bm25, q89Dsir, q90HybridRrf, q91WeightedSample, q92ProbeMargin)
 }

@@ -84,4 +84,40 @@ object Retrieval {
       .select(col("query_id"), col("rn"), id, col("score"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  /** Reciprocal-rank fusion of per-query rankings (Cormack et al.
+    * 2009) — the standard way hybrid search merges a lexical and a
+    * dense candidate list without comparable scores:
+    * `rrf(d) = Σ_lists 1/(c + rank_list(d))`. Each input frame carries
+    * `(query_id, doc_id, rn)` with `rn` 1-based per query; a document
+    * absent from a list simply contributes nothing for it. Returns
+    * `(query_id, rn, doc_id, rrf)` — the fused top-`k` per query.
+    *
+    * Determinism contract: each reciprocal rounds to 9 (pure IEEE
+    * division of exact integers, identical cross-engine — the round is
+    * belt-and-braces for the decimal sum), contributions sum as exact
+    * decimals (order-free), the fused score rounds to 6 BEFORE
+    * ranking, ties break on the document id.
+    *
+    * Scale shape: inputs are top-k lists, so everything here is
+    * (queries × k × lists)-sized — the union and the sum shuffle touch
+    * candidate rows only, never the corpus. The per-query rank window
+    * partitions on query_id over ≤ k·lists rows.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], c: Int = 60, k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking")
+    require(c >= 0 && k >= 1, "c >= 0 and k >= 1")
+    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
+      round(lit(1.0) / (lit(c.toDouble) + col("rn")), 9).as("_c")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("_c").cast("decimal(27,12)")).cast("double"), 6)
+        .as("rrf"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("doc_id"), col("rrf"))
+      .orderBy(col("query_id"), col("rn"))
+  }
 }

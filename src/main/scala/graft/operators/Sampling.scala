@@ -212,4 +212,47 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= cap)
   }
+
+  /** Weighted sampling WITHOUT replacement via the exponential race
+    * (Efraimidis & Spirakis 2006, the `-ln(u)/w` formulation): each
+    * row draws a deterministic uniform `u` from `hash64(id, seed)`,
+    * its race key is `-ln(u) / w`, and the `n` smallest keys win —
+    * exactly a weighted draw of `n` rows without replacement, with
+    * P(row first) = w/Σw. This is the quality-weighted selection
+    * primitive ("sample the corpus proportional to the probe score")
+    * that a plain hash cut ([[stratifiedByHash]]) cannot express:
+    * there, a row's fate ignores every other row's weight.
+    *
+    * Fully parallel at 100 TB: the key is a narrow per-row expression
+    * (no shuffle), and the cut is `orderBy + limit` —
+    * TakeOrderedAndProject, a per-partition top-n merge, never a
+    * global sort; the rank window runs over the `n` survivors only.
+    *
+    * Determinism contract: `u = (hash64(id, seed) mod 10^6 + 1)/10^6`
+    * ∈ (0, 1] (never 0, so the ln is finite; u = 1 → key 0 is fine),
+    * `ln(u)` rounds to 9 right after the libm call (the q37/q88
+    * discipline), `w` must arrive pre-rounded from the caller, and the
+    * key — one IEEE division of two rounded doubles — rounds to 9
+    * before ranking. Ties break on the id. `weight` must be > 0 for
+    * every row (a zero weight would divide by zero; rows that should
+    * never win belong in a filter, not at weight 0).
+    *
+    * Returns `(rn, idCol, wgt, ekey)` ordered by `rn` 1-based.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     n: Int, seed: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val id = col(idCol)
+    val u = ((hash64(id.cast("string"), seed) % 1000000 + 1)
+      .cast("double") / 1000000.0)
+    val keyed = df.select(id, weight.as("wgt"),
+        round(log(u), 9).as("_lnu"))
+      .select(id, col("wgt"), round(-col("_lnu") / col("wgt"), 9).as("ekey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ekey").asc, id.asc)
+    keyed.orderBy(col("ekey").asc, id.asc).limit(n)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("rn"), id, col("wgt"), col("ekey"))
+      .orderBy(col("rn"))
+  }
 }

@@ -315,4 +315,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"scoring is narrow — only the final sort may range-exchange:\n$p")
   }
+
+  test("q90_hybrid_rrf: both retrieval sides broadcast the probes; " +
+    "no cartesian anywhere in the fused plan") {
+    val p = plan("q90_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), s"no corpus cross join:\n$p")
+    // dense side: broadcast probes against the corpus stream; lexical
+    // side: broadcast query terms + idf — the corpus itself is never
+    // on the build side of anything
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), s"probe joins broadcast:\n$p")
+  }
+
+  test("q91_weighted_sample: the race cut is a distributed TakeOrdered — " +
+    "never a global sort or an unpartitioned window over the corpus") {
+    val p = plan("q91_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the n-smallest-keys cut must be a per-partition top-n merge:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the key is a narrow per-row expression — no shuffle before the cut:\n$p")
+  }
+
+  test("q92_probe_margin: margin cut is TakeOrdered over the narrow " +
+    "scoring pass — no join, no corpus-wide window") {
+    val p = plan("q92_probe_margin")
+    assert(!p.contains("Join"),
+      s"scoring must attach weights as literals, not a join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the uncertainty cut must be a distributed top-n merge:\n$p")
+  }
 }

@@ -56,4 +56,46 @@ class RetrievalSpec extends SparkSpec {
     val hits = Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 1).collect()
     assert(hits.length == 1 && hits.head.getLong(1) == 1L, hits.mkString(","))
   }
+
+  private def ranking(rows: (Long, Long, Long)*) =
+    rows.toDF("query_id", "doc_id", "rn")
+
+  test("rrfFuse: a doc on both lists outranks the same rank on one") {
+    // doc 10 is rank 2 on both lists; docs 11/12 are rank 1 on one
+    // list only: 2/(60+2) > 1/(60+1), so consensus wins
+    val a = ranking((1L, 11L, 1L), (1L, 10L, 2L))
+    val b = ranking((1L, 12L, 1L), (1L, 10L, 2L))
+    val out = Retrieval.rrfFuse(Seq(a, b), c = 60, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.head._2 == 10L, s"consensus doc first: ${out.toSeq}")
+    val byDoc = out.map(r => r._2 -> r._3).toMap
+    val one = BigDecimal(1.0 / 61.0).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val two = BigDecimal(2 * BigDecimal(1.0 / 62.0).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byDoc(10L) == two && byDoc(11L) ==
+      BigDecimal(one).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"rrf arithmetic must match the rounded reciprocals: ${out.toSeq}")
+  }
+
+  test("rrfFuse: queries fuse independently and k truncates each") {
+    val a = ranking((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L))
+    val b = ranking((1L, 11L, 1L), (2L, 21L, 1L))
+    val out = Retrieval.rrfFuse(Seq(a, b), c = 60, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // q1: doc 11 holds ranks 2+1 > doc 10's single rank 1; q2 ties on
+    // score (both rank 1 on one list) → doc_id breaks the tie
+    assert(out.toSeq == Seq((1L, 11L), (2L, 20L)), out.toSeq.toString)
+  }
+
+  test("rrfFuse: invalid arguments rejected") {
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(ranking((1L, 1L, 1L))), c = -1)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(ranking((1L, 1L, 1L))), k = 0)
+    }
+  }
 }

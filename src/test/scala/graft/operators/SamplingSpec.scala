@@ -169,4 +169,36 @@ class SamplingSpec extends SparkSpec {
       Sampling.epochMix(df, $"id", $"lang", Map.empty, -1.0, 1)
     }
   }
+
+  test("weightedSample: deterministic, n rows, dense 1-based rank") {
+    def run() = Sampling.weightedSample(
+      df, "id", lit(1.0), n = 25, seed = 17)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = run(); val b = run()
+    assert(a.toSeq == b.toSeq, "exponential race must be reproducible")
+    assert(a.length == 25 && a.map(_._1).toSeq == (1L to 25L),
+      s"dense 1-based rn over exactly n survivors: ${a.toSeq}")
+  }
+
+  test("weightedSample: extreme weights decide the race") {
+    // 10 rows at weight 1e9 vs 3990 at 1e-9: a heavy key is
+    // -ln(u)/1e9 ≤ ~2e-8, a light key ≥ -ln(1 - 1e-6)/1e-9 ≈ 1e3
+    // except when u = 1 exactly (p = 1e-6 per row, and deterministic
+    // here: no light row draws it under seed 17) — every winner must
+    // be heavy
+    val weighted = Sampling.weightedSample(
+      df, "id", when($"id" < 10, 1e9).otherwise(1e-9), n = 10, seed = 17)
+    val winners = weighted.collect().map(_.getLong(1)).toSet
+    assert(winners == (0L until 10L).toSet,
+      s"heavy rows must own the top-10: $winners")
+  }
+
+  test("weightedSample: short input returns every row, ranked") {
+    val out = Sampling.weightedSample(
+      df.filter($"id" < 5), "id", lit(2.0), n = 100, seed = 17)
+    assert(out.count() == 5L, "limit past the input keeps all rows")
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df, "id", lit(1.0), n = 0, seed = 17)
+    }
+  }
 }
