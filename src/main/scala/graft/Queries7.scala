@@ -305,6 +305,43 @@ object Queries7 {
         SELECT rn, doc_id, score, margin FROM r WHERE rn <= 50 ORDER BY rn"""))
   }
 
+  // ------------------------------------------------------- q93_bm25_indexed
+  /** BM25 served from a PERSISTED inverted index
+    * ([[graft.operators.Retrieval.writeBm25Index]] /
+    * `probeBm25Index`): the build pays the tokenize/tf/df passes once
+    * into term-bucketed catalog tables (postings + pre-rounded idf),
+    * the probe answers a fresh query set from the index with q88's
+    * exact arithmetic — the q61/q84 build-once-probe-many shape
+    * applied to lexical retrieval. The oracle recomputes the whole
+    * ranking from the raw corpus, so a hash match proves the index
+    * round-trip loses nothing.
+    */
+  val q93Bm25Indexed = {
+    val queryTerms: Seq[(Int, String)] = Seq(
+      1 -> "merge", 1 -> "sort", 1 -> "batch",
+      2 -> "stream", 2 -> "window", 2 -> "key", 2 -> "table")
+    val sqlValues = queryTerms
+      .map { case (q, w) => s"($q, '$w')" }.mkString(", ")
+    QueryDef(
+      "q93_bm25_indexed",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Retrieval
+        Retrieval.writeBm25Index(t(s, dir, "documents"), "doc_id", "text",
+          "graft_q93_bm25", buckets = 16)
+        val queries = queryTerms.toDF("query_id", "term")
+          .select($"query_id".cast("long"), $"term")
+        Retrieval.probeBm25Index(s, "graft_q93_bm25", "doc_id", queries, k = 5)
+      },
+      Some(s"""
+        WITH ${bm25SqlCtes(s"""
+          SELECT CAST(query_id AS BIGINT) AS query_id, term
+          FROM (VALUES $sqlValues) v(query_id, term)""")}
+        SELECT query_id, rn, doc_id, score FROM r WHERE rn <= 5
+        ORDER BY query_id, rn"""))
+  }
+
   def all: Seq[QueryDef] = Seq(
-    q88Bm25, q89Dsir, q90HybridRrf, q91WeightedSample, q92ProbeMargin)
+    q88Bm25, q89Dsir, q90HybridRrf, q91WeightedSample, q92ProbeMargin,
+    q93Bm25Indexed)
 }

@@ -85,6 +85,84 @@ object Retrieval {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Build-once on-disk BM25 inverted index — the production shape for
+    * a corpus that is probed by MANY query batches: [[bm25TopK]] pays
+    * the tokenize + tf + df passes on every call, the index pays them
+    * ONCE at build time and every probe reads term-keyed parquet. The
+    * [[graft.operators.Similarity.writeIvfIndex]] /
+    * [[graft.operators.Dedup.writeWinnowIndex]] precedent applied to
+    * lexical retrieval.
+    *
+    * Two catalog tables ([[graft.operators.ScaleJoins.writeBucketed]]):
+    * `<prefix>_postings (idCol, len, term, tf)` bucketed by term — the
+    * corpus-sized side, laid out so term-keyed maintenance merges read
+    * co-partitioned — and `<prefix>_terms (term, idf, avgdl)` — vocab-
+    * sized, idf PRE-ROUNDED to 9 exactly as [[bm25TopK]] computes it
+    * (the index stores the statistic the scorer consumes, like Lucene
+    * stores norms), with the corpus-constant avgdl denormalized onto
+    * each row so the probe attaches it without a second artifact.
+    * k1/b are NOT baked in: they are probe-time scoring parameters.
+    */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     prefix: String, buckets: Int): (String, String) = {
+    require(buckets >= 1, "buckets >= 1")
+    val id = col(idCol)
+    val tok = docs.select(id,
+      size(split(col(textCol), " ")).cast("double").as("len"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = tok.groupBy(id, col("len"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("_n"),
+      (sum(size(split(col(textCol), " "))).cast("double") /
+        count(lit(1))).as("_avgdl"))
+    val terms = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("_df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)
+          + 1.0), 9).as("idf"),
+        col("_avgdl").as("avgdl"))
+    (ScaleJoins.writeBucketed(tf.select(id, col("len"), col("term"),
+        col("tf")), s"${prefix}_postings", "term", buckets),
+      ScaleJoins.writeBucketed(terms, s"${prefix}_terms", "term",
+        math.max(1, buckets / 4)))
+  }
+
+  /** BM25 top-`k` against a PERSISTED index ([[writeBm25Index]]):
+    * value-identical to [[bm25TopK]] over the same corpus — stored idf
+    * is the same pre-rounded double, stored len/avgdl are the same
+    * unrounded doubles, and the contribution evaluates in the same
+    * left-to-right order — but the corpus work is one bucketed scan:
+    * query terms and their idf rows broadcast into the postings cut,
+    * and the only exchange is the (query, doc) score sum over
+    * candidate rows.
+    */
+  def probeBm25Index(spark: org.apache.spark.sql.SparkSession,
+                     prefix: String, idCol: String, queries: DataFrame,
+                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val postings = spark.table(s"${prefix}_postings")
+    val terms = spark.table(s"${prefix}_terms")
+    val id = col(idCol)
+    val q = broadcast(queries).join(broadcast(terms), "term")
+    val norm = lit(1.0 - b) + lit(b) * col("len") / col("avgdl")
+    val contrib = round(
+      col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * norm), 9)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, id.asc)
+    postings.join(broadcast(q), "term")
+      .select(col("query_id"), id, contrib.as("_c"))
+      .groupBy(col("query_id"), id)
+      .agg(round(sum(col("_c").cast("decimal(27,12)")).cast("double"), 6)
+        .as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), id, col("score"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Reciprocal-rank fusion of per-query rankings (Cormack et al.
     * 2009) — the standard way hybrid search merges a lexical and a
     * dense candidate list without comparable scores:

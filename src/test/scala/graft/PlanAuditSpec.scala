@@ -336,6 +336,23 @@ class PlanAuditSpec extends SparkSpec {
       s"the key is a narrow per-row expression — no shuffle before the cut:\n$p")
   }
 
+  test("q93_bm25_indexed: the probe reads the postings scan with query " +
+    "terms broadcast — the only exchange is the candidate score sum") {
+    val p = plan("q93_bm25_indexed")
+    assert(!p.contains("CartesianProduct"), s"no corpus cross join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"query-term cut broadcasts:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"postings must read from the bucketed index files:\n$p")
+    // q88 pays a corpus-keyed tf exchange every call; the index probe
+    // must not — every hash exchange here keys on query_id, i.e. is
+    // candidate-sized (the score sum and the rank window), never the
+    // corpus tokenize
+    val corpusKeyed = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).filterNot(_.group(1).contains("query_id")).toSeq
+    assert(corpusKeyed.isEmpty,
+      s"corpus-keyed exchange in the probe: $corpusKeyed\n$p")
+  }
+
   test("q92_probe_margin: margin cut is TakeOrdered over the narrow " +
     "scoring pass — no join, no corpus-wide window") {
     val p = plan("q92_probe_margin")

@@ -89,6 +89,33 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 11L), (2L, 20L)), out.toSeq.toString)
   }
 
+  test("bm25 index round-trip: probe equals the direct ranking exactly") {
+    val q = Seq(1 -> "rare", 1 -> "common", 2 -> "gamma")
+      .toDF("query_id", "term")
+      .select($"query_id".cast("long").as("query_id"), $"term")
+    val direct = Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 4)
+      .collect().map(_.toSeq).toSeq
+    Retrieval.writeBm25Index(docs, "doc_id", "text",
+      "graft_spec_bm25", buckets = 2)
+    val probed = Retrieval.probeBm25Index(spark, "graft_spec_bm25",
+      "doc_id", q, k = 4).collect().map(_.toSeq).toSeq
+    assert(probed == direct,
+      s"index must lose nothing:\n index: $probed\n direct: $direct")
+  }
+
+  test("bm25 index: new query batches answer without rebuilding") {
+    // the index written by the round-trip test (or here) serves a
+    // DIFFERENT query set — the build-once-probe-many contract
+    Retrieval.writeBm25Index(docs, "doc_id", "text",
+      "graft_spec_bm25b", buckets = 2)
+    val q2 = Seq(7 -> "delta").toDF("query_id", "term")
+      .select($"query_id".cast("long").as("query_id"), $"term")
+    val hits = Retrieval.probeBm25Index(spark, "graft_spec_bm25b",
+      "doc_id", q2, k = 4).collect()
+    assert(hits.map(_.getLong(2)).toSeq == Seq(3L),
+      s"only doc 3 holds delta: ${hits.mkString(",")}")
+  }
+
   test("rrfFuse: invalid arguments rejected") {
     intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq.empty) }
     intercept[IllegalArgumentException] {
