@@ -104,26 +104,54 @@ object Retrieval {
     * k1/b are NOT baked in: they are probe-time scoring parameters.
     */
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
-                     prefix: String, buckets: Int): (String, String) = {
+                     prefix: String, buckets: Int): (String, String) =
+    writeBm25IndexFromPostings(tfPostings(docs, idCol, textCol), idCol,
+      prefix, buckets)
+
+  /** The one-pass postings projection `(idCol, len, term, tf)` —
+    * [[bm25TopK]]'s tf frame as a reusable shape, shared by the batch
+    * index build and the streaming per-batch append
+    * ([[graft.streaming.StreamingPostingsIndex.writeBatch]]). Every
+    * document yields ≥ 1 row (an empty text still splits to one empty
+    * token), so the doc count and lengths are recoverable from the
+    * postings alone — the property [[writeBm25IndexFromPostings]]
+    * leans on. Ids must be unique per document.
+    */
+  def tfPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    docs.select(id,
+        size(split(col(textCol), " ")).cast("double").as("len"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(id, col("len"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+  }
+
+  /** [[writeBm25Index]] over an EXISTING postings frame — the
+    * retrain-time rebuild path: corpus stats re-derive exactly from
+    * the postings (doc count and lengths from the distinct `(id, len)`
+    * pairs; `len` holds integral token counts, so summing it as a long
+    * is the same exact-integer arithmetic the from-text build does),
+    * which lets [[graft.streaming.StreamingPostingsIndex.rebuildIndex]]
+    * fold base + streamed segments into a fresh index WITHOUT
+    * re-tokenizing any text — bit-identical to building from the
+    * concatenated raw corpus.
+    */
+  def writeBm25IndexFromPostings(postings: DataFrame, idCol: String,
+                                 prefix: String, buckets: Int): (String, String) = {
     require(buckets >= 1, "buckets >= 1")
     val id = col(idCol)
-    val tok = docs.select(id,
-      size(split(col(textCol), " ")).cast("double").as("len"),
-      explode(split(col(textCol), " ")).as("term"))
-    val tf = tok.groupBy(id, col("len"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val stats = docs.agg(
+    val stats = postings.select(id, col("len")).distinct().agg(
       count(lit(1)).cast("double").as("_n"),
-      (sum(size(split(col(textCol), " "))).cast("double") /
+      (sum(col("len").cast("long")).cast("double") /
         count(lit(1))).as("_avgdl"))
-    val terms = tf.groupBy(col("term"))
+    val terms = postings.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("_df"))
       .crossJoin(broadcast(stats))
       .select(col("term"),
         round(log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)
           + 1.0), 9).as("idf"),
         col("_avgdl").as("avgdl"))
-    (ScaleJoins.writeBucketed(tf.select(id, col("len"), col("term"),
+    (ScaleJoins.writeBucketed(postings.select(id, col("len"), col("term"),
         col("tf")), s"${prefix}_postings", "term", buckets),
       ScaleJoins.writeBucketed(terms, s"${prefix}_terms", "term",
         math.max(1, buckets / 4)))
@@ -140,10 +168,21 @@ object Retrieval {
     */
   def probeBm25Index(spark: org.apache.spark.sql.SparkSession,
                      prefix: String, idCol: String, queries: DataFrame,
-                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    probePostings(spark.table(s"${prefix}_postings"),
+      spark.table(s"${prefix}_terms"), idCol, queries, k, k1, b)
+
+  /** [[probeBm25Index]] against explicit postings/terms frames — the
+    * core the catalog probe and the streaming live view
+    * ([[graft.streaming.StreamingPostingsIndex.probeLive]]) both call.
+    * `terms` supplies the idf/avgdl statistics; handing the probe a
+    * STALE terms frame alongside fresh postings is exactly the
+    * frozen-stats contract streaming maintenance runs under.
+    */
+  def probePostings(postings: DataFrame, terms: DataFrame, idCol: String,
+                    queries: DataFrame, k: Int, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
     require(k >= 1, "k >= 1")
-    val postings = spark.table(s"${prefix}_postings")
-    val terms = spark.table(s"${prefix}_terms")
     val id = col(idCol)
     val q = broadcast(queries).join(broadcast(terms), "term")
     val norm = lit(1.0 - b) + lit(b) * col("len") / col("avgdl")
