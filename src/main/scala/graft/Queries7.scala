@@ -341,7 +341,66 @@ object Queries7 {
         ORDER BY query_id, rn"""))
   }
 
+  // -------------------------------------------------------- q94_curriculum
+  /** Curriculum difficulty bucketing by length quartile — the
+    * scale-safe NTILE replacement: a global `ntile(4)` window drags
+    * the whole corpus through ONE task, so instead the three quartile
+    * THRESHOLDS come from the bounded-memory distributed rank
+    * selection ([[graft.operators.Percentiles.exactCont]], the q35
+    * machinery, one range exchange) and broadcast onto a narrow
+    * per-row CASE — the corpus never re-shuffles to learn its bucket.
+    * Report: per-bucket doc count, token mass, and the length range —
+    * the "pack easy/short first, hard/long later" curriculum layout
+    * feed. At 100 TB the thresholds would come from the q43 GK sketch
+    * (thresholds need not be exact); the exact pass is what the
+    * oracle can replay hash-for-hash (`quantile_cont` parity, rounded
+    * to 6 before the compare like q35).
+    */
+  val q94Curriculum = QueryDef(
+    "q94_curriculum",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{Percentiles, TextAnalysis}
+      val docs = t(s, dir, "documents").select($"doc_id",
+        TextAnalysis.tokenCount($"text").cast("double").as("toks"))
+      val th = Percentiles.exactCont(docs.withColumn("_g", lit(0)),
+          Seq("_g"), "toks", Seq(0.25, 0.5, 0.75))
+        .groupBy($"_g")
+        .agg(round(min(when($"p" === 0.25, $"value")), 6).as("t25"),
+          round(min(when($"p" === 0.5, $"value")), 6).as("t50"),
+          round(min(when($"p" === 0.75, $"value")), 6).as("t75"))
+        .drop("_g")
+      docs.crossJoin(broadcast(th))
+        .select($"doc_id", $"toks",
+          when($"toks" <= $"t25", 0L).when($"toks" <= $"t50", 1L)
+            .when($"toks" <= $"t75", 2L).otherwise(3L).as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"toks".cast("long")).as("token_mass"),
+          min($"toks").as("min_toks"), max($"toks").as("max_toks"))
+        .orderBy($"bucket")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS toks
+        FROM documents),
+      th AS (
+        SELECT round(quantile_cont(toks, 0.25), 6) AS t25,
+               round(quantile_cont(toks, 0.5), 6) AS t50,
+               round(quantile_cont(toks, 0.75), 6) AS t75
+        FROM d),
+      b AS (
+        SELECT doc_id, toks,
+               CASE WHEN toks <= t25 THEN 0 WHEN toks <= t50 THEN 1
+                    WHEN toks <= t75 THEN 2 ELSE 3 END AS bucket
+        FROM d, th)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(toks AS BIGINT)) AS BIGINT) AS token_mass,
+             min(toks) AS min_toks, max(toks) AS max_toks
+      FROM b GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[QueryDef] = Seq(
     q88Bm25, q89Dsir, q90HybridRrf, q91WeightedSample, q92ProbeMargin,
-    q93Bm25Indexed)
+    q93Bm25Indexed, q94Curriculum)
 }

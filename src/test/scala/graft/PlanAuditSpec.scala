@@ -353,6 +353,19 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-keyed exchange in the probe: $corpusKeyed\n$p")
   }
 
+  test("q94_curriculum: thresholds broadcast onto the corpus — bucket " +
+    "assignment is narrow, aggregation has map-side partials") {
+    val p = plan("q94_curriculum")
+    assert(!p.contains("CartesianProduct"), s"no corpus cross join:\n$p")
+    // the 1-row threshold frame attaches by broadcast nested loop —
+    // the corpus itself is never the build side and never re-shuffles
+    // to learn its bucket
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"threshold attach must broadcast the 1-row frame:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bucket aggregation must partial-aggregate map-side:\n$p")
+  }
+
   test("q92_probe_margin: margin cut is TakeOrdered over the narrow " +
     "scoring pass — no join, no corpus-wide window") {
     val p = plan("q92_probe_margin")
