@@ -400,7 +400,160 @@ object Queries7 {
              min(toks) AS min_toks, max(toks) AS max_toks
       FROM b GROUP BY 1 ORDER BY 1"""))
 
+  // ------------------------------------------------------- q95_dedup_recall
+  /** Dedup-recall harness — q50's "measure, don't guess" applied to
+    * the MinHash-LSH family: a FIXED-size probe set (the 128 smallest
+    * (hash, id) docs — a TakeOrdered, so the audit cost is bounded at
+    * ANY corpus size, never a fixed fraction whose all-pairs truth
+    * would grow quadratically) is scored one-vs-corpus. Exact
+    * 3-shingle Jaccard ≥ 0.4 from probe to corpus defines the
+    * directional ground-truth pairs (broadcast probes × one corpus
+    * stream — the q14 shape), and two bandings of the SAME 8-minhash
+    * signature are measured against it via the incremental cross-pair
+    * probe ([[graft.operators.Dedup.lshCrossPairs]]): 4 bands × 2
+    * rows (the q11 production dial, recall-leaning) vs 2 bands × 4
+    * rows (stricter buckets, fewer candidates). Per method: candidate
+    * count (the cost side), hits, possible, recall — the numbers the
+    * S-curve banding dial should be turned against. A method with
+    * zero hits still reports its row; an empty truth set reports
+    * recall 0 rather than a null division.
+    */
+  val q95DedupRecall = {
+    val Probes = 128
+    val bandSql = (name: String, src: String, bands: Int, rpb: Int) => {
+      val entries = (1 to rpb).map(r => s"sig[$rpb*b+$r]")
+        .mkString(" || ',' || ")
+      s"""$name AS (
+        SELECT doc_id, md5(b || ':' || $entries) AS band_key
+        FROM $src, unnest(range(0, $bands)) AS t$name(b))"""
+    }
+    QueryDef(
+      "q95_dedup_recall",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.GraftFunctions.{hash64, words}
+        import graft.operators.Dedup
+        val shBase = t(s, dir, "documents").select($"doc_id",
+            Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh"))
+          .filter(size($"sh") > 0)
+        val sh = if (shBase.storageLevel ==
+            org.apache.spark.storage.StorageLevel.NONE)
+          shBase.persist() else shBase
+        val probes = sh
+          .withColumn("_h", hash64($"doc_id".cast("string"), 95))
+          .orderBy($"_h", $"doc_id").limit(Probes).drop("_h")
+        // exact truth WITHOUT a probe × corpus brute force: J ≥ 0.4
+        // implies ≥ 1 shared shingle, so the shared-shingle postings
+        // equi-join is a LOSSLESS candidate cut (no df cap — a cap
+        // would bias the ground truth) and the O(|sh|²) intersect
+        // runs on those pairs only. The oracle states the same set as
+        // a plain jaccard predicate — identical by the implication.
+        val probeSh = broadcast(probes
+          .select($"doc_id".as("probe_id"), $"sh".as("sh_a")))
+        val sharedPairs = probeSh
+          .select($"probe_id", explode($"sh_a").as("_shh")).distinct()
+          .join(sh.select($"doc_id".as("cand_id"), explode($"sh").as("_shh"))
+            .distinct(), "_shh")
+          .select($"probe_id", $"cand_id").distinct()
+          .filter($"probe_id" =!= $"cand_id")
+        val truth = sharedPairs
+          .join(probeSh, "probe_id")
+          .join(sh.select($"doc_id".as("cand_id"), $"sh".as("sh_b")),
+            "cand_id")
+          .filter(round(Dedup.jaccard($"sh_a", $"sh_b"), 6) >= 0.4)
+          .select($"probe_id", $"cand_id")
+        val sigAll = sh.select($"doc_id", Dedup.minhashSig($"sh", 8).as("sig"))
+        val sigProbe = probes
+          .select($"doc_id", Dedup.minhashSig($"sh", 8).as("sig"))
+        def cross(bands: Int, rpb: Int, label: String) =
+          Dedup.lshCrossPairs(
+              Dedup.lshBands(sigProbe, "doc_id", "sig", bands, rpb),
+              Dedup.lshBands(sigAll, "doc_id", "sig", bands, rpb), "doc_id")
+            .filter($"id_new" =!= $"id_old")
+            .select(lit(label).as("method"), $"id_new".as("probe_id"),
+              $"id_old".as("cand_id"))
+        val cand = cross(4, 2, "lsh_4x2").unionByName(cross(2, 4, "lsh_2x4"))
+        val possible = broadcast(truth.agg(count(lit(1)).as("possible")))
+        val methods = Seq("lsh_2x4", "lsh_4x2").toDF("method")
+        val candCount = cand.groupBy($"method")
+          .agg(count(lit(1)).as("candidates"))
+        val hits = cand.join(truth, Seq("probe_id", "cand_id"))
+          .groupBy($"method").agg(count(lit(1)).as("hits"))
+        methods.join(candCount, Seq("method"), "left")
+          .join(hits, Seq("method"), "left")
+          .crossJoin(possible)
+          .select($"method",
+            coalesce($"candidates", lit(0L)).as("candidates"),
+            coalesce($"hits", lit(0L)).as("hits"), $"possible",
+            when($"possible" === 0, 0.0)
+              .otherwise(round(coalesce($"hits", lit(0L)).cast("double")
+                / $"possible", 6)).as("recall"))
+          .orderBy($"method")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w,
+                 list_transform(string_split(text, ' '),
+                   x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+          FROM documents),
+        shf AS (
+          SELECT doc_id,
+                 list_transform(range(0, len(w) - 2), i ->
+                   ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                     * 41 + (wh[i+3] % 1073741824)) AS sh0
+          FROM toks WHERE len(w) >= 3),
+        shx AS (SELECT doc_id, list_transform(sh0, v -> v % 1073741789) AS sh
+                FROM shf),
+        pr AS (
+          SELECT doc_id, sh FROM (
+            SELECT doc_id, sh, row_number() OVER (ORDER BY
+              CAST(('0x' || substr(md5('95:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+              doc_id) AS rn
+            FROM shx) WHERE rn <= $Probes),
+        truth AS (
+          SELECT pr.doc_id AS probe_id, c.doc_id AS cand_id
+          FROM pr, shx c
+          WHERE pr.doc_id != c.doc_id
+            AND round(CAST(len(list_distinct(list_intersect(pr.sh, c.sh))) AS DOUBLE)
+                      / len(list_distinct(list_concat(pr.sh, c.sh))), 6) >= 0.4),
+        mh AS (
+          SELECT doc_id,
+                 list_transform([31, 37, 41, 43, 47, 53, 59, 61], a ->
+                   list_min(list_transform(sh,
+                     h -> (a * (h % 1073741824) + a*7 + 3) % 1073741789))) AS sig
+          FROM shx),
+        mhp AS (SELECT mh.* FROM mh JOIN pr USING (doc_id)),
+        ${bandSql("b42c", "mh", 4, 2)},
+        ${bandSql("b24c", "mh", 2, 4)},
+        ${bandSql("b42p", "mhp", 4, 2)},
+        ${bandSql("b24p", "mhp", 2, 4)},
+        cand AS (
+          SELECT 'lsh_4x2' AS method, probe_id, cand_id FROM (
+            SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS cand_id
+            FROM b42p p JOIN b42c c USING (band_key)
+            WHERE p.doc_id != c.doc_id)
+          UNION ALL
+          SELECT 'lsh_2x4' AS method, probe_id, cand_id FROM (
+            SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS cand_id
+            FROM b24p p JOIN b24c c USING (band_key)
+            WHERE p.doc_id != c.doc_id)),
+        poss AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM truth),
+        cc AS (SELECT method, CAST(count(*) AS BIGINT) AS candidates
+               FROM cand GROUP BY 1),
+        hh AS (SELECT method, CAST(count(*) AS BIGINT) AS hits
+               FROM cand JOIN truth USING (probe_id, cand_id) GROUP BY 1),
+        methods AS (SELECT unnest(['lsh_2x4', 'lsh_4x2']) AS method)
+        SELECT method, coalesce(candidates, 0) AS candidates,
+               coalesce(hits, 0) AS hits, possible,
+               CASE WHEN possible = 0 THEN 0.0
+                    ELSE round(CAST(coalesce(hits, 0) AS DOUBLE) / possible, 6)
+               END AS recall
+        FROM methods LEFT JOIN cc USING (method) LEFT JOIN hh USING (method),
+             poss
+        ORDER BY method"""))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q88Bm25, q89Dsir, q90HybridRrf, q91WeightedSample, q92ProbeMargin,
-    q93Bm25Indexed, q94Curriculum)
+    q93Bm25Indexed, q94Curriculum, q95DedupRecall)
 }
