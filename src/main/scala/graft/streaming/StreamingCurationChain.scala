@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.GraftFunctions.hash64
 
-/** The streaming curation chain — the three incremental-maintenance
+/** The streaming curation chain — the four incremental-maintenance
   * pieces composed into ONE per-batch pipeline, the continuous form of
   * the batch curation funnel:
   *
@@ -17,15 +17,18 @@ import graft.functions.GraftFunctions.hash64
   *     ADMITTED documents (read back from the kept store — the single
   *     source of truth — and re-joined to the batch's source/lang);
   *  3. [[StreamingVectorIndex]] appends the admitted documents'
-  *     embeddings to the IVF lists under `indexDir/batch=<id>`.
+  *     embeddings to the IVF lists under `indexDir/batch=<id>`;
+  *  4. [[StreamingPostingsIndex]] appends the admitted documents'
+  *     BM25 postings under `postingsDir/batch=<id>` — the curated
+  *     corpus stays lexically searchable as it grows.
   *
-  * Batch-atomic consistency across the three artifacts: the streaming
+  * Batch-atomic consistency across the four artifacts: the streaming
   * checkpoint commits only after the WHOLE chain returns, so a crash at
   * any point replays the batch from stage 1; every stage is idempotent
-  * per batch (kept/card/index overwrite their own `batch=<id>`
+  * per batch (kept/card/index/postings overwrite their own `batch=<id>`
   * partition; the band-index append is replay-safe because the probe
-  * excludes same-id matches), and stages 2–3 derive from the stage-1
-  * artifact rather than the raw batch — so after the replay all three
+  * excludes same-id matches), and stages 2–4 derive from the stage-1
+  * artifact rather than the raw batch — so after the replay all four
   * artifacts describe exactly the admitted documents of batches 0..N,
   * once each, no matter where the crash fell. Same recovery discipline
   * as [[graft.operators.Compaction.compactBatchTree]]: decide from what
@@ -54,7 +57,7 @@ object StreamingCurationChain {
     */
   def processBatch(spark: SparkSession, batch: DataFrame, prefix: String,
                    keptDir: String, cardDir: String, indexDir: String,
-                   centroids: DataFrame, batchId: Long,
+                   postingsDir: String, centroids: DataFrame, batchId: Long,
                    jaccardMin: Double = 0.5, buckets: Int = 8,
                    dims: Int = 8,
                    onStage: (Long, Int) => Unit = (_, _) => ()): Unit = {
@@ -72,6 +75,10 @@ object StreamingCurationChain {
         textEmbedding(col("text"), dims).as("cv")),
       centroids, indexDir, batchId)
     onStage(batchId, 3)
+    StreamingPostingsIndex.writeBatch(
+      kept.select(col("doc_id"), col("text")), "doc_id", "text",
+      postingsDir, batchId)
+    onStage(batchId, 4)
   }
 
   /** Start the chain on a streaming `(doc_id, text, lang, source)`
@@ -79,7 +86,8 @@ object StreamingCurationChain {
     * [[StreamingVectorIndex]] contract).
     */
   def start(source: DataFrame, prefix: String, keptDir: String,
-            cardDir: String, indexDir: String, centroids: DataFrame,
+            cardDir: String, indexDir: String, postingsDir: String,
+            centroids: DataFrame,
             checkpoint: String, jaccardMin: Double = 0.5, buckets: Int = 8,
             dims: Int = 8,
             onStage: (Long, Int) => Unit = (_, _) => ()): StreamingQuery = {
@@ -87,7 +95,8 @@ object StreamingCurationChain {
     source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, prefix, keptDir, cardDir,
-          indexDir, centroids, batchId, jaccardMin, buckets, dims, onStage)
+          indexDir, postingsDir, centroids, batchId, jaccardMin, buckets,
+          dims, onStage)
       }
       .option("checkpointLocation", checkpoint)
       .start()

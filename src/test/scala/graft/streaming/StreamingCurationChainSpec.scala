@@ -7,11 +7,12 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 case class ChainDoc(doc_id: Long, text: String, lang: String, source: String)
 
-/** [[StreamingCurationChain]]: the dedup gate, the card partials, and
-  * the vector index driven as ONE foreachBatch chain over ≥3 batches,
-  * with a mid-chain crash (after the card write, before the index
-  * append) replayed from the checkpoint — all three artifacts must
-  * describe exactly the admitted documents, once each.
+/** [[StreamingCurationChain]]: the dedup gate, the card partials, the
+  * vector index, and the postings index driven as ONE foreachBatch
+  * chain over ≥3 batches, with a mid-chain crash (after the vector
+  * index append, before the postings append) replayed from the
+  * checkpoint — all four artifacts must describe exactly the admitted
+  * documents, once each.
   */
 class StreamingCurationChainSpec extends SparkSpec {
 
@@ -23,14 +24,15 @@ class StreamingCurationChainSpec extends SparkSpec {
     (1L, Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
   ).toDF("centroid_id", "centroid_vec")
 
-  test("3 batches with a killed batch replayed: kept, card, index stay consistent") {
+  test("3 batches with a killed batch replayed: kept, card, index, postings stay consistent") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("chain").toString
     val prefix = "graft_spec_chain"
     val crashArmed = new AtomicBoolean(true)
     def chain(onStage: (Long, Int) => Unit) = StreamingCurationChain.start(
       in.toDF(), prefix, keptDir = s"$dir/kept", cardDir = s"$dir/card",
-      indexDir = s"$dir/ivf", centroids = centroids,
+      indexDir = s"$dir/ivf", postingsDir = s"$dir/post",
+      centroids = centroids,
       checkpoint = s"$dir/ckpt", onStage = onStage)
     lazy val in = MemoryStream[ChainDoc]
 
@@ -40,12 +42,13 @@ class StreamingCurationChainSpec extends SparkSpec {
       ChainDoc(2L, "alpha beta gamma delta epsilon zeta", "en", "web"),
       ChainDoc(3L, "the quick brown fox jumps over lazy dogs", "en", "books"))
     val q1 = chain((id, stage) =>
-      if (id == 1L && stage == 2 && crashArmed.getAndSet(false))
-        throw new RuntimeException("injected crash: card written, index not"))
+      if (id == 1L && stage == 3 && crashArmed.getAndSet(false))
+        throw new RuntimeException(
+          "injected crash: index appended, postings not"))
     q1.processAllAvailable()
 
     // batch 1: 4 duplicates batch-0's doc 1 (cross-batch -> blocked),
-    // 5 novel — and the chain DIES between stage 2 and stage 3
+    // 5 novel — and the chain DIES between stage 3 and stage 4
     in.addData(
       ChainDoc(4L, "alpha beta gamma delta epsilon zeta", "en", "web"),
       ChainDoc(5L, "entirely new content appears in this batch", "de", "web"))
@@ -53,12 +56,12 @@ class StreamingCurationChainSpec extends SparkSpec {
       q1.processAllAvailable()
     }
     assert(!q1.isActive)
-    // the torn state the crash left behind: card partial for batch 1
-    // exists, its index partition does not
+    // the torn state the crash left behind: batch 1's index partition
+    // exists, its postings partition does not
     assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$dir/card/batch=1")))
-    assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/ivf/batch=1")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/post/batch=1")))
 
     // restart from the same checkpoint: batch 1 replays whole, then
     // batch 2 (6 novel, 7 duplicates 5 intra-batch) flows through
@@ -99,5 +102,20 @@ class StreamingCurationChainSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cells == oneShotCells,
       s"streamed cells $cells != one-shot $oneShotCells")
+
+    // postings: exactly the admitted docs, equal to the one-shot
+    // tokenize of the kept store (the replayed batch overwrote its own
+    // segment — no doubled tf from the crash)
+    val post = StreamingPostingsIndex.postings(spark, s"$dir/post",
+      kept.select($"doc_id", $"text"), "doc_id", "text")
+    val postedIds = post.select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(postedIds == keptIds, s"posted = $postedIds")
+    val postRows = post.collect().map(_.toSeq).toSet
+    val oneShotPost = graft.operators.Retrieval
+      .tfPostings(kept.select($"doc_id", $"text"), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(postRows == oneShotPost,
+      "streamed postings must equal the one-shot tokenize of the kept store")
   }
 }
