@@ -49,12 +49,10 @@ object Retrieval {
     // len rides along from the tokenize projection and joins the
     // grouping key: functionally dependent on the id, so cardinality is
     // unchanged, the doc-length attach costs no join and no window, and
-    // tf stays a single exchange
-    val tok = docs.select(id,
-      size(split(col(textCol), " ")).cast("double").as("_len"),
-      explode(split(col(textCol), " ")).as("term"))
-    val tf = tok.groupBy(id, col("_len"), col("term"))
-      .agg(count(lit(1)).cast("double").as("_tf"))
+    // tf stays a single exchange ([[tfPostings]] — the same frame the
+    // index build persists)
+    val tf = tfPostings(docs, idCol, textCol)
+      .withColumnRenamed("len", "_len").withColumnRenamed("tf", "_tf")
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("_df"))
     val stats = docs.agg(
