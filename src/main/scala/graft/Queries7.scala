@@ -553,7 +553,66 @@ object Queries7 {
         ORDER BY method"""))
   }
 
+  // ----------------------------------------------------- q96_temperature_mix
+  /** Temperature-scaled language rebalance
+    * ([[graft.operators.Sampling.sqrtTemperatureMix]], α = 0.5): the
+    * per-language target shares derive from the corpus's own counts
+    * (`√c / Σ√c` — en is flattened, tail languages upweighted), sized
+    * to a half-corpus budget and realized as a deterministic hash cut.
+    * The report echoes each language's count, its derived threshold,
+    * and the kept count — the oracle re-derives the identical
+    * thresholds from its own GROUP BY (exact counts, round-6 sqrts,
+    * decimal sum, IEEE rate, integer floor) and replays the cut.
+    */
+  val q96TemperatureMix = {
+    val G = 10000
+    QueryDef(
+      "q96_temperature_mix",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Sampling
+        val docs = t(s, dir, "documents")
+        val hist = docs.groupBy($"lang").agg(count(lit(1)).as("_n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+        val cuts = Sampling.temperatureCuts(hist, budgetNum = 1,
+          budgetDen = 2, granularity = G)
+        val kept = Sampling.applyCuts(docs, $"doc_id".cast("string"),
+          $"lang", cuts, seed = 96, granularity = G)
+        val cutsDf = hist.map(_._2).zip(cuts)
+          .map { case (n, (k, c)) => (k, n, c) }
+          .toDF("lang", "n_lang", "cut")
+        broadcast(cutsDf)
+          .join(kept.groupBy($"lang").agg(count(lit(1)).as("n_kept")),
+            Seq("lang"), "left")
+          .select($"lang", $"n_lang", $"cut",
+            coalesce($"n_kept", lit(0L)).as("n_kept"))
+          .orderBy($"lang")
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents
+          GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) * 1 // 2 AS n_out FROM h),
+        w AS (SELECT lang, c, round(sqrt(CAST(c AS DOUBLE)), 6) AS wi FROM h),
+        ws AS (SELECT CAST(SUM(CAST(wi AS DECIMAL(27,12))) AS DOUBLE) AS wsum
+               FROM w),
+        cuts AS (
+          SELECT lang, c,
+                 CAST(floor(least(1.0,
+                   CAST(n_out AS DOUBLE) * (wi / wsum) / CAST(c AS DOUBLE))
+                   * $G) AS BIGINT) AS cut
+          FROM w, ws, tot),
+        kept AS (
+          SELECT d.lang, d.doc_id FROM documents d JOIN cuts USING (lang)
+          WHERE CAST(('0x' || substr(md5('96:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % $G < cut)
+        SELECT cuts.lang, cuts.c AS n_lang, cuts.cut,
+               CAST(count(kept.doc_id) AS BIGINT) AS n_kept
+        FROM cuts LEFT JOIN kept ON kept.lang = cuts.lang
+        GROUP BY 1, 2, 3 ORDER BY 1"""))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q88Bm25, q89Dsir, q90HybridRrf, q91WeightedSample, q92ProbeMargin,
-    q93Bm25Indexed, q94Curriculum, q95DedupRecall)
+    q93Bm25Indexed, q94Curriculum, q95DedupRecall, q96TemperatureMix)
 }

@@ -213,6 +213,81 @@ object Sampling {
       .filter(col("sample_rank") <= cap)
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual α-sampling
+    * rebalance, fixed at α = 0.5): derive each stratum's target share
+    * from its OWN corpus count as `q_s = √c_s / Σ√c`, flattening the
+    * head without inverting the order — then realize the mix as a
+    * deterministic hash cut sized to a `budgetNum/budgetDen` fraction
+    * of the corpus. [[rebalanceToMix]] takes the mixture as GIVEN
+    * exact rationals; this DERIVES it from the data, which is how the
+    * "don't let English drown the tail languages" dial is actually
+    * set. α is fixed at 0.5 because `sqrt` is IEEE-correctly-rounded
+    * in every engine while a general `pow` is not (the q60 libm
+    * lesson); other temperatures would need the rounding quarantine.
+    *
+    * Determinism contract: per-stratum counts are exact longs, each
+    * √c rounds to 6, their sum is an exact decimal (order-free), the
+    * rate `min(1, budget·q_s / c_s)` is pure IEEE arithmetic over
+    * identical doubles, and the cut is `floor(rate · granularity)` —
+    * integer-compared against the hash, so the oracle derives the
+    * identical thresholds from its own GROUP BY.
+    *
+    * Scale shape: ONE O(strata) histogram collect (the
+    * [[rebalanceToMix]] precedent), thresholds return as a LITERAL
+    * CASE chain — the keep decision is scan-adjacent, no join. The
+    * histogram job runs eagerly at plan-build time.
+    */
+  def sqrtTemperatureMix(df: DataFrame, key: Column, stratum: Column,
+                         budgetNum: Int, budgetDen: Int, seed: Int,
+                         granularity: Int = 10000): DataFrame = {
+    require(budgetNum > 0 && budgetDen >= budgetNum,
+      "budget must be a fraction in (0, 1]")
+    require(granularity > 0, "granularity must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.select(stratum.cast("string").as("_stratum"))
+      .groupBy($"_stratum").agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    applyCuts(df, key, stratum,
+      temperatureCuts(hist, budgetNum, budgetDen, granularity),
+      seed, granularity)
+  }
+
+  /** The hash-cut filter under a precomputed threshold table — the
+    * literal CASE chain [[stratifiedByHash]] and
+    * [[sqrtTemperatureMix]] both compile to, exposed so callers that
+    * already hold the histogram (e.g. to echo the cuts in a report)
+    * apply it without a second histogram job. Strata absent from
+    * `cuts` are dropped (cut 0).
+    */
+  def applyCuts(df: DataFrame, key: Column, stratum: Column,
+                cuts: Seq[(String, Long)], seed: Int,
+                granularity: Int): DataFrame = {
+    require(granularity > 0, "granularity must be positive")
+    val cut = cuts.foldLeft(lit(0L)) { case (acc, (k, c)) =>
+      when(stratum === k, lit(c)).otherwise(acc)
+    }
+    df.filter(hash64(key, seed) % granularity < cut)
+  }
+
+  /** The [[sqrtTemperatureMix]] threshold table from a stratum
+    * histogram — exposed so reports can echo the cuts they sampled
+    * under. `(stratum, floor(min(1, budget·q_s/c_s)·granularity))`.
+    */
+  def temperatureCuts(hist: Seq[(String, Long)], budgetNum: Int,
+                      budgetDen: Int, granularity: Int): Seq[(String, Long)] = {
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = hist.map { case (k, c) => (k, c, round6(math.sqrt(c.toDouble))) }
+    val wsum = w.map { case (_, _, wi) => BigDecimal(wi) }
+      .foldLeft(BigDecimal(0))(_ + _).toDouble
+    val nOut = hist.map(_._2).sum * budgetNum / budgetDen
+    w.map { case (k, c, wi) =>
+      val rate = math.min(1.0, nOut.toDouble * (wi / wsum) / c.toDouble)
+      (k, math.floor(rate * granularity).toLong)
+    }
+  }
+
   /** Weighted sampling WITHOUT replacement via the exponential race
     * (Efraimidis & Spirakis 2006, the `-ln(u)/w` formulation): each
     * row draws a deterministic uniform `u` from `hash64(id, seed)`,

@@ -170,6 +170,41 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("sqrtTemperatureMix: flattens the head, keeps order, honors budget") {
+    // 3000 en vs 600 fr vs 400 zh: sqrt-temperature must raise the
+    // tail languages' keep-rate above the head's without inverting
+    // the kept-count order
+    val skewed = (0 until 4000).map { i =>
+      (i.toLong, if (i < 3000) "en" else if (i < 3600) "fr" else "zh")
+    }.toDF("id", "lang")
+    val cuts = Sampling.temperatureCuts(
+      Seq("en" -> 3000L, "fr" -> 600L, "zh" -> 400L),
+      budgetNum = 1, budgetDen = 2, granularity = 10000).toMap
+    assert(cuts("zh") > cuts("fr") && cuts("fr") > cuts("en"),
+      s"rarer strata must keep a HIGHER rate: $cuts")
+    val kept = Sampling.sqrtTemperatureMix(skewed, $"id".cast("string"),
+        $"lang", budgetNum = 1, budgetDen = 2, seed = 9)
+      .groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") > kept("fr") && kept("fr") > kept("zh"),
+      s"temperature flattens, it must not invert: $kept")
+    val total = kept.values.sum.toDouble
+    assert(total > 4000 * 0.4 && total < 4000 * 0.6,
+      s"half-corpus budget honored approximately: $total")
+  }
+
+  test("temperatureCuts: rate capped at 1; tiny stratum cannot overdraw") {
+    val cuts = Sampling.temperatureCuts(
+      Seq("big" -> 10000L, "tiny" -> 4L),
+      budgetNum = 9, budgetDen = 10, granularity = 10000).toMap
+    assert(cuts("tiny") == 10000L,
+      s"a stratum below its share keeps everything, never more: $cuts")
+    intercept[IllegalArgumentException] {
+      Sampling.sqrtTemperatureMix(df, $"id".cast("string"), $"lang",
+        budgetNum = 3, budgetDen = 2, seed = 1)
+    }
+  }
+
   test("weightedSample: deterministic, n rows, dense 1-based rank") {
     def run() = Sampling.weightedSample(
       df, "id", lit(1.0), n = 25, seed = 17)
