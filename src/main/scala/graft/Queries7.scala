@@ -254,7 +254,7 @@ object Queries7 {
       WITH w AS (
         SELECT doc_id, round(ln(1.0 + n_chars), 9) AS wgt,
                round(ln((CAST(('0x' || substr(md5('91:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                         % 1000000 + 1) / 1000000.0), 9) AS lnu
+                         % 1000000 + 1) / 1000001.0), 9) AS lnu
         FROM documents),
       k AS (SELECT doc_id, wgt, round(-lnu / wgt, 9) AS ekey FROM w),
       r AS (

@@ -303,14 +303,18 @@ object Sampling {
     * TakeOrderedAndProject, a per-partition top-n merge, never a
     * global sort; the rank window runs over the `n` survivors only.
     *
-    * Determinism contract: `u = (hash64(id, seed) mod 10^6 + 1)/10^6`
-    * ∈ (0, 1] (never 0, so the ln is finite; u = 1 → key 0 is fine),
-    * `ln(u)` rounds to 9 right after the libm call (the q37/q88
-    * discipline), `w` must arrive pre-rounded from the caller, and the
-    * key — one IEEE division of two rounded doubles — rounds to 9
-    * before ranking. Ties break on the id. `weight` must be > 0 for
-    * every row (a zero weight would divide by zero; rows that should
-    * never win belong in a filter, not at weight 0).
+    * Determinism contract:
+    * `u = (hash64(id, seed) mod 10^6 + 1)/(10^6 + 1)` ∈ (0, 1) — never
+    * 0 (the ln stays finite) and strictly BELOW 1, so `ln(u)` is
+    * strictly negative and the key strictly positive: a key of −0.0/w
+    * would round to 0.0 in Spark (BigDecimal normalizes the sign) but
+    * stay −0.0 in DuckDB, and the two stringify differently in the
+    * hash compare. `ln(u)` rounds to 9 right after the libm call (the
+    * q37/q88 discipline), `w` must arrive pre-rounded from the caller,
+    * and the key — one IEEE division of two rounded doubles — rounds
+    * to 9 before ranking. Ties break on the id. `weight` must be > 0
+    * for every row (a zero weight would divide by zero; rows that
+    * should never win belong in a filter, not at weight 0).
     *
     * Returns `(rn, idCol, wgt, ekey)` ordered by `rn` 1-based.
     */
@@ -319,7 +323,7 @@ object Sampling {
     require(n >= 1, "n must be >= 1")
     val id = col(idCol)
     val u = ((hash64(id.cast("string"), seed) % 1000000 + 1)
-      .cast("double") / 1000000.0)
+      .cast("double") / 1000001.0)
     val keyed = df.select(id, weight.as("wgt"),
         round(log(u), 9).as("_lnu"))
       .select(id, col("wgt"), round(-col("_lnu") / col("wgt"), 9).as("ekey"))
