@@ -612,7 +612,88 @@ object Queries7 {
         GROUP BY 1, 2, 3 ORDER BY 1"""))
   }
 
+  // ------------------------------------------------------- q97_collocations
+  /** PMI collocation mining: the top-20 adjacent word pairs by
+    * pointwise mutual information `ln(p(ab) / (p(a)·p(b)))` with a
+    * min-count floor — the corpus-analysis primitive behind
+    * multi-word-expression discovery and tokenizer-merge sanity
+    * checks (a BPE merge list q70 induces by frequency; PMI surfaces
+    * the pairs frequency alone under-ranks). q63 ranks n-grams by raw
+    * document frequency; PMI normalizes by both constituents, so
+    * boilerplate words drop out without a df cap.
+    *
+    * Determinism: all counts are exact integers in doubles (exact up
+    * to 2^53, order-free), the probability ratio evaluates in one
+    * fixed IEEE tree, the `ln` rounds to 9 (the q37/q88 discipline),
+    * ties break on the bigram. Scale shape: two exploded aggregations
+    * (unigrams, bigrams), two vocab-keyed equi-joins for the
+    * constituent counts — never broadcast (a 100 TB vocab outgrows a
+    * broadcast; AQE may still choose one when small), totals attach
+    * as broadcast 1-row aggregates, and the cut is orderBy+limit.
+    */
+  val q97Collocations = {
+    val MinCount = 5; val K = 20
+    QueryDef(
+      "q97_collocations",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.GraftFunctions.{shingles, words}
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(explode(words($"text")).as("w"))
+        val uni = toks.groupBy($"w")
+          .agg(count(lit(1)).cast("double").as("cw"))
+        val uniTot = toks.agg(count(lit(1)).cast("double").as("t"))
+        val bis = docs.select(explode(shingles(words($"text"), 2))
+          .as("bigram"))
+        val biTot = bis.agg(count(lit(1)).cast("double").as("tb"))
+        val bi = bis.groupBy($"bigram")
+          .agg(count(lit(1)).cast("double").as("cab"))
+          .filter($"cab" >= MinCount)
+        val scored = bi
+          .withColumn("w1", split($"bigram", " ")(0))
+          .withColumn("w2", split($"bigram", " ")(1))
+          .join(uni.select($"w".as("w1"), $"cw".as("ca")), "w1")
+          .join(uni.select($"w".as("w2"), $"cw".as("cb")), "w2")
+          .crossJoin(broadcast(uniTot)).crossJoin(broadcast(biTot))
+          .select($"bigram", $"cab".cast("long").as("n_ab"),
+            round(log(($"cab" / $"tb") / (($"ca" / $"t") * ($"cb" / $"t"))),
+              9).as("pmi"))
+        val w = Window.orderBy($"pmi".desc, $"bigram".asc)
+        scored.orderBy($"pmi".desc, $"bigram".asc).limit(K)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .select($"rn", $"bigram", $"n_ab", $"pmi")
+          .orderBy($"rn")
+      },
+      Some(s"""
+        WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+        us AS (SELECT unnest(w) AS u FROM toks),
+        uni AS (SELECT u AS w, CAST(count(*) AS DOUBLE) AS cw
+                FROM us GROUP BY 1),
+        ut AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM us),
+        bis AS (
+          SELECT array_to_string(list_slice(w, i + 1, i + 2), ' ') AS bigram
+          FROM toks, unnest(range(0, len(w) - 1)) AS tt(i)
+          WHERE len(w) >= 2),
+        bt AS (SELECT CAST(count(*) AS DOUBLE) AS tb FROM bis),
+        bi AS (SELECT bigram, CAST(count(*) AS DOUBLE) AS cab
+               FROM bis GROUP BY 1 HAVING count(*) >= $MinCount),
+        sc AS (
+          SELECT bigram, CAST(cab AS BIGINT) AS n_ab,
+                 round(ln((cab / tb) /
+                          ((ua.cw / t) * (ub.cw / t))), 9) AS pmi
+          FROM bi
+          JOIN uni ua ON ua.w = string_split(bigram, ' ')[1]
+          JOIN uni ub ON ub.w = string_split(bigram, ' ')[2], ut, bt),
+        r AS (
+          SELECT bigram, n_ab, pmi,
+                 CAST(row_number() OVER (ORDER BY pmi DESC, bigram)
+                   AS BIGINT) AS rn
+          FROM sc)
+        SELECT rn, bigram, n_ab, pmi FROM r WHERE rn <= $K ORDER BY rn"""))
+  }
+
   def all: Seq[QueryDef] = Seq(
     q88Bm25, q89Dsir, q90HybridRrf, q91WeightedSample, q92ProbeMargin,
-    q93Bm25Indexed, q94Curriculum, q95DedupRecall, q96TemperatureMix)
+    q93Bm25Indexed, q94Curriculum, q95DedupRecall, q96TemperatureMix,
+    q97Collocations)
 }
