@@ -366,6 +366,24 @@ class PlanAuditSpec extends SparkSpec {
       s"bucket aggregation must partial-aggregate map-side:\n$p")
   }
 
+  test("q96_temperature_mix: derived cuts are a scan-adjacent literal " +
+    "CASE — no join between the scan and the keep filter") {
+    // plan() runs the O(langs) histogram collect as a side effect; the
+    // RETURNED plan must carry the thresholds as literals
+    val p = plan("q96_temperature_mix")
+    assert(!p.contains("CartesianProduct"), s"no cross join:\n$p")
+    assert(p.contains("CASE WHEN"),
+      s"thresholds must be a literal CASE chain:\n$p")
+  }
+
+  test("q97_collocations: vocab joins are equi-joins, the cut is " +
+    "TakeOrdered — no cartesian, no global sort") {
+    val p = plan("q97_collocations")
+    assert(!p.contains("CartesianProduct"), s"no cross join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a distributed top-k merge:\n$p")
+  }
+
   test("q92_probe_margin: margin cut is TakeOrdered over the narrow " +
     "scoring pass — no join, no corpus-wide window") {
     val p = plan("q92_probe_margin")
