@@ -384,6 +384,20 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k must be a distributed top-k merge:\n$p")
   }
 
+  test("q98_pagerank: ranks come from the materialized checkpoint (no " +
+    "iteration replay per action) and join nation without a cartesian") {
+    // the iteration plans run eagerly inside pageRank (pin-per-round);
+    // the RETURNED plan must only read the final pinned rank frame —
+    // a downstream consumer re-running five iterations per action
+    // would be the scale bug
+    val p = plan("q98_pagerank")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"ranks must be served from the pinned frame:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"the fact-join edge build must not replay in the returned plan:\n$p")
+  }
+
   test("q92_probe_margin: margin cut is TakeOrdered over the narrow " +
     "scoring pass — no join, no corpus-wide window") {
     val p = plan("q92_probe_margin")
