@@ -92,5 +92,64 @@ object Queries8 {
         ORDER BY rank DESC, nation"""))
   }
 
-  def all: Seq[QueryDef] = Seq(q98Pagerank)
+  // ---------------------------------------------------------- q99_dict_tagger
+  /** Dictionary tagging over the corpus
+    * ([[graft.functions.MultiPatternCounts]]): per-pattern OVERLAPPING
+    * occurrence totals and affected-document counts for a fixed phrase
+    * dictionary, matched by one Aho–Corasick pass per document instead
+    * of K per-pattern scans — the blocklist/taxonomy-tagger shape
+    * where the dictionary is 10⁴ phrases at production scale and
+    * re-scanning the corpus per pattern is the non-starter. The
+    * dictionary deliberately contains a sub-phrase of another entry
+    * ("join" ⊂ "merge join") and a self-overlapping phrase ("batch
+    * batch"), so the oracle must count POSITIONALLY (`substr(text, i,
+    * len(p)) = p` over every start) — `replace`-division undercounts
+    * both. Scale shape: one narrow codegen'd pass fused into the scan,
+    * a K-wide posexplode collapsed by map-side partial agg to K rows,
+    * pattern names attached by broadcast.
+    */
+  val q99DictTagger = {
+    val Pats = Seq("batch batch", "merge join", "join", "scan", "the", "window")
+    QueryDef(
+      "q99_dict_tagger",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.MultiPatternCounts
+        import org.apache.spark.sql.graftcolumn
+        val counted = t(s, dir, "documents")
+          .select($"doc_id", graftcolumn(
+            MultiPatternCounts(graftcolumn.expr($"text"), Pats)).as("c"))
+          .select($"doc_id", posexplode($"c"))
+          .toDF("doc_id", "pi", "n")
+        val names = Pats.zipWithIndex.map { case (p, i) => (i, p) }
+          .toDF("pi", "pattern")
+        counted.groupBy($"pi")
+          .agg(sum($"n").as("n_occ"),
+            sum(when($"n" > 0, 1L).otherwise(0L)).as("n_docs"))
+          .join(broadcast(names), "pi")
+          .select($"pattern", $"n_occ", $"n_docs")
+          .orderBy($"pattern")
+      },
+      Some(s"""
+        WITH pats AS (
+          SELECT * FROM (VALUES ${Pats.map(p => s"('$p')").mkString(", ")})
+            AS t(pattern)),
+        hits AS (
+          SELECT d.doc_id, p.pattern
+          FROM documents d
+          CROSS JOIN pats p,
+          unnest(range(1, length(d.text) - length(p.pattern) + 2)) AS u(i)
+          WHERE substr(d.text, CAST(i AS INTEGER), length(p.pattern))
+                  = p.pattern),
+        agg AS (
+          SELECT pattern, CAST(count(*) AS BIGINT) AS n_occ,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM hits GROUP BY 1)
+        SELECT p.pattern, coalesce(a.n_occ, 0) AS n_occ,
+               coalesce(a.n_docs, 0) AS n_docs
+        FROM pats p LEFT JOIN agg a USING (pattern)
+        ORDER BY p.pattern"""))
+  }
+
+  def all: Seq[QueryDef] = Seq(q98Pagerank, q99DictTagger)
 }

@@ -398,6 +398,18 @@ class PlanAuditSpec extends SparkSpec {
       s"the fact-join edge build must not replay in the returned plan:\n$p")
   }
 
+  test("q99_dict_tagger: one fused dictionary pass, map-side partial " +
+    "agg, names attach by broadcast — no cartesian, no per-pattern scan") {
+    val p = plan("q99_dict_tagger")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.toLowerCase.contains("multipatterncounts"),
+      s"the dictionary must match in ONE expression, not K scans:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-pattern totals must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"pattern names must attach by broadcast:\n$p")
+  }
+
   test("q92_probe_margin: margin cut is TakeOrdered over the narrow " +
     "scoring pass — no join, no corpus-wide window") {
     val p = plan("q92_probe_margin")
