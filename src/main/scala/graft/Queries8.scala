@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.words
+
 /** Round-11 query surface, part 2: graph centrality, dictionary
   * tagging, and curation observability. Oracle-parity rules as in
   * [[Queries]]/[[Queries2]].
@@ -151,5 +153,115 @@ object Queries8 {
         ORDER BY p.pattern"""))
   }
 
-  def all: Seq[QueryDef] = Seq(q98Pagerank, q99DictTagger)
+  // --------------------------------------------------- q100_filter_attribution
+  /** Curation-funnel observability: the per-rule attribution matrix for
+    * a five-rule quality battery (the Dolma tagger/mixer audit shape —
+    * before changing a threshold you need to know which rules kill
+    * which docs and how much they OVERLAP, because the union, not the
+    * sum, is what leaves the corpus). Output: one row per failed-rule
+    * pair `(rule_a ≤ rule_b, n_docs failing both)` — the diagonal is
+    * each rule's kill count — plus a `_any` row with the union. Rules
+    * reuse the shipped signal battery (q13/q46/q56 arithmetic), so the
+    * matrix audits exactly the gates the engine applies elsewhere.
+    * Scale shape: one narrow scoring pass; the pair matrix comes from a
+    * double explode of the ≤5-entry failed-rule set (≤25 rows per doc
+    * before the map-side partial agg collapses to ≤25 groups + 1) —
+    * no self-join shuffle; the union row is a distinct-count over the
+    * failed docs. At 100 TB the flags frame would be cached/written
+    * once and both aggregates read it; here the projection recomputes
+    * (two scans of a codegen'd narrow pass).
+    */
+  val q100FilterAttribution = {
+    import Queries2.Vocab._
+    val sqlPunct = graft.operators.TextAnalysis.PunctClass.replace("'", "''")
+    def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    QueryDef(
+      "q100_filter_attribution",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.{Dedup, TextAnalysis}
+        val flags = t(s, dir, "documents")
+          .select($"doc_id",
+            Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))).as("sh"),
+            TextAnalysis.tokenCount($"text").as("toks"),
+            TextAnalysis.stopwordRatio($"text", stopwords).as("stopr"),
+            TextAnalysis.qualityScore($"text", stopwords).as("quality"))
+          .withColumn("dup_frac", when(size($"sh") === 0, lit(0.0)).otherwise(
+            round(lit(1.0) - size(array_distinct($"sh")).cast("double")
+              / size($"sh"), 6)))
+          .select($"doc_id", array(
+            struct(lit("low_quality").as("r"), ($"quality" < 0.5).as("f")),
+            struct(lit("low_stopword").as("r"), ($"stopr" < 0.03).as("f")),
+            struct(lit("repetition").as("r"), ($"dup_frac" > 0.3).as("f")),
+            struct(lit("short").as("r"),
+              ($"toks" < TextAnalysis.ShortDocTokens).as("f")),
+            struct(lit("stuffing").as("r"), ($"stopr" > 0.35).as("f"))).as("rs"))
+        val pairs = flags
+          .select(explode(expr("filter(rs, x -> x.f)")).as("a"), $"rs")
+          .select($"a.r".as("rule_a"),
+            explode(expr("filter(rs, x -> x.f)")).as("b"))
+          .filter($"rule_a" <= $"b.r")
+          .select($"rule_a", $"b.r".as("rule_b"))
+          .groupBy($"rule_a", $"rule_b").agg(count(lit(1)).as("n_docs"))
+        val anyRow = flags.filter(expr("exists(rs, x -> x.f)"))
+          .agg(count(lit(1)).as("n_docs"))
+          .select(lit("_any").as("rule_a"), lit("_any").as("rule_b"),
+            $"n_docs")
+        pairs.unionByName(anyRow).orderBy($"rule_a", $"rule_b")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 string_split(text, ' ') AS w,
+                 string_split(lower(text), ' ') AS lw,
+                 list_transform(string_split(text, ' '),
+                   x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+          FROM documents),
+        shd AS (
+          SELECT doc_id, text, w, lw,
+                 CASE WHEN len(w) >= 3 THEN
+                   list_transform(
+                     list_transform(range(0, len(w) - 2), i ->
+                       ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                         * 41 + (wh[i+3] % 1073741824)),
+                     v -> v % 1073741789)
+                 ELSE CAST([] AS BIGINT[]) END AS sh
+          FROM base),
+        m AS (
+          SELECT doc_id, len(w) AS toks,
+                 CASE WHEN len(sh) = 0 THEN 0.0
+                      ELSE round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+                 END AS dup_frac,
+                 round(CAST(len(list_filter(lw, x ->
+                     list_contains(${sqlList(stopwords)}, x))) AS DOUBLE) / len(lw), 6)
+                   AS stopr,
+                 round(greatest(0.0,
+                   least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.5
+                   + least(round(CAST(len(list_filter(lw, x ->
+                       list_contains(${sqlList(stopwords)}, x))) AS DOUBLE) / len(lw), 6)
+                     * 4.0, 1.0) * 0.3
+                   - least(round(CAST(length(text) - length(regexp_replace(text, '$sqlPunct', '', 'g'))
+                       AS DOUBLE) / length(text), 6) * 5.0, 1.0) * 0.2
+                   + 0.2), 6) AS quality
+          FROM shd),
+        failed AS (
+          SELECT doc_id, 'low_quality' AS rule FROM m WHERE quality < 0.5
+          UNION ALL SELECT doc_id, 'low_stopword' FROM m WHERE stopr < 0.03
+          UNION ALL SELECT doc_id, 'repetition' FROM m WHERE dup_frac > 0.3
+          UNION ALL SELECT doc_id, 'short' FROM m WHERE toks < 20
+          UNION ALL SELECT doc_id, 'stuffing' FROM m WHERE stopr > 0.35),
+        pairs AS (
+          SELECT a.rule AS rule_a, b.rule AS rule_b,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM failed a JOIN failed b USING (doc_id)
+          WHERE a.rule <= b.rule GROUP BY 1, 2),
+        anyr AS (
+          SELECT '_any' AS rule_a, '_any' AS rule_b,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM failed)
+        SELECT * FROM pairs UNION ALL SELECT * FROM anyr
+        ORDER BY rule_a, rule_b"""))
+  }
+
+  def all: Seq[QueryDef] = Seq(q98Pagerank, q99DictTagger, q100FilterAttribution)
 }

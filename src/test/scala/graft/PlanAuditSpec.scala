@@ -410,6 +410,21 @@ class PlanAuditSpec extends SparkSpec {
       s"pattern names must attach by broadcast:\n$p")
   }
 
+  test("q100_filter_attribution: pair matrix from a double explode with " +
+    "map-side partial agg — no self-join of the failed-rule rows") {
+    val p = plan("q100_filter_attribution")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counting must partial-aggregate map-side:\n$p")
+    // the ≤25-per-doc pair expansion happens row-local (Generate);
+    // a SortMergeJoin/ShuffledHashJoin here would be the failed×failed
+    // self-join shuffle the scale shape forbids
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffled self-join of failed rules:\n$p")
+    assert(p.contains("Generate explode"),
+      s"pair expansion must be a row-local explode:\n$p")
+  }
+
   test("q92_probe_margin: margin cut is TakeOrdered over the narrow " +
     "scoring pass — no join, no corpus-wide window") {
     val p = plan("q92_probe_margin")
