@@ -20,7 +20,7 @@ object Queries7 {
     * sums rounded to 6 before the per-query rank. q88 cuts `r` at its
     * k; q90 cuts at its candidate depth and fuses.
     */
-  private def bm25SqlCtes(qBody: String): String = s"""q AS ($qBody),
+  private[graft] def bm25SqlCtes(qBody: String): String = s"""q AS ($qBody),
         tok AS (
           SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS len,
                  unnest(string_split(text, ' ')) AS term

@@ -263,5 +263,108 @@ object Queries8 {
         ORDER BY rule_a, rule_b"""))
   }
 
-  def all: Seq[QueryDef] = Seq(q98Pagerank, q99DictTagger, q100FilterAttribution)
+  // ------------------------------------------------------- q101_hard_negatives
+  /** Hard-negative mining for retrieval training data (the DPR recipe,
+    * Karpukhin et al. 2020: the best negatives are LEXICALLY similar
+    * but semantically wrong): for each query-by-example document, the
+    * semantic positive is its dense top-1 neighbor, and the hard
+    * negatives are the BM25 top-`Depth` candidates that do NOT appear
+    * in the dense top-`Depth` — lexical look-alikes the embedding
+    * space rejects — re-ranked by lexical rank, top-`NegK` kept.
+    * Output: `(query_id, role pos|neg, rnk, doc_id)` triplet rows.
+    *
+    * Scale shape: the two candidate generators are the shipped q88/q14
+    * shapes (one tf exchange + broadcast query terms; broadcast probes
+    * over a streamed corpus); everything after — the anti-join that
+    * subtracts the dense set from the lexical set, the re-rank, the
+    * cut — runs on candidate-sized frames (queries × Depth rows),
+    * never the corpus. The oracle reuses the q88 BM25 CTE chain and
+    * the q14 cosine arithmetic, subtracting via NOT EXISTS.
+    */
+  val q101HardNegatives = {
+    val Depth = 20; val NegK = 5
+    QueryDef(
+      "q101_hard_negatives",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.{Retrieval, Similarity}
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        val queries = docs.filter($"doc_id" < 3)
+          .select($"doc_id".as("query_id"),
+            explode(split($"text", " ")).as("term"))
+          .distinct()
+        val wLex = Window.partitionBy($"query_id")
+          .orderBy($"score".desc, $"doc_id".asc)
+        val lex = Retrieval.bm25TopK(docs, "doc_id", "text", queries, Depth)
+          .filter($"doc_id" =!= $"query_id")
+          .withColumn("rn", row_number().over(wLex).cast("long"))
+          .select($"query_id", $"doc_id", $"rn")
+        val probes = emb.filter($"vec_id" < 3)
+          .select($"vec_id".as("probe_id"), $"embedding".as("pv"))
+        val corpus = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+        val dense = Similarity.knnExact(probes, corpus, Depth)
+          .select($"probe_id".as("query_id"), $"cand_id".as("doc_id"),
+            $"rn".cast("long").as("rn"))
+        val pos = dense.filter($"rn" === 1)
+          .select($"query_id", lit("pos").as("role"), lit(1L).as("rnk"),
+            $"doc_id")
+        val wNeg = Window.partitionBy($"query_id").orderBy($"rn".asc)
+        val neg = lex
+          .join(dense.select($"query_id", $"doc_id"), Seq("query_id", "doc_id"),
+            "left_anti")
+          .withColumn("rnk", row_number().over(wNeg).cast("long"))
+          .filter($"rnk" <= NegK)
+          .select($"query_id", lit("neg").as("role"), $"rnk", $"doc_id")
+        pos.unionByName(neg).orderBy($"query_id", $"role", $"rnk")
+      },
+      Some({
+        import KmeansSql.sqlDot
+        s"""
+        WITH ${Queries7.bm25SqlCtes("""
+          SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents WHERE doc_id < 3)""")},
+        lr AS (
+          SELECT query_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+          FROM r WHERE rn <= $Depth AND doc_id != query_id),
+        p AS (SELECT vec_id AS probe_id, embedding AS pv
+              FROM embeddings WHERE vec_id < 3),
+        cand AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+        ds AS (
+          SELECT probe_id, cand_id,
+                 round(${sqlDot("pv", "cv")} /
+                       (sqrt(${sqlDot("pv", "pv")}) * sqrt(${sqlDot("cv", "cv")})), 6) AS cos
+          FROM p, cand WHERE probe_id != cand_id),
+        dr AS (
+          SELECT probe_id AS query_id, cand_id AS doc_id, rn FROM (
+            SELECT probe_id, cand_id,
+                   CAST(row_number() OVER (PARTITION BY probe_id
+                     ORDER BY cos DESC, cand_id) AS BIGINT) AS rn
+            FROM ds)
+          WHERE rn <= $Depth),
+        pos AS (
+          SELECT query_id, 'pos' AS role, CAST(1 AS BIGINT) AS rnk, doc_id
+          FROM dr WHERE rn = 1),
+        neg AS (
+          SELECT query_id, 'neg' AS role, rnk, doc_id FROM (
+            SELECT query_id, doc_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY rn) AS BIGINT) AS rnk
+            FROM lr
+            WHERE NOT EXISTS (
+              SELECT 1 FROM dr
+              WHERE dr.query_id = lr.query_id AND dr.doc_id = lr.doc_id))
+          WHERE rnk <= $NegK)
+        SELECT * FROM pos UNION ALL SELECT * FROM neg
+        ORDER BY query_id, role, rnk"""
+      }))
+  }
+
+  def all: Seq[QueryDef] = Seq(q98Pagerank, q99DictTagger,
+    q100FilterAttribution, q101HardNegatives)
 }

@@ -425,6 +425,14 @@ class PlanAuditSpec extends SparkSpec {
       s"pair expansion must be a row-local explode:\n$p")
   }
 
+  test("q101_hard_negatives: dense-set subtraction is an anti-join on " +
+    "candidate-sized frames — no cartesian anywhere") {
+    val p = plan("q101_hard_negatives")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"the dense set must subtract via anti-join, not a filter scan:\n$p")
+  }
+
   test("q92_probe_margin: margin cut is TakeOrdered over the narrow " +
     "scoring pass — no join, no corpus-wide window") {
     val p = plan("q92_probe_margin")
