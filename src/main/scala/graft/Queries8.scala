@@ -29,11 +29,15 @@ object Queries8 {
     * integer-nanos arithmetic step-for-step — exact BIGINT half-up
     * divisions, no per-iteration float rounding to drift cross-engine.
     */
-  val q98Pagerank = {
-    val Iters = 5
-    def iterCtes(i: Int): String = {
-      val p = if (i == 1) "r0" else s"r${i - 1}"
-      s"""d$i AS (
+  /** One unrolled PageRank iteration as CTEs `d$i/c$i/r$i` (the
+    * [[graft.operators.Graphs.pageRank]] integer-nanos arithmetic,
+    * damping 17/20), over fixed CTE names `ew (src, dst, ratio_n)`,
+    * `nodes (node)`, `nn (nl)`, ranks in `r${i-1}`. Shared by q98
+    * (nation trade graph) and q102 (near-dup doc graph).
+    */
+  private def prIterCtes(i: Int): String = {
+    val p = if (i == 1) "r0" else s"r${i - 1}"
+    s"""d$i AS (
           SELECT coalesce(CAST((2 * SUM(rank_n) + any_value(nl))
                    // (2 * any_value(nl)) AS BIGINT), 0) AS dc
           FROM $p, nn WHERE node NOT IN (SELECT DISTINCT src FROM ew)),
@@ -47,7 +51,35 @@ object Queries8 {
                    + (2 * 17 * (coalesce(s, 0) + dc) + 20) // (2 * 20)
                    AS BIGINT) AS rank_n
           FROM nodes LEFT JOIN c$i ON nodes.node = c$i.dst, nn, d$i)"""
-    }
+  }
+
+  /** The r0/nodes/nn/ew prefix [[prIterCtes]] iterates over, from an
+    * edge CTE `$eName (src, dst, w)` (parallel edges pre-folded, `w`
+    * DOUBLE). `nodes` dedups via explicit DISTINCT-over-UNION-ALL:
+    * inside a `WITH RECURSIVE` block DuckDB does NOT deduplicate a
+    * plain UNION in non-recursive CTEs (found via q102: the node set
+    * silently doubled and every downstream rank was wrong), and the
+    * explicit form is correct in both recursive and plain contexts.
+    */
+  private def prBaseCtes(eName: String): String = s"""
+        outw AS (
+          SELECT src, CAST(SUM(CAST(w AS DECIMAL(27,12))) AS DOUBLE) AS tw
+          FROM $eName GROUP BY 1),
+        ew AS (
+          SELECT src, dst,
+                 CAST(round(1000000000.0 * w / tw) AS BIGINT) AS ratio_n
+          FROM $eName JOIN outw USING (src)),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM ew UNION ALL SELECT dst FROM ew)),
+        nn AS (SELECT count(*) AS nl FROM nodes),
+        r0 AS (
+          SELECT node, CAST((2 * 1000000000 + nl) // (2 * nl) AS BIGINT)
+                   AS rank_n
+          FROM nodes, nn)"""
+
+  val q98Pagerank = {
+    val Iters = 5
     QueryDef(
       "q98_pagerank",
       (s, dir) => {
@@ -74,20 +106,8 @@ object Queries8 {
           JOIN customer c ON o.o_custkey = c.c_custkey
           JOIN supplier s ON l.l_suppkey = s.s_suppkey
           GROUP BY 1, 2),
-        outw AS (
-          SELECT src, CAST(SUM(CAST(w AS DECIMAL(27,12))) AS DOUBLE) AS tw
-          FROM e0 GROUP BY 1),
-        ew AS (
-          SELECT src, dst,
-                 CAST(round(1000000000.0 * w / tw) AS BIGINT) AS ratio_n
-          FROM e0 JOIN outw USING (src)),
-        nodes AS (SELECT src AS node FROM ew UNION SELECT dst FROM ew),
-        nn AS (SELECT count(*) AS nl FROM nodes),
-        r0 AS (
-          SELECT node, CAST((2 * 1000000000 + nl) // (2 * nl) AS BIGINT)
-                   AS rank_n
-          FROM nodes, nn),
-        ${(1 to Iters).map(iterCtes).mkString(",\n        ")}
+        ${prBaseCtes("e0")},
+        ${(1 to Iters).map(prIterCtes).mkString(",\n        ")}
         SELECT n.n_name AS nation,
                CAST(r.rank_n AS DOUBLE) / 1000000000.0 AS rank
         FROM r$Iters r JOIN nation n ON n.n_nationkey = r.node
@@ -365,6 +385,87 @@ object Queries8 {
       }))
   }
 
+  // ---------------------------------------------------- q102_canonical_by_rank
+  /** Centrality-based canonical selection in near-dup clusters: q36's
+    * verified near-dup graph with edges WEIGHTED by the verified
+    * jaccard, each cluster's KEPT document chosen by PageRank
+    * centrality (3 iterations, both directions) — the medoid-like
+    * member most similar to the rest of its cluster, where q81 needs
+    * an external quality score and min-id is arbitrary. The weights
+    * matter: near-dup clusters are cliques (near-dup is mutual), and
+    * on an unweighted clique PageRank provably stays uniform — rank
+    * differentiation comes entirely from similarity asymmetry. Output
+    * per cluster: component, kept doc, size, and the winner's rank.
+    * This runs [[graft.operators.Graphs.pageRank]] on a DOCUMENT-level
+    * graph — the operator's production shape (q98's 25-node trade
+    * graph exercises the contracted-graph path).
+    *
+    * Scale shape: the LSH chain runs ONCE into a pinned edge frame
+    * ([[graft.operators.Dedup.nearDupEdges]]) consumed by BOTH the
+    * component clustering and the rank iterations; everything
+    * downstream is edge-sized. The oracle splices the shared minhash
+    * CTE chain, the integer-nanos PR iterations, and a per-component
+    * rank argmax.
+    */
+  val q102CanonicalByRank = {
+    val Iters = 3
+    QueryDef(
+      "q102_canonical_by_rank",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.{Dedup, Graphs}
+        val near = Dedup.nearDupEdges(t(s, dir, "documents"), "doc_id",
+          "text", seeds = 8, bands = 4, rowsPerBand = 2, minJaccard = 0.4)
+        val comp = Dedup.connectedComponents(near, "id_a", "id_b")
+        val edges = near
+          .select($"id_a".as("src"), $"id_b".as("dst"), $"jac".as("w"))
+          .union(near
+            .select($"id_b".as("src"), $"id_a".as("dst"), $"jac".as("w")))
+        val pr = Graphs.pageRank(edges, "src", "dst", "w", iters = Iters)
+        val w = Window.partitionBy($"component")
+          .orderBy($"rank".desc, $"id".asc)
+        comp.join(pr, comp("id") === pr("node"))
+          .select($"component", $"id", $"rank")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_docs",
+            count(lit(1)).over(Window.partitionBy($"component")).cast("long"))
+          .filter($"rn" === 1)
+          .select($"component", $"id".as("kept_id"), $"n_docs", $"rank")
+          .orderBy($"component")
+      },
+      Some(s"""
+        WITH RECURSIVE ${MinhashCcSql.ctes},
+        nearj AS (
+          SELECT id_a, id_b,
+                 round(CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+                       / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jac
+          FROM pairs
+          JOIN shx sa ON sa.doc_id = id_a
+          JOIN shx sb ON sb.doc_id = id_b
+          WHERE CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+                / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.4),
+        e2 AS (
+          SELECT id_a AS src, id_b AS dst, jac AS w FROM nearj
+          UNION ALL
+          SELECT id_b, id_a, jac FROM nearj),
+        ${prBaseCtes("e2")},
+        ${(1 to Iters).map(prIterCtes).mkString(",\n        ")},
+        prj AS (
+          SELECT comp.component, comp.id,
+                 CAST(rank_n AS DOUBLE) / 1000000000.0 AS rank
+          FROM comp JOIN r$Iters ON r$Iters.node = comp.id),
+        sel AS (
+          SELECT component, id, rank,
+                 CAST(row_number() OVER (PARTITION BY component
+                   ORDER BY rank DESC, id) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                   AS n_docs
+          FROM prj)
+        SELECT component, id AS kept_id, n_docs, rank
+        FROM sel WHERE rn = 1 ORDER BY component"""))
+  }
+
   def all: Seq[QueryDef] = Seq(q98Pagerank, q99DictTagger,
-    q100FilterAttribution, q101HardNegatives)
+    q100FilterAttribution, q101HardNegatives, q102CanonicalByRank)
 }

@@ -603,6 +603,38 @@ object Dedup {
       .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
   }
 
+  /** The verified near-dup PAIR chain as one call: 3-shingle hashes,
+    * `seeds`-seed minhash, banded LSH candidates, jaccard verification
+    * at `minJaccard`. Returns `(id_a, id_b, jac)` with `id_a < id_b`
+    * and the verified jaccard rounded to 6 (the similarity is free at
+    * verification time and is exactly the edge weight rank-propagation
+    * canonical selection needs — an UNWEIGHTED near-dup graph is a
+    * union of cliques, on which PageRank provably stays uniform and
+    * picks nothing). PINNED ([[Checkpoints.pin]]) so multiple
+    * consumers (component clustering AND rank propagation in q102)
+    * read the materialized edge set instead of re-running the LSH
+    * chain per action; the shingle cache is released once the pin
+    * lands.
+    */
+  def nearDupEdges(df: DataFrame, idCol: String, textCol: String,
+                   seeds: Int, bands: Int, rowsPerBand: Int,
+                   minJaccard: Double): DataFrame = {
+    val sh = df.select(col(idCol),
+        shingleHashes3(wordHashes(words(col(textCol)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val sig = sh.select(col(idCol), minhashSig(col("sh"), seeds).as("sig"))
+    val banded = lshBands(sig, idCol, "sig", bands, rowsPerBand)
+    val near = Checkpoints.pin(lshCandidatePairs(banded, idCol)
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= minJaccard)
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jac")))
+    sh.unpersist()
+    near
+  }
+
   /** The q36 near-dup clustering chain as one call: 3-shingle hashes,
     * `seeds`-seed minhash, banded LSH candidates, jaccard verification
     * at `minJaccard`, then [[connectedComponents]]. Returns

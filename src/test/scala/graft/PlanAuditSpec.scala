@@ -433,6 +433,19 @@ class PlanAuditSpec extends SparkSpec {
       s"the dense set must subtract via anti-join, not a filter scan:\n$p")
   }
 
+  test("q102_canonical_by_rank: components and ranks both read " +
+    "materialized frames — no LSH replay, no cartesian") {
+    val p = plan("q102_canonical_by_rank")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // both the component side and the rank side must serve from pinned
+    // frames (nearDupEdges pin + per-round pins) — the returned plan
+    // re-running the LSH candidate chain per action is the scale bug
+    assert(p.contains("Scan ExistingRDD"),
+      s"must serve from pinned frames:\n$p")
+    assert(!p.contains("band_key"),
+      s"the LSH chain must not replay in the returned plan:\n$p")
+  }
+
   test("q92_probe_margin: margin cut is TakeOrdered over the narrow " +
     "scoring pass — no join, no corpus-wide window") {
     val p = plan("q92_probe_margin")
