@@ -466,6 +466,121 @@ object Queries8 {
         FROM sel WHERE rn = 1 ORDER BY component"""))
   }
 
+  // --------------------------------------------------------- q103_pca_power
+  /** Distributed PCA by power iteration: the top principal direction
+    * of the (mean-centered) embedding matrix and its explained-
+    * variance share — the spectrum check run before trusting an
+    * embedding space (anisotropy/"rogue dimension" audits) and the
+    * whitening prerequisite. Three iterations of `w = Cᵀ(C v)`: each
+    * is ONE narrow pass (per-row sequential dot against the broadcast
+    * literal `v`, per-dim contribution) collapsed by a 64-group
+    * partial agg; the driver holds only O(dims) state per round (the
+    * q87 gradient-descent contract) — normalization and the Rayleigh
+    * estimate are O(dims) driver arithmetic replayed exactly by the
+    * oracle (sequential fold + `sqrt`, both IEEE-identical
+    * cross-engine; every per-row product rounds to 9 before the exact
+    * decimal sum). The centered frame is persisted across the 3+2
+    * passes and released before return. Output: one row per dimension
+    * with the loading, plus the eigenvalue and variance share.
+    */
+  val q103PcaPower = {
+    val Iters = 3; val Dims = 64
+    QueryDef(
+      "q103_pca_power",
+      (s, dir) => {
+        import s.implicits._
+        import java.math.{BigDecimal => JBD, RoundingMode}
+        import graft.functions.GraftFunctions.dot
+        def r9(x: Double): Double =
+          JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP).doubleValue
+        val emb = t(s, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+        val mean = emb
+          .select(posexplode($"embedding").as(Seq("_d0", "_x")))
+          .groupBy($"_d0")
+          .agg(round(sum($"_x".cast("decimal(27,12)")).cast("double")
+            / count(lit(1)), 9).as("_m"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1))
+          .sortBy(_._1).map(_._2)
+        val cent = emb.select($"vec_id",
+          zip_with($"embedding", typedLit(mean.toSeq),
+            (x, m) => x.cast("double") - m).as("cv"))
+          .persist()
+        var v = Array.fill(Dims)(0.125) // 1/sqrt(64), exact
+        var eig = 0.0
+        for (_ <- 0 until Iters) {
+          val w = cent
+            .select(round(dot($"cv", typedLit(v.toSeq)), 9).as("_dt"),
+              posexplode($"cv").as(Seq("_d0", "_c")))
+            .select($"_d0", round($"_c" * $"_dt", 9).as("_p"))
+            .groupBy($"_d0")
+            .agg(round(sum($"_p".cast("decimal(27,12)")).cast("double"), 9)
+              .as("_w"))
+            .collect().map(r => r.getInt(0) -> r.getDouble(1))
+            .sortBy(_._1).map(_._2)
+          eig = r9(math.sqrt(w.map(x => x * x).reduceLeft(_ + _)))
+          v = w.map(x => r9(x / eig))
+        }
+        val tr = cent
+          .select(round(dot($"cv", $"cv"), 9).as("_t"))
+          .agg(round(sum($"_t".cast("decimal(27,12)")).cast("double"), 9))
+          .head.getDouble(0)
+        cent.unpersist()
+        val share = r9(eig / tr)
+        v.zipWithIndex
+          .map { case (l, i) => (i + 1L, l, eig, share) }.toSeq
+          .toDF("d", "loading", "eigval", "var_share")
+          .orderBy($"d")
+      },
+      Some({
+        def seqSum(items: String) = s"list_reduce($items, (a, b) -> a + b)"
+        def iterCtes(i: Int): String = {
+          val p = if (i == 1) "v0" else s"v${i - 1}"
+          s"""dt$i AS (
+            SELECT vec_id,
+                   round(${seqSum(s"list_transform(range(1, ${Dims + 1}), k -> cv[k] * va[k])")}, 9) AS dt
+            FROM cent, $p),
+          w$i AS (
+            SELECT d,
+                   round(CAST(SUM(CAST(round(cv[d] * dt, 9) AS DECIMAL(27,12))) AS DOUBLE), 9) AS w
+            FROM cent JOIN dt$i USING (vec_id),
+                 unnest(range(1, ${Dims + 1})) AS t$i(d)
+            GROUP BY d),
+          wa$i AS (SELECT list(w ORDER BY d) AS wa FROM w$i),
+          nm$i AS (
+            SELECT round(sqrt(${seqSum("list_transform(wa, x -> x * x)")}), 9) AS nm, wa
+            FROM wa$i),
+          v$i AS (SELECT list_transform(wa, x -> round(x / nm, 9)) AS va, nm
+                  FROM nm$i)"""
+        }
+        s"""
+        WITH m AS (
+          SELECT d,
+                 round(CAST(SUM(CAST(embedding[d]::DOUBLE AS DECIMAL(27,12))) AS DOUBLE)
+                   / COUNT(*), 9) AS m
+          FROM embeddings, unnest(range(1, ${Dims + 1})) AS tm(d)
+          GROUP BY d),
+        ma AS (SELECT list(m ORDER BY d) AS ma FROM m),
+        cent AS (
+          SELECT vec_id,
+                 list_transform(range(1, ${Dims + 1}),
+                   k -> embedding[k]::DOUBLE - ma[k]) AS cv
+          FROM embeddings, ma),
+        v0 AS (SELECT list_transform(range(1, ${Dims + 1}), x -> 0.125) AS va),
+        ${(1 to Iters).map(iterCtes).mkString(",\n        ")},
+        tr AS (
+          SELECT round(CAST(SUM(CAST(
+                   round(${seqSum(s"list_transform(range(1, ${Dims + 1}), k -> cv[k] * cv[k])")}, 9)
+                   AS DECIMAL(27,12))) AS DOUBLE), 9) AS tr
+          FROM cent)
+        SELECT CAST(d AS BIGINT) AS d, va[d] AS loading, nm AS eigval,
+               round(nm / tr, 9) AS var_share
+        FROM v$Iters, tr, unnest(range(1, ${Dims + 1})) AS tf(d)
+        ORDER BY d"""
+      }))
+  }
+
   def all: Seq[QueryDef] = Seq(q98Pagerank, q99DictTagger,
-    q100FilterAttribution, q101HardNegatives, q102CanonicalByRank)
+    q100FilterAttribution, q101HardNegatives, q102CanonicalByRank,
+    q103PcaPower)
 }

@@ -446,6 +446,17 @@ class PlanAuditSpec extends SparkSpec {
       s"the LSH chain must not replay in the returned plan:\n$p")
   }
 
+  test("q103_pca_power: the returned frame is the O(dims) driver " +
+    "result — no corpus replay per downstream action") {
+    // the 3 power-iteration passes + trace pass run eagerly with the
+    // centered frame persisted; the returned loadings are literal rows
+    val p = plan("q103_pca_power")
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      s"loadings must be materialized driver-side, not a lazy corpus plan:\n$p")
+    assert(!p.contains("parquet"),
+      s"no corpus scan may remain in the returned plan:\n$p")
+  }
+
   test("q92_probe_margin: margin cut is TakeOrdered over the narrow " +
     "scoring pass — no join, no corpus-wide window") {
     val p = plan("q92_probe_margin")
