@@ -489,38 +489,8 @@ object Queries8 {
       "q103_pca_power",
       (s, dir) => {
         import s.implicits._
-        import java.math.{BigDecimal => JBD, RoundingMode}
         import graft.functions.GraftFunctions.dot
-        def r9(x: Double): Double =
-          JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP).doubleValue
-        val emb = t(s, dir, "embeddings")
-          .select($"vec_id", $"embedding")
-        val mean = emb
-          .select(posexplode($"embedding").as(Seq("_d0", "_x")))
-          .groupBy($"_d0")
-          .agg(round(sum($"_x".cast("decimal(27,12)")).cast("double")
-            / count(lit(1)), 9).as("_m"))
-          .collect().map(r => r.getInt(0) -> r.getDouble(1))
-          .sortBy(_._1).map(_._2)
-        val cent = emb.select($"vec_id",
-          zip_with($"embedding", typedLit(mean.toSeq),
-            (x, m) => x.cast("double") - m).as("cv"))
-          .persist()
-        var v = Array.fill(Dims)(0.125) // 1/sqrt(64), exact
-        var eig = 0.0
-        for (_ <- 0 until Iters) {
-          val w = cent
-            .select(round(dot($"cv", typedLit(v.toSeq)), 9).as("_dt"),
-              posexplode($"cv").as(Seq("_d0", "_c")))
-            .select($"_d0", round($"_c" * $"_dt", 9).as("_p"))
-            .groupBy($"_d0")
-            .agg(round(sum($"_p".cast("decimal(27,12)")).cast("double"), 9)
-              .as("_w"))
-            .collect().map(r => r.getInt(0) -> r.getDouble(1))
-            .sortBy(_._1).map(_._2)
-          eig = r9(math.sqrt(w.map(x => x * x).reduceLeft(_ + _)))
-          v = w.map(x => r9(x / eig))
-        }
+        val (cent, v, eig) = pcaPower(s, dir, Iters, Dims)
         val tr = cent
           .select(round(dot($"cv", $"cv"), 9).as("_t"))
           .agg(round(sum($"_t".cast("decimal(27,12)")).cast("double"), 9))
@@ -532,42 +502,8 @@ object Queries8 {
           .toDF("d", "loading", "eigval", "var_share")
           .orderBy($"d")
       },
-      Some({
-        def seqSum(items: String) = s"list_reduce($items, (a, b) -> a + b)"
-        def iterCtes(i: Int): String = {
-          val p = if (i == 1) "v0" else s"v${i - 1}"
-          s"""dt$i AS (
-            SELECT vec_id,
-                   round(${seqSum(s"list_transform(range(1, ${Dims + 1}), k -> cv[k] * va[k])")}, 9) AS dt
-            FROM cent, $p),
-          w$i AS (
-            SELECT d,
-                   round(CAST(SUM(CAST(round(cv[d] * dt, 9) AS DECIMAL(27,12))) AS DOUBLE), 9) AS w
-            FROM cent JOIN dt$i USING (vec_id),
-                 unnest(range(1, ${Dims + 1})) AS t$i(d)
-            GROUP BY d),
-          wa$i AS (SELECT list(w ORDER BY d) AS wa FROM w$i),
-          nm$i AS (
-            SELECT round(sqrt(${seqSum("list_transform(wa, x -> x * x)")}), 9) AS nm, wa
-            FROM wa$i),
-          v$i AS (SELECT list_transform(wa, x -> round(x / nm, 9)) AS va, nm
-                  FROM nm$i)"""
-        }
-        s"""
-        WITH m AS (
-          SELECT d,
-                 round(CAST(SUM(CAST(embedding[d]::DOUBLE AS DECIMAL(27,12))) AS DOUBLE)
-                   / COUNT(*), 9) AS m
-          FROM embeddings, unnest(range(1, ${Dims + 1})) AS tm(d)
-          GROUP BY d),
-        ma AS (SELECT list(m ORDER BY d) AS ma FROM m),
-        cent AS (
-          SELECT vec_id,
-                 list_transform(range(1, ${Dims + 1}),
-                   k -> embedding[k]::DOUBLE - ma[k]) AS cv
-          FROM embeddings, ma),
-        v0 AS (SELECT list_transform(range(1, ${Dims + 1}), x -> 0.125) AS va),
-        ${(1 to Iters).map(iterCtes).mkString(",\n        ")},
+      Some(s"""
+        WITH ${pcaCtes(Iters, Dims)},
         tr AS (
           SELECT round(CAST(SUM(CAST(
                    round(${seqSum(s"list_transform(range(1, ${Dims + 1}), k -> cv[k] * cv[k])")}, 9)
@@ -576,11 +512,215 @@ object Queries8 {
         SELECT CAST(d AS BIGINT) AS d, va[d] AS loading, nm AS eigval,
                round(nm / tr, 9) AS var_share
         FROM v$Iters, tr, unnest(range(1, ${Dims + 1})) AS tf(d)
-        ORDER BY d"""
-      }))
+        ORDER BY d"""))
+  }
+
+  /** Sequential (left-fold) sum over a SQL list — the [[KmeansSql.sqlDot]]
+    * reduction order, IEEE-identical to the codegen'd array folds.
+    */
+  private def seqSum(items: String) = s"list_reduce($items, (a, b) -> a + b)"
+
+  /** Spark-side round-9 matching both engines' `round(x, 9)` on the
+    * doubles the driver arithmetic sees (shortest-repr HALF_UP).
+    */
+  private def r9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Driver-side power iteration over the mean-centered embedding
+    * matrix ([[pcaCtes]]'s Spark half): returns the PERSISTED centered
+    * frame `(vec_id, cv)` (caller unpersists), the round-9 unit top
+    * direction, and the Rayleigh eigenvalue estimate. O(dims) driver
+    * state per round — each round is one narrow pass + dims-group
+    * partial agg.
+    */
+  private def pcaPower(s: SparkSession, dir: String, iters: Int,
+                       dims: Int): (DataFrame, Array[Double], Double) = {
+    import s.implicits._
+    import graft.functions.GraftFunctions.dot
+    val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val mean = emb
+      .select(posexplode($"embedding").as(Seq("_d0", "_x")))
+      .groupBy($"_d0")
+      .agg(round(sum($"_x".cast("decimal(27,12)")).cast("double")
+        / count(lit(1)), 9).as("_m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+      .sortBy(_._1).map(_._2)
+    val cent = emb.select($"vec_id",
+      zip_with($"embedding", typedLit(mean.toSeq),
+        (x, m) => x.cast("double") - m).as("cv"))
+      .persist()
+    var v = Array.fill(dims)(0.125) // 1/sqrt(64), exact
+    var eig = 0.0
+    for (_ <- 0 until iters) {
+      val w = cent
+        .select(round(dot($"cv", typedLit(v.toSeq)), 9).as("_dt"),
+          posexplode($"cv").as(Seq("_d0", "_c")))
+        .select($"_d0", round($"_c" * $"_dt", 9).as("_p"))
+        .groupBy($"_d0")
+        .agg(round(sum($"_p".cast("decimal(27,12)")).cast("double"), 9)
+          .as("_w"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1))
+        .sortBy(_._1).map(_._2)
+      eig = r9(math.sqrt(w.map(x => x * x).reduceLeft(_ + _)))
+      v = w.map(x => r9(x / eig))
+    }
+    (cent, v, eig)
+  }
+
+  /** The q103 power-iteration CTE chain: mean `m`/`ma`, centered rows
+    * `cent (vec_id, cv)`, start vector `v0`, and `iters` rounds ending
+    * at `v$iters (va, nm)`. Shared by q103 (loadings) and q104 (ABTT
+    * anisotropy audit).
+    */
+  private def pcaCtes(iters: Int, dims: Int): String = {
+    def iterCtes(i: Int): String = {
+      val p = if (i == 1) "v0" else s"v${i - 1}"
+      s"""dt$i AS (
+            SELECT vec_id,
+                   round(${seqSum(s"list_transform(range(1, ${dims + 1}), k -> cv[k] * va[k])")}, 9) AS dt
+            FROM cent, $p),
+          w$i AS (
+            SELECT d,
+                   round(CAST(SUM(CAST(round(cv[d] * dt, 9) AS DECIMAL(27,12))) AS DOUBLE), 9) AS w
+            FROM cent JOIN dt$i USING (vec_id),
+                 unnest(range(1, ${dims + 1})) AS t$i(d)
+            GROUP BY d),
+          wa$i AS (SELECT list(w ORDER BY d) AS wa FROM w$i),
+          nm$i AS (
+            SELECT round(sqrt(${seqSum("list_transform(wa, x -> x * x)")}), 9) AS nm, wa
+            FROM wa$i),
+          v$i AS (SELECT list_transform(wa, x -> round(x / nm, 9)) AS va, nm
+                  FROM nm$i)"""
+    }
+    s"""m AS (
+          SELECT d,
+                 round(CAST(SUM(CAST(embedding[d]::DOUBLE AS DECIMAL(27,12))) AS DOUBLE)
+                   / COUNT(*), 9) AS m
+          FROM embeddings, unnest(range(1, ${dims + 1})) AS tm(d)
+          GROUP BY d),
+        ma AS (SELECT list(m ORDER BY d) AS ma FROM m),
+        cent AS (
+          SELECT vec_id,
+                 list_transform(range(1, ${dims + 1}),
+                   k -> embedding[k]::DOUBLE - ma[k]) AS cv
+          FROM embeddings, ma),
+        v0 AS (SELECT list_transform(range(1, ${dims + 1}), x -> 0.125) AS va),
+        ${(1 to iters).map(iterCtes).mkString(",\n        ")}"""
+  }
+
+  // ------------------------------------------------------ q104_anisotropy
+  /** ABTT anisotropy audit (Mu & Viswanath, "All-but-the-Top", ICLR
+    * 2018): the mean pairwise cosine of the embedding space before and
+    * after removing the top principal direction — the standard check
+    * for the "narrow cone" pathology, and the measurement that decides
+    * whether a space needs the ABTT post-processing before cosine
+    * retrieval. The all-pairs mean is computed WITHOUT all pairs via
+    * the identity `Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖uᵢ‖²`: one pass summing
+    * unit vectors per dimension + one scalar aggregate, per stage —
+    * corpus-linear where the naive formulation is n². Reuses the q103
+    * power direction ([[pcaPower]]); per-element quantization at
+    * round-9, exact decimal sums, O(dims) driver finish.
+    */
+  val q104Anisotropy = {
+    val Iters = 3; val Dims = 64
+    QueryDef(
+      "q104_anisotropy",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.GraftFunctions.dot
+        val (cent, v, _) = pcaPower(s, dir, Iters, Dims)
+        val vLit = typedLit(v.toSeq)
+        val vv = v.map(x => x * x).reduceLeft(_ + _)
+        // explode FIRST, then scalar arithmetic: per-element lambdas
+        // (transform/zip_with) are interpreted and were the measured
+        // hotspot (14.8 s -> see BASELINE row); unit elements stay
+        // UNROUNDED doubles — they are generic reals, so the decimal
+        // cast in the sums is the only (safe) quantization
+        val cc = dot($"cv", $"cv")
+        val un = cent
+          .select($"vec_id", $"cv", round(sqrt(cc), 9).as("_rn"))
+          .filter($"_rn" > 0)
+          .select(posexplode($"cv").as(Seq("_d0", "_c")), $"_rn")
+          .select($"_d0", ($"_c" / $"_rn").as("u"))
+        // ||y||^2 expands algebraically from scalars already in hand:
+        // cc - 2*dtr*(c.v) + dtr^2*||v||^2 — no per-element y array
+        val rawdot = dot($"cv", vLit)
+        val ab = cent
+          .select($"vec_id", $"cv", cc.as("_cc"), rawdot.as("_raw"),
+            round(rawdot, 9).as("_dtr"))
+          .select($"vec_id", $"cv", $"_dtr",
+            round(sqrt(($"_cc" - (lit(2.0) * $"_dtr" * $"_raw"))
+              + (($"_dtr" * $"_dtr") * lit(vv))), 9).as("_yn"))
+          .filter($"_yn" > 0)
+          .select(posexplode($"cv").as(Seq("_d0", "_c")), $"_dtr", $"_yn")
+          .select($"_d0",
+            (($"_c" - $"_dtr" * element_at(vLit, $"_d0" + 1)) / $"_yn")
+              .as("u"))
+        def aniso(stage: DataFrame): Double = {
+          val rows = stage.groupBy($"_d0")
+            .agg(
+              round(sum($"u".cast("decimal(27,12)")).cast("double"), 9)
+                .as("_sd"),
+              round(sum(($"u" * $"u").cast("decimal(27,12)")).cast("double"), 9)
+                .as("_qd"),
+              count(lit(1)).as("_c"))
+            .collect().map(r => (r.getInt(0), r.getDouble(1),
+              r.getDouble(2), r.getLong(3)))
+            .sortBy(_._1)
+          val n = rows.map(_._4).min.toDouble
+          val tr2 = r9(rows.map(_._3).reduceLeft(_ + _))
+          val ss = r9(rows.map(r => r._2 * r._2).reduceLeft(_ + _))
+          r9((ss - tr2) / (n * (n - 1.0)))
+        }
+        val result = Seq(("abtt", aniso(ab)), ("centered", aniso(un)))
+        cent.unpersist()
+        result.toDF("stage", "mean_pairwise_cos").orderBy($"stage")
+      },
+      Some(s"""
+        WITH ${pcaCtes(Iters, Dims)},
+        unx AS (
+          SELECT d, cv[d] / rn AS u FROM (
+            SELECT vec_id, cv,
+                   round(sqrt(${seqSum(s"list_transform(range(1, ${Dims + 1}), k -> cv[k] * cv[k])")}), 9) AS rn
+            FROM cent),
+            unnest(range(1, ${Dims + 1})) AS tu(d)
+          WHERE rn > 0),
+        abx AS (
+          SELECT d, (cv[d] - dtr * va[d]) / yn AS u FROM (
+            SELECT vec_id, cv, va, dtr,
+                   round(sqrt((cc - (2.0 * dtr * rawdot))
+                     + ((dtr * dtr) * vv)), 9) AS yn
+            FROM (
+              SELECT vec_id, cv, va,
+                     ${seqSum(s"list_transform(range(1, ${Dims + 1}), k -> cv[k] * cv[k])")} AS cc,
+                     ${seqSum(s"list_transform(range(1, ${Dims + 1}), k -> cv[k] * va[k])")} AS rawdot,
+                     round(${seqSum(s"list_transform(range(1, ${Dims + 1}), k -> cv[k] * va[k])")}, 9) AS dtr,
+                     ${seqSum(s"list_transform(range(1, ${Dims + 1}), k -> va[k] * va[k])")} AS vv
+              FROM cent, v$Iters)),
+            unnest(range(1, ${Dims + 1})) AS tb(d)
+          WHERE yn > 0),
+        st AS (
+          SELECT 'centered' AS stage, d, u FROM unx
+          UNION ALL SELECT 'abtt', d, u FROM abx),
+        sums AS (
+          SELECT stage, d,
+                 round(CAST(SUM(CAST(u AS DECIMAL(27,12))) AS DOUBLE), 9) AS sd,
+                 round(CAST(SUM(CAST(u * u AS DECIMAL(27,12))) AS DOUBLE), 9) AS qd,
+                 count(*) AS c
+          FROM st GROUP BY 1, 2),
+        fin AS (
+          SELECT stage,
+                 CAST(MIN(c) AS DOUBLE) AS nx,
+                 round(${seqSum("list(qd ORDER BY d)")}, 9) AS tr2,
+                 round(${seqSum("list_transform(list(sd ORDER BY d), x -> x * x)")}, 9) AS ss
+          FROM sums GROUP BY 1)
+        SELECT stage, round((ss - tr2) / (nx * (nx - 1.0)), 9)
+                 AS mean_pairwise_cos
+        FROM fin ORDER BY stage"""))
   }
 
   def all: Seq[QueryDef] = Seq(q98Pagerank, q99DictTagger,
     q100FilterAttribution, q101HardNegatives, q102CanonicalByRank,
-    q103PcaPower)
+    q103PcaPower, q104Anisotropy)
 }

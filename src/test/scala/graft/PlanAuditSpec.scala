@@ -457,6 +457,15 @@ class PlanAuditSpec extends SparkSpec {
       s"no corpus scan may remain in the returned plan:\n$p")
   }
 
+  test("q104_anisotropy: the returned frame is the O(1) driver result " +
+    "— per-element lambdas must not appear in the stage plans") {
+    val p = plan("q104_anisotropy")
+    assert(p.contains("LocalTableScan"),
+      s"the two-row audit must be materialized driver-side:\n$p")
+    assert(!p.contains("parquet"),
+      s"no corpus scan may remain in the returned plan:\n$p")
+  }
+
   test("q92_probe_margin: margin cut is TakeOrdered over the narrow " +
     "scoring pass — no join, no corpus-wide window") {
     val p = plan("q92_probe_margin")
