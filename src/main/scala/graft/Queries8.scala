@@ -720,7 +720,71 @@ object Queries8 {
         FROM fin ORDER BY stage"""))
   }
 
+  // ------------------------------------------------------ q105_skew_profile
+  /** Join-key skew profiler: for each shuffle key a pipeline joins or
+    * aggregates on, the statistics that decide the strategy BEFORE the
+    * job runs — total rows, distinct keys, the heaviest key and its
+    * share, the max/mean skew factor, and a recommended salt fan-out
+    * `ceil(max_count · parts / total)` capped at `Parts` (a key is a
+    * straggler exactly when it exceeds one partition's fair share;
+    * q32 demonstrates the salted join this number parameterizes, AQE
+    * skew-join is the runtime fallback). One partial-agged exchange
+    * per profiled key, then a one-row reduction — the profile is
+    * O(keys), never O(rows), so it runs casually at any scale.
+    * Tie-break: the smallest key id among equal-count heaviest keys,
+    * via max-of-(count, −key) struct ordering in both engines.
+    */
+  val q105SkewProfile = {
+    val Parts = 32
+    QueryDef(
+      "q105_skew_profile",
+      (s, dir) => {
+        import s.implicits._
+        def profile(table: String, keyCol: String): DataFrame =
+          t(s, dir, table)
+            .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+            .agg(sum($"c").as("total"), count(lit(1)).as("nk"),
+              max($"c").as("mx"),
+              max(struct($"c", (-$"k").cast("long").as("negk"))).as("am"))
+            .select(lit(s"$table.$keyCol").as("key_name"),
+              $"total".cast("long").as("total_rows"),
+              $"nk".as("n_keys"),
+              $"mx".as("max_count"),
+              (-$"am.negk").as("top_key"),
+              round($"mx".cast("double") / $"total", 6).as("top_share"),
+              round($"mx".cast("double") * $"nk" / $"total", 6)
+                .as("skew_factor"),
+              expr(s"least(CAST($Parts AS BIGINT), " +
+                s"(mx * $Parts + total - 1) DIV total)").as("salt_rec"))
+        profile("orders", "o_custkey")
+          .unionByName(profile("lineitem", "l_suppkey"))
+          .unionByName(profile("events", "user_id"))
+          .orderBy($"key_name")
+      },
+      Some({
+        def one(table: String, keyCol: String): String = s"""
+          SELECT '$table.$keyCol' AS key_name,
+                 CAST(SUM(c) AS BIGINT) AS total_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(c) AS BIGINT) AS max_count,
+                 CAST(MIN(CASE WHEN c = mc THEN k END) AS BIGINT) AS top_key,
+                 round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_share,
+                 round(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 6)
+                   AS skew_factor,
+                 CAST(least($Parts, (MAX(c) * $Parts + SUM(c) - 1) // SUM(c))
+                   AS BIGINT) AS salt_rec
+          FROM (SELECT k, c, MAX(c) OVER () AS mc FROM (
+                  SELECT $keyCol AS k, count(*) AS c
+                  FROM $table GROUP BY 1))"""
+        s"""
+        ${one("orders", "o_custkey")}
+        UNION ALL ${one("lineitem", "l_suppkey")}
+        UNION ALL ${one("events", "user_id")}
+        ORDER BY key_name"""
+      }))
+  }
+
   def all: Seq[QueryDef] = Seq(q98Pagerank, q99DictTagger,
     q100FilterAttribution, q101HardNegatives, q102CanonicalByRank,
-    q103PcaPower, q104Anisotropy)
+    q103PcaPower, q104Anisotropy, q105SkewProfile)
 }

@@ -466,6 +466,14 @@ class PlanAuditSpec extends SparkSpec {
       s"no corpus scan may remain in the returned plan:\n$p")
   }
 
+  test("q105_skew_profile: per-key counts partial-aggregate map-side; " +
+    "no join anywhere in the profile") {
+    val p = plan("q105_skew_profile")
+    assert(!p.contains("Join"), s"the profile is pure aggregation:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-key counting must partial-aggregate:\n$p")
+  }
+
   test("q92_probe_margin: margin cut is TakeOrdered over the narrow " +
     "scoring pass — no join, no corpus-wide window") {
     val p = plan("q92_probe_margin")
