@@ -518,12 +518,12 @@ object Queries8 {
   /** Sequential (left-fold) sum over a SQL list — the [[KmeansSql.sqlDot]]
     * reduction order, IEEE-identical to the codegen'd array folds.
     */
-  private def seqSum(items: String) = s"list_reduce($items, (a, b) -> a + b)"
+  private[graft] def seqSum(items: String) = s"list_reduce($items, (a, b) -> a + b)"
 
   /** Spark-side round-9 matching both engines' `round(x, 9)` on the
     * doubles the driver arithmetic sees (shortest-repr HALF_UP).
     */
-  private def r9(x: Double): Double =
+  private[graft] def r9(x: Double): Double =
     java.math.BigDecimal.valueOf(x)
       .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
 
@@ -534,7 +534,7 @@ object Queries8 {
     * state per round — each round is one narrow pass + dims-group
     * partial agg.
     */
-  private def pcaPower(s: SparkSession, dir: String, iters: Int,
+  private[graft] def pcaPower(s: SparkSession, dir: String, iters: Int,
                        dims: Int): (DataFrame, Array[Double], Double) = {
     import s.implicits._
     import graft.functions.GraftFunctions.dot
@@ -573,7 +573,7 @@ object Queries8 {
     * at `v$iters (va, nm)`. Shared by q103 (loadings) and q104 (ABTT
     * anisotropy audit).
     */
-  private def pcaCtes(iters: Int, dims: Int): String = {
+  private[graft] def pcaCtes(iters: Int, dims: Int): String = {
     def iterCtes(i: Int): String = {
       val p = if (i == 1) "v0" else s"v${i - 1}"
       s"""dt$i AS (

@@ -482,4 +482,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"the uncertainty cut must be a distributed top-n merge:\n$p")
   }
+
+  test("q106_js_drift: both halves counted in ONE partial-agged pass; " +
+    "scalars attach by broadcast only") {
+    val p = plan("q106_js_drift")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_sum"),
+      s"half-counting must partial-aggregate map-side:\n$p")
+    // exactly one scan of events: the midpoint + the counts reuse it
+    assert("FileScan parquet|Scan parquet".r.findAllIn(p).size <= 2,
+      s"the timeline must not be scanned per half:\n$p")
+  }
+
+  test("q109_embed_outliers: per-dim stats broadcast back; top-20 is " +
+    "TakeOrdered, never a global sort") {
+    val p = plan("q109_embed_outliers")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 64-row stats frame must attach by broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the outlier cut must be a distributed top-n merge:\n$p")
+  }
+
+  test("q110_shard_audit: expected-count grid is broadcast crosses of " +
+    "O(shards)/O(langs) aggregates — the corpus shuffles once") {
+    val p = plan("q110_shard_audit")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count"),
+      s"cell counting must partial-aggregate map-side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"grid joins are tiny-side broadcasts, never shuffled:\n$p")
+  }
+
+  test("q111_distinct_ngrams: count-distinct partial-aggregates on " +
+    "(source, gram) — no corpus-wide distinct, no cartesian") {
+    val p = plan("q111_distinct_ngrams")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count"),
+      s"gram counting must partial-aggregate map-side:\n$p")
+    assert(p.contains("Generate explode"),
+      s"tokenization must be a row-local explode:\n$p")
+  }
 }
