@@ -523,4 +523,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate explode"),
       s"tokenization must be a row-local explode:\n$p")
   }
+
+  test("q112_entity_match: candidates from an EQUI-join on the blocking " +
+    "key — never probe×corpus") {
+    val p = plan("q112_entity_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"entity matching must block, not cross:\n$p")
+    assert(p.contains("_nk"), s"the blocking key must drive the join:\n$p")
+  }
+
+  test("q113_burstiness: integer sums partial-aggregate; top-20 is " +
+    "TakeOrdered, never a global sort") {
+    val p = plan("q113_burstiness")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"term stats must partial-aggregate map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the bursty-term cut must be a distributed top-n merge:\n$p")
+  }
+
+  test("q114_shard_wasserstein: one corpus count pass; everything else " +
+    "runs on the O(shards × values) grid") {
+    val p = plan("q114_shard_wasserstein")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count"),
+      s"value counting must partial-aggregate map-side:\n$p")
+    // exactly the two corpus aggregations (global + per-shard counts);
+    // shard space is enumerated (range), N folds from the grid — the
+    // windowed CDF math must NOT re-scan the corpus
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 2,
+      s"the corpus must not be re-scanned for the grid math:\n$p")
+  }
+
+  test("q115_time_decay_mix: one weighted pass after the max; totals " +
+    "via window over the O(categories) frame") {
+    val p = plan("q115_time_decay_mix")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_sum"),
+      s"weighted counting must partial-aggregate map-side:\n$p")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 2,
+      s"the timeline must not be scanned per stage:\n$p")
+  }
 }
