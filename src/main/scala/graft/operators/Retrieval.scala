@@ -235,4 +235,78 @@ object Retrieval {
       .select(col("query_id"), col("rn"), col("doc_id"), col("rrf"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    * greedily pick `k` items from a BOUNDED candidate pool, each step
+    * taking the item maximizing
+    * `λ·rel − (1−λ)·max_{s∈picked} cos(item, s)` — the diversity-aware
+    * head of a retrieval stack (relevance alone returns k near-copies;
+    * MMR spends the budget on coverage). Returns
+    * `(pick_rank, <idCol>, rel, max_sim, score)` ordered by pick rank.
+    *
+    * Scale shape: MMR is inherently sequential in `k` and quadratic in
+    * the pool, so the contract is the one every production reranker
+    * uses — candidate generation is the distributed stage (exact/IVF/PQ
+    * top-N, q14/q61/q71), and this operator reranks the RESULT, a pool
+    * of O(10–1000) rows. The collect here is O(pool) by that contract
+    * (the codebook-collect precedent, [[Similarity]]), not a corpus
+    * collect; pairwise work is pool², never corpus².
+    *
+    * Determinism contract: pairwise cosines fold in index order
+    * (mirroring [[graft.functions.GraftFunctions.dot]]) and round to 6;
+    * `rel` arrives round-6 from the caller; the step score is pure IEEE
+    * `λ·rel − (1−λ)·max_sim` of round-6 doubles, rounded to 6 with
+    * HALF_UP (matching both engines' `round`); ties break on the id.
+    */
+  def mmrRerank(pool: DataFrame, idCol: String, vecCol: String,
+                relCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda in [0, 1]")
+    val spark = pool.sparkSession
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // O(pool) collect by contract (bounded rerank head, see scaladoc)
+    val rows = pool.select(col(idCol).cast("long"), col(vecCol),
+      col(relCol).cast("double")).collect()
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case x => throw new IllegalArgumentException(s"non-numeric element $x")
+    }.toArray)
+    val rels = rows.map(_.getDouble(2))
+    def dotv(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val norms = vecs.map(v => math.sqrt(dotv(v, v)))
+    def sim(i: Int, j: Int): Double =
+      r6(dotv(vecs(i), vecs(j)) / (norms(i) * norms(j)))
+    val n = rows.length
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double, Double)]
+    while (picked.size < math.min(k, n)) {
+      var bestIdx = -1; var bestScore = 0.0; var bestMs = 0.0
+      var i = 0
+      while (i < n) {
+        if (!picked.contains(i)) {
+          val ms = if (picked.isEmpty) 0.0 else picked.map(sim(i, _)).max
+          val sc = r6(lambda * rels(i) - (1.0 - lambda) * ms)
+          if (bestIdx < 0 || sc > bestScore ||
+            (sc == bestScore && ids(i) < ids(bestIdx))) {
+            bestIdx = i; bestScore = sc; bestMs = ms
+          }
+        }
+        i += 1
+      }
+      picked += bestIdx
+      out += ((picked.size.toLong, ids(bestIdx), rels(bestIdx), bestMs,
+        bestScore))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("pick_rank", idCol, "rel", "max_sim", "score")
+  }
 }

@@ -563,4 +563,57 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 2,
       s"the timeline must not be scanned per stage:\n$p")
   }
+
+  test("q116_zipf_fit: term counts partial-aggregate; rank window " +
+    "partitions by language over the vocab frame; fit sums ride the " +
+    "same grouped pass") {
+    val p = plan("q116_zipf_fit")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count"),
+      s"term counting must partial-aggregate map-side:\n$p")
+    // one tokenize scan: vocab and the conditional fit sums come from
+    // the SAME grouped pass, not a second corpus read
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
+      s"fit sums must reuse the term-count pass:\n$p")
+  }
+
+  test("q117_ingest_novelty: first-seen attaches by equi-join on the " +
+    "gram hash — never pairwise, never a cross") {
+    val p = plan("q117_ingest_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty must not be a theta join:\n$p")
+    assert(p.contains("partial_min"),
+      s"first-seen must partial-aggregate map-side:\n$p")
+  }
+
+  test("q118_minhash_calibration: candidate pairs from the band-key " +
+    "equi-join (the q11 shape), never all-pairs") {
+    val p = plan("q118_minhash_calibration")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"calibration must never be all-pairs:\n$p")
+    assert(p.contains("band_key"), p)
+  }
+
+  test("q119_mmr_rerank: candidate generation is a broadcast cosine " +
+    "scan + TakeOrdered — the corpus never self-joins") {
+    val df = SparkEntry.queries("q119_mmr_rerank")(spark, dir)
+    // the returned frame is the O(k) driver rerank result; the plan to
+    // audit is the pool query feeding it — rebuild it here exactly
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.cosine
+    val e = Tables(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val pool = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(30)
+    val p = pool.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pool cut must be TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probe vector must broadcast:\n$p")
+    assert(df.count() == 10)
+  }
 }
