@@ -616,4 +616,46 @@ class PlanAuditSpec extends SparkSpec {
       s"probe vector must broadcast:\n$p")
     assert(df.count() == 10)
   }
+
+  test("q120_loo_influence: one corpus pass — LOO slopes are algebra on " +
+    "the O(sources) sums frame, never a per-source rescan") {
+    val p = plan("q120_loo_influence")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"regression sums must partial-aggregate map-side:\n$p")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
+      s"LOO must not rescan the corpus per source:\n$p")
+  }
+
+  test("q121_bitext_margin: probe side broadcasts (the q14 contract); " +
+    "both rank directions fold as windows over ONE cosine frame") {
+    val p = plan("q121_bitext_margin")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"side A must broadcast against side B:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-corpus shuffle join in the pair stage:\n$p")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 2,
+      s"one scan per side — margin math must reuse the cosine frame:\n$p")
+  }
+
+  test("q122_mad_outliers: both quantile passes are range shuffles " +
+    "(partition-bounded memory, the q35 property)") {
+    val p = plan("q122_mad_outliers")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"exactCont must rank-select via a range exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"median/MAD thresholds must broadcast back onto the corpus:\n$p")
+  }
+
+  test("q123_heaps_fit: first-seen is a partial-agged min, growth curve " +
+    "is a windowed cumsum — no sequential scan, no cross") {
+    val p = plan("q123_heaps_fit")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_min"),
+      s"word first-seen must partial-aggregate map-side:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"cumulative axes must fold as windows:\n$p")
+  }
 }
