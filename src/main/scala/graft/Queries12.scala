@@ -112,9 +112,13 @@ object Queries12 {
     * each endpoint's k-NN neighborhood cosines — which cancels hubness
     * that raw cosine thresholds can't (a vector close to everything
     * mines nothing). Both rank directions and both neighborhood means
-    * fold as windows over ONE broadcast-probe cosine frame (probe side
-    * small by contract; at 100 TB candidate generation swaps to the
-    * IVF/PQ index paths q61/q71 and the margin math is unchanged).
+    * fold as windows over ONE broadcast-probe cosine frame. The probe
+    * batch is BOUNDED by contract (`vec_id < 100` — the incremental
+    * shape: align a new-crawl batch against the existing corpus), so
+    * cost is linear in the corpus; the 100× rehearsal caught the
+    * original both-sides-proportional instantiation at 340× (Σ|A|·|B|
+    * quadratic) and this bound is the fix. Corpus×corpus mining is
+    * [[q124BitextLshMargin]] (bucketed candidates, corpus-linear).
     * Keeps each A-vector's best-margin partner where margin > 1.
     */
   val q121BitextMargin = {
@@ -125,7 +129,7 @@ object Queries12 {
       (s, dir) => {
         import s.implicits._
         val e = t(s, dir, "embeddings")
-        val a = e.filter($"label" === 0)
+        val a = e.filter($"label" === 0 && $"vec_id" < 100)
           .select($"vec_id".as("aid"), $"embedding".as("av"))
         val b = e.filter($"label" === 1)
           .select($"vec_id".as("bid"), $"embedding".as("bv"))
@@ -151,7 +155,7 @@ object Queries12 {
       },
       Some(s"""
         WITH a AS (SELECT vec_id AS aid, embedding AS av
-                   FROM embeddings WHERE label = 0),
+                   FROM embeddings WHERE label = 0 AND vec_id < 100),
         b AS (SELECT vec_id AS bid, embedding AS bv
               FROM embeddings WHERE label = 1),
         x AS (SELECT aid, bid, ${sqlCos("av", "bv")} AS cos FROM a, b),
@@ -315,6 +319,110 @@ object Queries12 {
                AS heaps_beta
       FROM ag ORDER BY lang"""))
 
+  // ------------------------------------------------- q124_bitext_lsh_margin
+  /** Corpus×corpus margin mining — the scale path q121's bounded-batch
+    * contract defers to: BOTH sides are corpus-proportional, so
+    * candidates come from a shared random-hyperplane LSH bucket join
+    * ([[graft.operators.Similarity.hyperplaneBucket]], AUTO-SIZED by
+    * [[graft.operators.Similarity.autoPlanes]] — the oracle derives the
+    * identical plane count from its own `count(*)`), never the full
+    * cross. Pair work is Σ|bucket_A|·|bucket_B| ≈ n·targetBucket —
+    * corpus-linear, the same dial as q15. Neighborhood means divide by
+    * `least(k, candidates)` since bucket-local candidate counts vary;
+    * margins are bucket-local (the CCMatrix approximation: ANN
+    * candidates, not exact k-NN — recall is the trade, measured the
+    * q50 way if needed). Keeps each A-vector's best bucket-local
+    * partner where margin > 1.
+    */
+  val q124BitextLshMargin = {
+    val K = 4
+    import KmeansSql.sqlDot
+    // the q15 oracle machinery: derive planes from the same
+    // shift-compare (smallest p in [1,16] with 64·2^p >= count(*)),
+    // then the md5-hyperplane sign code per vector
+    val sqlPlanes =
+      """(SELECT CAST(coalesce(min(p), 16) AS INT) FROM range(1, 17) t(p)
+          WHERE 64 * (1 << p) >= (SELECT count(*) FROM embeddings))"""
+    def sqlBucket(vec: String) =
+      s"""list_sum(list_transform(range(0, $sqlPlanes), p ->
+         CASE WHEN round(list_reduce(list_transform(range(0, 64),
+           d -> $vec[d+1]::DOUBLE * (CAST(('0x' || substr(md5('0:' || p || ':' || d), 1, 15)) AS BIGINT) % 1000 / 1000.0 - 0.5)),
+           (x, y) -> x + y), 6) > 0 THEN (1 << p) ELSE 0 END))"""
+    QueryDef(
+      "q124_bitext_lsh_margin",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Similarity
+        val e = t(s, dir, "embeddings")
+        val planes = Similarity.autoPlanes(e.count(), targetBucket = 64)
+        def side(label: Int, id: String, v: String) =
+          e.filter($"label" === label)
+            .select($"vec_id".as(id), $"embedding".as(v),
+              Similarity.hyperplaneBucket($"embedding", 64, planes)
+                .as("bucket"))
+        val x = side(0, "aid", "av").join(side(1, "bid", "bv"), "bucket")
+          .select($"aid", $"bid", round(cosine($"av", $"bv"), 6).as("cos"))
+        val byA = Window.partitionBy($"aid").orderBy($"cos".desc, $"bid")
+        val byB = Window.partitionBy($"bid").orderBy($"cos".desc, $"aid")
+        def nbrMean(rn: Column, part: org.apache.spark.sql.expressions.WindowSpec) =
+          round(sum(when(rn <= K, $"cos").cast("decimal(27,12)"))
+            .over(part).cast("double")
+            / least(lit(K.toLong), count(lit(1)).over(part)), 9)
+        val m = x
+          .withColumn("rna", row_number().over(byA))
+          .withColumn("da", nbrMean($"rna", Window.partitionBy($"aid")))
+          .withColumn("rnb", row_number().over(byB))
+          .withColumn("db", nbrMean($"rnb", Window.partitionBy($"bid")))
+          .withColumn("margin",
+            round($"cos" / (($"da" + $"db") / 2.0), 6))
+        m.withColumn("pick", row_number().over(
+            Window.partitionBy($"aid").orderBy($"margin".desc, $"bid")))
+          .filter($"pick" === 1 && $"margin" > 1.0)
+          .select($"aid", $"bid", $"cos", $"margin")
+          .orderBy($"aid")
+      },
+      Some(s"""
+        WITH a AS (
+          SELECT vec_id AS aid, embedding AS av,
+                 CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+          FROM embeddings WHERE label = 0),
+        b AS (
+          SELECT vec_id AS bid, embedding AS bv,
+                 CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+          FROM embeddings WHERE label = 1),
+        x AS (
+          SELECT aid, bid,
+                 round(${sqlDot("av", "bv")} /
+                       (sqrt(${sqlDot("av", "av")}) * sqrt(${sqlDot("bv", "bv")})), 6) AS cos
+          FROM a JOIN b USING (bucket)),
+        r1 AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS rna,
+                 ROW_NUMBER() OVER (PARTITION BY bid ORDER BY cos DESC, aid) AS rnb
+          FROM x),
+        d AS (
+          SELECT *,
+                 round(CAST(SUM(CASE WHEN rna <= $K
+                     THEN CAST(cos AS DECIMAL(27,12)) END)
+                   OVER (PARTITION BY aid) AS DOUBLE)
+                   / LEAST($K, COUNT(*) OVER (PARTITION BY aid)), 9) AS da,
+                 round(CAST(SUM(CASE WHEN rnb <= $K
+                     THEN CAST(cos AS DECIMAL(27,12)) END)
+                   OVER (PARTITION BY bid) AS DOUBLE)
+                   / LEAST($K, COUNT(*) OVER (PARTITION BY bid)), 9) AS db
+          FROM r1),
+        m AS (
+          SELECT aid, bid, cos,
+                 round(cos / ((da + db) / 2.0), 6) AS margin
+          FROM d),
+        p AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY aid
+                      ORDER BY margin DESC, bid) AS pick
+          FROM m)
+        SELECT aid, bid, cos, margin
+        FROM p WHERE pick = 1 AND margin > 1.0 ORDER BY aid"""))
+  }
+
   def all: Seq[QueryDef] = Seq(q120LooInfluence, q121BitextMargin,
-    q122MadOutliers, q123HeapsFit)
+    q122MadOutliers, q123HeapsFit, q124BitextLshMargin)
 }

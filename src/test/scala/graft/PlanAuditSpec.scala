@@ -639,6 +639,15 @@ class PlanAuditSpec extends SparkSpec {
       s"one scan per side — margin math must reuse the cosine frame:\n$p")
   }
 
+  test("q124_bitext_lsh_margin: corpus-corpus candidates from the " +
+    "bucket equi-join — never the full cross (the q121 100x lesson)") {
+    val p = plan("q124_bitext_lsh_margin")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-corpus mining must never be all-pairs:\n$p")
+    assert(p.contains("bucket"), p)
+  }
+
   test("q122_mad_outliers: both quantile passes are range shuffles " +
     "(partition-bounded memory, the q35 property)") {
     val p = plan("q122_mad_outliers")
