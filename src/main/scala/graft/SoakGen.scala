@@ -52,6 +52,20 @@ object SoakGen {
         col("label"))
       .repartition(64)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    // Events scale on the USER axis: replica k shifts user/event ids
+    // into a disjoint range and keeps timestamps — 100× data means
+    // 100× users with the original per-user histories (the natural
+    // growth for funnel/retention/transition rehearsals), not
+    // 100×-longer single histories.
+    val ev = Tables(spark, src, "events")
+    ev.crossJoin(reps)
+      .select(
+        (col("event_id") + col("_k") * 10000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("_k") * 10000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
     println(s"""{"dst":"$dst","factor":$factor}""")
     spark.stop()
   }

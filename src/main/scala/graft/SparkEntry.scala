@@ -11,7 +11,8 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.all ++
       Queries5.all ++ Queries6.all ++ Queries7.all ++ Queries8.all ++
-      Queries9.all ++ Queries10.all ++ Queries11.all ++ Queries12.all
+      Queries9.all ++ Queries10.all ++ Queries11.all ++ Queries12.all ++
+      Queries13.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

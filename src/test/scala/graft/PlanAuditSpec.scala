@@ -667,4 +667,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"),
       s"cumulative axes must fold as windows:\n$p")
   }
+
+  test("q125_event_funnel: each step is a pushed-down type filter + " +
+    "per-user partial min; steps chain on user_id equi-joins") {
+    val p = plan("q125_event_funnel")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_min"),
+      s"step timestamps must partial-aggregate map-side:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("event_type"),
+      s"the step's type filter must reach the event scan:\n$p")
+  }
+
+  test("q126_retention_cohorts: one distinct (user, week) pass; cohort " +
+    "sizes attach via window over the matrix, not a rescan") {
+    val p = plan("q126_retention_cohorts")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the event log feeds the distinct pass and the first-week agg —
+    // both branches of one scan subtree; no third read for cohort sizes
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 2,
+      s"cohort sizes must come from the matrix window:\n$p")
+  }
+
+  test("q128_event_transitions: one lead() window per user, then " +
+    "partial-agged (from, to) counts; row sums via the matrix window") {
+    val p = plan("q128_event_transitions")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count"),
+      s"transition counts must partial-aggregate map-side:\n$p")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
+      s"the event log must be scanned once:\n$p")
+  }
 }
