@@ -697,4 +697,35 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
       s"the event log must be scanned once:\n$p")
   }
+
+  test("q129_survival_km: per-user firsts partial-aggregate; the KM " +
+    "table is windows over the O(durations) frame, horizon broadcasts") {
+    val p = plan("q129_survival_km")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_min"),
+      s"per-user firsts must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row horizon must broadcast:\n$p")
+  }
+
+  test("q130_ab_ztest: one per-user pass, one O(1) summary row — no " +
+    "per-arm rescan of the event log") {
+    val p = plan("q130_ab_ztest")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_sum"),
+      s"per-user derivation must partial-aggregate map-side:\n$p")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
+      s"first-view and purchase list fold in ONE event-log pass:\n$p")
+  }
+
+  test("q131_error_spike: one partial-agged count pass; trailing stats " +
+    "are windows over the O(days) frame") {
+    val p = plan("q131_error_spike")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"day counting must partial-aggregate map-side:\n$p")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
+      s"the event log must be scanned once:\n$p")
+  }
 }
