@@ -728,4 +728,33 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
       s"the event log must be scanned once:\n$p")
   }
+
+  test("q133_corpus_diff: the diff is ONE full outer join on " +
+    "(source, hash) over per-side distinct sets") {
+    val p = plan("q133_corpus_diff")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"snapshot diff must be an equi-join:\n$p")
+    assert(p.contains("FullOuter"), s"full outer on (source, hash):\n$p")
+  }
+
+  test("q134_token_entropy: term counts partial-aggregate; totals ride " +
+    "a window over the vocab frame, never a second corpus scan") {
+    val p = plan("q134_token_entropy")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count"),
+      s"term counting must partial-aggregate map-side:\n$p")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
+      s"entropy sums must reuse the term-count pass:\n$p")
+  }
+
+  test("q135_source_overlap: pairs from an equi-join on the shingle " +
+    "hash; sizes broadcast — never a sources² × corpus cross") {
+    val p = plan("q135_source_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap must be hash-equi-joined:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the O(sources) size frames must broadcast:\n$p")
+  }
 }
