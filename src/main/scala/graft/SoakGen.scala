@@ -66,6 +66,29 @@ object SoakGen {
         col("event_type"), col("value"), col("props"))
       .repartition(64)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    // TPC-H facts scale on the TRANSACTION axis: replica k shifts
+    // order keys into a disjoint range and keeps customer/supplier/
+    // part keys — 100× data = 100× orders against the same catalog
+    // (the natural warehouse growth). Dims copy through verbatim so a
+    // soak dir is a full drop-in table set.
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    ord.crossJoin(reps)
+      .select(
+        (col("o_orderkey") + col("_k") * 1000000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    li.crossJoin(reps)
+      .select((col("l_orderkey") + col("_k") * 1000000000L).as("l_orderkey")
+        +: li.columns.filter(_ != "l_orderkey").map(col): _*)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
+      spark.read.parquet(s"$src/$n.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$n.parquet")
+    }
     println(s"""{"dst":"$dst","factor":$factor}""")
     spark.stop()
   }

@@ -757,4 +757,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"the O(sources) size frames must broadcast:\n$p")
   }
+
+  test("q136_local_supplier_volume: 6-table join — dims broadcast, " +
+    "facts equi-join, date filter reaches the orders scan") {
+    val p = plan("q136_local_supplier_volume")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation/region must broadcast:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("o_orderdate"),
+      s"the year filter must reach the orders scan:\n$p")
+  }
+
+  test("q137_market_share: numerator and denominator in ONE grouped " +
+    "pass — each table scanned once") {
+    val p = plan("q137_market_share")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 5,
+      s"conditional sum must not fork the join into two branches:\n$p")
+  }
+
+  test("q139_part_value_share: one fact shuffle on l_partkey; total " +
+    "and part count via the window, part names broadcast") {
+    val p = plan("q139_part_value_share")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-part sums must partial-aggregate map-side:\n$p")
+    assert("Scan parquet.*lineitem|FileScan parquet.*lineitem".r
+      .findAllIn(p).size <= 1,
+      s"the fact table must be scanned once:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part names must broadcast:\n$p")
+  }
 }
