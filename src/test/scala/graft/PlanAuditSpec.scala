@@ -788,4 +788,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"part names must broadcast:\n$p")
   }
+
+  test("q140_rfm_segments: one fact pass; rank windows run over the " +
+    "customer-sized frame") {
+    val p = plan("q140_rfm_segments")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-customer summary must partial-aggregate map-side:\n$p")
+    // orders feeds the summary AND the 1-row horizon max — 2 scans max
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 2,
+      s"the ntile windows must not rescan the fact table:\n$p")
+  }
+
+  test("q141_basket_affinity: pairs explode WITHIN an order (equi-join " +
+    "on the order key); marginals and order count broadcast") {
+    val p = plan("q141_basket_affinity")
+    assert(!p.contains("CartesianProduct"),
+      s"basket pairs must never be a catalog cross:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"brand marginals must broadcast:\n$p")
+  }
+
+  test("q143_seasonality: one partial-agged fact pass; chi-square folds " +
+    "over the O(12) frame") {
+    val p = plan("q143_seasonality")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count"),
+      s"month counting must partial-aggregate map-side:\n$p")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
+      s"the fact table must be scanned once:\n$p")
+  }
 }
