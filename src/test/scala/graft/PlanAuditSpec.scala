@@ -818,4 +818,29 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
       s"the fact table must be scanned once:\n$p")
   }
+
+  test("q145_vocab_coverage: one tokenize pass; all coverage points are " +
+    "conditional sums in one grouped pass over the vocab frame") {
+    val p = plan("q145_vocab_coverage")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_count"),
+      s"term counting must partial-aggregate map-side:\n$p")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
+      s"coverage points must not rescan the corpus:\n$p")
+  }
+
+  test("q146_prefix_dup: hash-only opener groups, top-10 is TakeOrdered") {
+    val p = plan("q146_prefix_dup")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("q147_feature_corr: all 14 sufficient statistics in ONE corpus " +
+    "pass; correlations are algebra on the single summary row") {
+    val p = plan("q147_feature_corr")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
+      s"the correlation matrix must not rescan the corpus per pair:\n$p")
+  }
 }
