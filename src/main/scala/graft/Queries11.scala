@@ -55,8 +55,11 @@ object Queries11 {
           csum(round($"x" * $"y", 9)).as("sxy"),
           csum(round($"x" * $"x", 9)).as("sxx"))
         .select($"lang", $"vocab",
-          round(($"n" * $"sxy" - $"sx" * $"sy")
-            / ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("zipf_slope"))
+          // a single-point fit has zero x-variance — null, not 0/0 NaN
+          // (the q147 guard pattern)
+          when($"n" * $"sxx" - $"sx" * $"sx" > 0,
+            round(($"n" * $"sxy" - $"sx" * $"sy")
+              / ($"n" * $"sxx" - $"sx" * $"sx"), 6)).as("zipf_slope"))
         .orderBy($"lang")
     },
     Some("""
@@ -88,34 +91,42 @@ object Queries11 {
                  AS DOUBLE), 9) AS sxx
         FROM xy GROUP BY lang)
       SELECT lang, CAST(vocab AS BIGINT) AS vocab,
-             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+             CASE WHEN n * sxx - sx * sx > 0
+               THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             END AS zipf_slope
       FROM ag ORDER BY lang"""))
 
   // ------------------------------------------------------- q117_ingest_novelty
   /** Marginal novelty per source: the fraction of each source's
-    * distinct 3-gram shingles whose FIRST corpus occurrence (min
+    * DISTINCT 3-gram shingles whose FIRST corpus occurrence (min
     * doc_id = ingest order) lands in that source's documents — the
     * "does this crawl add content or re-serve what we have" call made
     * before paying to keep a snapshot, and the incremental twin of
-    * q111's distinct-n diversity. One shingle pass (the q11 fold,
-    * shingle strings never materialized) → per-doc distinct → gram
-    * first-seen partial agg (vocab-sized) → hash join back on the gram
-    * — no pairwise anything, corpus-linear at any scale.
+    * q111's distinct-n diversity. Both counts are gram-set-level
+    * (COUNT DISTINCT), so within-source repetition (boilerplate,
+    * templates) cannot deflate the metric — an internally repetitive
+    * but genuinely new crawl still scores 1. One shingle pass (the
+    * q11 fold, shingle strings never materialized; persist-guarded —
+    * the first-seen aggregate and the join-back side both consume it)
+    * → gram first-seen partial agg (vocab-sized) → hash join back on
+    * the gram — no pairwise anything, corpus-linear at any scale.
     */
   val q117IngestNovelty = QueryDef(
     "q117_ingest_novelty",
     (s, dir) => {
       import s.implicits._
-      val g = t(s, dir, "documents")
+      val gBase = t(s, dir, "documents")
         .select($"doc_id", $"source",
           explode(array_distinct(
             Dedup.shingleHashes3(Dedup.wordHashes(words($"text"))))).as("h"))
+      val g = if (gBase.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        gBase.persist() else gBase
       val first = g.groupBy($"h").agg(min($"doc_id").as("_first"))
       g.join(first, "h")
         .groupBy($"source")
         .agg(countDistinct($"doc_id").as("n_docs"),
-          count(lit(1)).as("n_grams"),
-          sum(when($"_first" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+          countDistinct($"h").as("n_grams"),
+          countDistinct(when($"_first" === $"doc_id", $"h")).as("n_novel"))
         .select($"source", $"n_docs", $"n_grams", $"n_novel",
           round($"n_novel".cast("double") / $"n_grams", 6).as("novelty_frac"))
         .orderBy($"source")
@@ -138,11 +149,12 @@ object Queries11 {
         FROM shf),
       f AS (SELECT h, min(doc_id) AS fd FROM g GROUP BY h)
       SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             CAST(count(*) AS BIGINT) AS n_grams,
-             CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(count(DISTINCT h) AS BIGINT) AS n_grams,
+             CAST(count(DISTINCT CASE WHEN fd = doc_id THEN h END) AS BIGINT)
                AS n_novel,
-             round(CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-               / count(*), 6) AS novelty_frac
+             round(CAST(count(DISTINCT CASE WHEN fd = doc_id THEN h END)
+                 AS DOUBLE)
+               / count(DISTINCT h), 6) AS novelty_frac
       FROM g JOIN f USING (h)
       GROUP BY source ORDER BY source"""))
 
@@ -269,7 +281,7 @@ object Queries11 {
     def step(n: Int): String = s"""
       sel$n AS MATERIALIZED (
         SELECT p.vec_id, p.rel, m.ms AS max_sim,
-               round(0.7 * p.rel - 0.3 * m.ms, 6) AS score
+               round(0.7 * p.rel - (1.0 - 0.7) * m.ms, 6) AS score
         FROM p0 p
         JOIN (SELECT a, max(sim) AS ms FROM sims
               WHERE b IN (SELECT vec_id FROM picked${n - 1}) GROUP BY a) m
@@ -310,7 +322,7 @@ object Queries11 {
           FROM p0 a JOIN p0 b ON a.vec_id <> b.vec_id),
         sel1 AS MATERIALIZED (
           SELECT vec_id, rel, CAST(0.0 AS DOUBLE) AS max_sim,
-                 round(0.7 * rel - 0.3 * 0.0, 6) AS score
+                 round(0.7 * rel - (1.0 - 0.7) * 0.0, 6) AS score
           FROM p0 ORDER BY score DESC, vec_id LIMIT 1),
         picked1 AS MATERIALIZED (SELECT vec_id FROM sel1)$steps
         SELECT * FROM ($unionAll) ORDER BY pick_rank"""))

@@ -105,6 +105,68 @@ object Queries12 {
                AS influence
       FROM tot ORDER BY source"""))
 
+  /** Shared margin-mining stage for [[q121BitextMargin]] /
+    * [[q124BitextLshMargin]]: both rank directions, both neighborhood
+    * means, the margin, and the per-A best pick fold as windows over
+    * one `(aid, bid, cos)` frame. The neighborhood divisor is
+    * `least(k, candidates)` so partitions smaller than k (tiny LSH
+    * buckets, small probe batches) stay well-defined — ONE semantics
+    * for both instantiations.
+    */
+  private val MarginK = 4
+
+  private def marginPick(x: DataFrame): DataFrame = {
+    import x.sparkSession.implicits._
+    val byA = Window.partitionBy($"aid").orderBy($"cos".desc, $"bid")
+    val byB = Window.partitionBy($"bid").orderBy($"cos".desc, $"aid")
+    def nbrMean(rn: Column, part: org.apache.spark.sql.expressions.WindowSpec) =
+      round(sum(when(rn <= MarginK, $"cos").cast("decimal(27,12)"))
+        .over(part).cast("double")
+        / least(lit(MarginK.toLong), count(lit(1)).over(part)), 9)
+    x.withColumn("rna", row_number().over(byA))
+      .withColumn("da", nbrMean($"rna", Window.partitionBy($"aid")))
+      .withColumn("rnb", row_number().over(byB))
+      .withColumn("db", nbrMean($"rnb", Window.partitionBy($"bid")))
+      .withColumn("margin", round($"cos" / (($"da" + $"db") / 2.0), 6))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy($"aid").orderBy($"margin".desc, $"bid")))
+      .filter($"pick" === 1 && $"margin" > 1.0)
+      .select($"aid", $"bid", $"cos", $"margin")
+      .orderBy($"aid")
+  }
+
+  /** The SQL twin of [[marginPick]] — append after a CTE `x(aid, bid,
+    * cos)` (starts with `r1 AS`, ends with the final SELECT).
+    */
+  private def marginSqlTail: String = s"""
+        r1 AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS rna,
+                 ROW_NUMBER() OVER (PARTITION BY bid ORDER BY cos DESC, aid) AS rnb
+          FROM x),
+        d AS (
+          SELECT *,
+                 round(CAST(SUM(CASE WHEN rna <= $MarginK
+                     THEN CAST(cos AS DECIMAL(27,12)) END)
+                   OVER (PARTITION BY aid) AS DOUBLE)
+                   / LEAST($MarginK, COUNT(*) OVER (PARTITION BY aid)), 9) AS da,
+                 round(CAST(SUM(CASE WHEN rnb <= $MarginK
+                     THEN CAST(cos AS DECIMAL(27,12)) END)
+                   OVER (PARTITION BY bid) AS DOUBLE)
+                   / LEAST($MarginK, COUNT(*) OVER (PARTITION BY bid)), 9) AS db
+          FROM r1),
+        m AS (
+          SELECT aid, bid, cos,
+                 round(cos / ((da + db) / 2.0), 6) AS margin
+          FROM d),
+        p AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY aid
+                      ORDER BY margin DESC, bid) AS pick
+          FROM m)
+        SELECT aid, bid, cos, margin
+        FROM p WHERE pick = 1 AND margin > 1.0 ORDER BY aid"""
+
+
   // --------------------------------------------------------- q121_bitext_margin
   /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
     * LASER/CCMatrix criterion): align side A (label 0) to side B
@@ -122,7 +184,6 @@ object Queries12 {
     * Keeps each A-vector's best-margin partner where margin > 1.
     */
   val q121BitextMargin = {
-    val K = 4
     import KmeansSql.sqlCos
     QueryDef(
       "q121_bitext_margin",
@@ -135,23 +196,7 @@ object Queries12 {
           .select($"vec_id".as("bid"), $"embedding".as("bv"))
         val x = b.crossJoin(broadcast(a))
           .select($"aid", $"bid", round(cosine($"av", $"bv"), 6).as("cos"))
-        val byA = Window.partitionBy($"aid").orderBy($"cos".desc, $"bid")
-        val byB = Window.partitionBy($"bid").orderBy($"cos".desc, $"aid")
-        def nbrMean(rn: Column, part: org.apache.spark.sql.expressions.WindowSpec) =
-          round(sum(when(rn <= K, $"cos").cast("decimal(27,12)"))
-            .over(part).cast("double") / K, 9)
-        val m = x
-          .withColumn("rna", row_number().over(byA))
-          .withColumn("da", nbrMean($"rna", Window.partitionBy($"aid")))
-          .withColumn("rnb", row_number().over(byB))
-          .withColumn("db", nbrMean($"rnb", Window.partitionBy($"bid")))
-          .withColumn("margin",
-            round($"cos" / (($"da" + $"db") / 2.0), 6))
-        m.withColumn("pick", row_number().over(
-            Window.partitionBy($"aid").orderBy($"margin".desc, $"bid")))
-          .filter($"pick" === 1 && $"margin" > 1.0)
-          .select($"aid", $"bid", $"cos", $"margin")
-          .orderBy($"aid")
+        marginPick(x)
       },
       Some(s"""
         WITH a AS (SELECT vec_id AS aid, embedding AS av
@@ -159,30 +204,7 @@ object Queries12 {
         b AS (SELECT vec_id AS bid, embedding AS bv
               FROM embeddings WHERE label = 1),
         x AS (SELECT aid, bid, ${sqlCos("av", "bv")} AS cos FROM a, b),
-        r1 AS (
-          SELECT *,
-                 ROW_NUMBER() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS rna,
-                 ROW_NUMBER() OVER (PARTITION BY bid ORDER BY cos DESC, aid) AS rnb
-          FROM x),
-        d AS (
-          SELECT *,
-                 round(CAST(SUM(CASE WHEN rna <= $K
-                     THEN CAST(cos AS DECIMAL(27,12)) END)
-                   OVER (PARTITION BY aid) AS DOUBLE) / $K, 9) AS da,
-                 round(CAST(SUM(CASE WHEN rnb <= $K
-                     THEN CAST(cos AS DECIMAL(27,12)) END)
-                   OVER (PARTITION BY bid) AS DOUBLE) / $K, 9) AS db
-          FROM r1),
-        m AS (
-          SELECT aid, bid, cos,
-                 round(cos / ((da + db) / 2.0), 6) AS margin
-          FROM d),
-        p AS (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY aid
-                      ORDER BY margin DESC, bid) AS pick
-          FROM m)
-        SELECT aid, bid, cos, margin
-        FROM p WHERE pick = 1 AND margin > 1.0 ORDER BY aid"""))
+        $marginSqlTail"""))
   }
 
   // ---------------------------------------------------------- q122_mad_outliers
@@ -275,8 +297,10 @@ object Queries12 {
           csum(round($"x" * $"y", 9)).as("sxy"),
           csum(round($"x" * $"x", 9)).as("sxx"))
         .select($"lang", $"n_points", $"total_tokens", $"vocab",
-          round(($"n_points" * $"sxy" - $"sx" * $"sy")
-            / ($"n_points" * $"sxx" - $"sx" * $"sx"), 6).as("heaps_beta"))
+          // a one-doc language has zero x-variance — null, not 0/0 NaN
+          when($"n_points" * $"sxx" - $"sx" * $"sx" > 0,
+            round(($"n_points" * $"sxy" - $"sx" * $"sy")
+              / ($"n_points" * $"sxx" - $"sx" * $"sx"), 6)).as("heaps_beta"))
         .orderBy($"lang")
     },
     Some("""
@@ -315,8 +339,9 @@ object Queries12 {
                  AS DOUBLE), 9) AS sxx
         FROM xy GROUP BY lang)
       SELECT lang, np AS n_points, toks AS total_tokens, voc AS vocab,
-             round((np * sxy - sx * sy) / (np * sxx - sx * sx), 6)
-               AS heaps_beta
+             CASE WHEN np * sxx - sx * sx > 0
+               THEN round((np * sxy - sx * sy) / (np * sxx - sx * sx), 6)
+             END AS heaps_beta
       FROM ag ORDER BY lang"""))
 
   // ------------------------------------------------- q124_bitext_lsh_margin
@@ -335,7 +360,6 @@ object Queries12 {
     * partner where margin > 1.
     */
   val q124BitextLshMargin = {
-    val K = 4
     import KmeansSql.sqlDot
     // the q15 oracle machinery: derive planes from the same
     // shift-compare (smallest p in [1,16] with 64·2^p >= count(*)),
@@ -362,24 +386,7 @@ object Queries12 {
                 .as("bucket"))
         val x = side(0, "aid", "av").join(side(1, "bid", "bv"), "bucket")
           .select($"aid", $"bid", round(cosine($"av", $"bv"), 6).as("cos"))
-        val byA = Window.partitionBy($"aid").orderBy($"cos".desc, $"bid")
-        val byB = Window.partitionBy($"bid").orderBy($"cos".desc, $"aid")
-        def nbrMean(rn: Column, part: org.apache.spark.sql.expressions.WindowSpec) =
-          round(sum(when(rn <= K, $"cos").cast("decimal(27,12)"))
-            .over(part).cast("double")
-            / least(lit(K.toLong), count(lit(1)).over(part)), 9)
-        val m = x
-          .withColumn("rna", row_number().over(byA))
-          .withColumn("da", nbrMean($"rna", Window.partitionBy($"aid")))
-          .withColumn("rnb", row_number().over(byB))
-          .withColumn("db", nbrMean($"rnb", Window.partitionBy($"bid")))
-          .withColumn("margin",
-            round($"cos" / (($"da" + $"db") / 2.0), 6))
-        m.withColumn("pick", row_number().over(
-            Window.partitionBy($"aid").orderBy($"margin".desc, $"bid")))
-          .filter($"pick" === 1 && $"margin" > 1.0)
-          .select($"aid", $"bid", $"cos", $"margin")
-          .orderBy($"aid")
+        marginPick(x)
       },
       Some(s"""
         WITH a AS (
@@ -395,32 +402,7 @@ object Queries12 {
                  round(${sqlDot("av", "bv")} /
                        (sqrt(${sqlDot("av", "av")}) * sqrt(${sqlDot("bv", "bv")})), 6) AS cos
           FROM a JOIN b USING (bucket)),
-        r1 AS (
-          SELECT *,
-                 ROW_NUMBER() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS rna,
-                 ROW_NUMBER() OVER (PARTITION BY bid ORDER BY cos DESC, aid) AS rnb
-          FROM x),
-        d AS (
-          SELECT *,
-                 round(CAST(SUM(CASE WHEN rna <= $K
-                     THEN CAST(cos AS DECIMAL(27,12)) END)
-                   OVER (PARTITION BY aid) AS DOUBLE)
-                   / LEAST($K, COUNT(*) OVER (PARTITION BY aid)), 9) AS da,
-                 round(CAST(SUM(CASE WHEN rnb <= $K
-                     THEN CAST(cos AS DECIMAL(27,12)) END)
-                   OVER (PARTITION BY bid) AS DOUBLE)
-                   / LEAST($K, COUNT(*) OVER (PARTITION BY bid)), 9) AS db
-          FROM r1),
-        m AS (
-          SELECT aid, bid, cos,
-                 round(cos / ((da + db) / 2.0), 6) AS margin
-          FROM d),
-        p AS (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY aid
-                      ORDER BY margin DESC, bid) AS pick
-          FROM m)
-        SELECT aid, bid, cos, margin
-        FROM p WHERE pick = 1 AND margin > 1.0 ORDER BY aid"""))
+        $marginSqlTail"""))
   }
 
   def all: Seq[QueryDef] = Seq(q120LooInfluence, q121BitextMargin,

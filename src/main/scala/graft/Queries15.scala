@@ -167,7 +167,9 @@ object Queries15 {
           round(-sum($"_t".cast("decimal(27,12)")).cast("double"), 6)
             .as("entropy"))
         .withColumn("norm_entropy",
-          round($"entropy" / round(log($"vocab".cast("double")), 9), 6))
+          // a one-term source divides by ln(1) = 0 — null, not NaN
+          when($"vocab" > 1,
+            round($"entropy" / round(log($"vocab".cast("double")), 9), 6)))
         .orderBy($"source")
     },
     Some("""
@@ -190,8 +192,9 @@ object Queries15 {
                  AS entropy
         FROM tm GROUP BY 1)
       SELECT source, n_tokens, vocab, entropy,
-             round(entropy / round(ln(CAST(vocab AS DOUBLE)), 9), 6)
-               AS norm_entropy
+             CASE WHEN vocab > 1
+               THEN round(entropy / round(ln(CAST(vocab AS DOUBLE)), 9), 6)
+             END AS norm_entropy
       FROM g ORDER BY source"""))
 
   // -------------------------------------------------------- q135_source_overlap

@@ -285,16 +285,26 @@ object Retrieval {
     def sim(i: Int, j: Int): Double =
       r6(dotv(vecs(i), vecs(j)) / (norms(i) * norms(j)))
     val n = rows.length
-    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // the diversity weight is computed as the IEEE difference 1.0 − λ
+    // (NOT a shortened decimal literal like 0.3, which is a DIFFERENT
+    // double) — oracles must spell the same subtraction
+    val mu = 1.0 - lambda
+    // incremental max-sim: each candidate's similarity to the picked
+    // set updates once per pick — O(pool·k) dot products, not the
+    // recompute-per-step O(pool·k²)
+    val isPicked = new Array[Boolean](n)
+    // -inf, NOT 0: the max similarity to the picked set can be negative
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    var nPicked = 0
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Double, Double, Double)]
-    while (picked.size < math.min(k, n)) {
+    while (nPicked < math.min(k, n)) {
       var bestIdx = -1; var bestScore = 0.0; var bestMs = 0.0
       var i = 0
       while (i < n) {
-        if (!picked.contains(i)) {
-          val ms = if (picked.isEmpty) 0.0 else picked.map(sim(i, _)).max
-          val sc = r6(lambda * rels(i) - (1.0 - lambda) * ms)
+        if (!isPicked(i)) {
+          val ms = if (nPicked == 0) 0.0 else maxSim(i)
+          val sc = r6(lambda * rels(i) - mu * ms)
           if (bestIdx < 0 || sc > bestScore ||
             (sc == bestScore && ids(i) < ids(bestIdx))) {
             bestIdx = i; bestScore = sc; bestMs = ms
@@ -302,8 +312,17 @@ object Retrieval {
         }
         i += 1
       }
-      picked += bestIdx
-      out += ((picked.size.toLong, ids(bestIdx), rels(bestIdx), bestMs,
+      isPicked(bestIdx) = true
+      nPicked += 1
+      var j = 0
+      while (j < n) {
+        if (!isPicked(j)) {
+          val s = sim(j, bestIdx)
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+      out += ((nPicked.toLong, ids(bestIdx), rels(bestIdx), bestMs,
         bestScore))
     }
     import spark.implicits._

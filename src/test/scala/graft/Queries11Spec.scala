@@ -37,16 +37,19 @@ class Queries11Spec extends SparkSpec {
     assert(math.abs(r.getDouble(2) + 1.0) < 1e-5, s"slope ${r.getDouble(2)}")
   }
 
-  test("q117: a source that re-serves an earlier source has zero novelty") {
+  test("q117: re-serving scores zero; within-source repeats don't deflate") {
     val t1 = "alpha beta gamma delta epsilon"
     val t2 = "zeta eta theta iota kappa"
     val dir = docsDir(Seq(
       (1L, t1, "en", "s1"), (2L, t2, "en", "s1"),
-      (3L, t1, "en", "s2"))) // exact re-serve, ingested later
+      (3L, t1, "en", "s2"), // exact re-serve, ingested later
+      (4L, t1, "en", "s1"))) // s1's own internal repeat
     val out = SparkEntry.queries("q117_ingest_novelty")(spark, dir)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
-    assert(out("s1") == ((2L, 6L, 6L, 1.0)))
+    // counts are DISTINCT-gram level: s1's repeat of its own content
+    // leaves novelty at 1.0 (the metric judges content, not volume)
+    assert(out("s1") == ((3L, 6L, 6L, 1.0)))
     assert(out("s2") == ((1L, 3L, 0L, 0.0)))
   }
 
