@@ -843,4 +843,23 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
       s"the correlation matrix must not rescan the corpus per pair:\n$p")
   }
+
+  test("q148_priority_late: the EXISTS is a LEFT SEMI join — no order " +
+    "duplication, date filter at the orders scan") {
+    val p = plan("q148_priority_late")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as semi join:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("o_orderdate"),
+      s"the quarter filter must reach the orders scan:\n$p")
+  }
+
+  test("q149_revenue_concentration: one fact pass; all three Pareto " +
+    "cuts as conditional sums over one windowed customer frame") {
+    val p = plan("q149_revenue_concentration")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-customer revenue must partial-aggregate map-side:\n$p")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
+      s"the cut points must not rescan the fact table:\n$p")
+  }
 }
