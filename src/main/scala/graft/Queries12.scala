@@ -48,9 +48,14 @@ object Queries12 {
         sum(round($"x" * $"y", 9).cast("decimal(27,12)")).as("sxy"),
         sum(round($"x" * $"x", 9).cast("decimal(27,12)")).as("sxx"))
       val all = Window.partitionBy(lit(0))
+      // zero-variance guard (q116/q123 discipline): a single source (or
+      // a LOO remainder with constant x) zeroes the denominator — emit
+      // null, never 0/0 NaN
       def slope(n: Column, sx: Column, sy: Column, sxy: Column,
-                sxx: Column): Column =
-        (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                sxx: Column): Column = {
+        val den = n * sxx - sx * sx
+        when(den > 0, (n * sxy - sx * sy) / den)
+      }
       ps.select($"source", $"n", $"sx", $"sy", $"sxy", $"sxx",
           sum($"n").over(all).as("tn"), sum($"sx").over(all).as("tsx"),
           sum($"sy").over(all).as("tsy"), sum($"sxy").over(all).as("tsxy"),
@@ -87,23 +92,24 @@ object Queries12 {
         SELECT *, SUM(n) OVER () AS tn, SUM(sx) OVER () AS tsx,
                SUM(sy) OVER () AS tsy, SUM(sxy) OVER () AS tsxy,
                SUM(sxx) OVER () AS tsxx
-        FROM ps)
+        FROM ps),
+      sl AS (
+        SELECT source, n,
+               (CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)
+                - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE)) AS numl,
+               (CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)
+                - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE)) AS denl,
+               (CAST(tn AS DOUBLE) * CAST(tsxy AS DOUBLE)
+                - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE)) AS numt,
+               (CAST(tn AS DOUBLE) * CAST(tsxx AS DOUBLE)
+                - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE)) AS dent
+        FROM tot)
       SELECT source, CAST(n AS BIGINT) AS n_docs,
-             round((CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)
-                    - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))
-                 / (CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)
-                    - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE)), 6)
-               AS slope_loo,
-             round(round((CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)
-                    - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))
-                 / (CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)
-                    - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE)), 6)
-               - round((CAST(tn AS DOUBLE) * CAST(tsxy AS DOUBLE)
-                    - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE))
-                 / (CAST(tn AS DOUBLE) * CAST(tsxx AS DOUBLE)
-                    - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE)), 6), 6)
+             CASE WHEN denl > 0 THEN round(numl / denl, 6) END AS slope_loo,
+             round(CASE WHEN denl > 0 THEN round(numl / denl, 6) END
+                 - CASE WHEN dent > 0 THEN round(numt / dent, 6) END, 6)
                AS influence
-      FROM tot ORDER BY source"""))
+      FROM sl ORDER BY source"""))
 
   /** Shared margin-mining stage for [[q121BitextMargin]] /
     * [[q124BitextLshMargin]]: both rank directions, both neighborhood

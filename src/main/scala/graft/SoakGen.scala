@@ -30,7 +30,19 @@ object SoakGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reps = spark.range(factor).select(col("id").as("_k"))
+    // Replica ids collide silently if a source id reaches the shift —
+    // assert the headroom up front (one cheap agg per scaled table)
+    // so a larger source dataset fails loudly instead of corrupting
+    // soak-run dedup/funnel/join semantics.
+    def assertFits(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   shift: Long, table: String): Unit =
+      if (factor > 1) {
+        val mx = df.agg(max(col(idCol).cast("long"))).head().getLong(0)
+        require(mx < shift,
+          s"$table.$idCol max $mx >= replica shift $shift: ids would collide")
+      }
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    assertFits(docs, "doc_id", 10000000L, "documents")
     docs.crossJoin(reps)
       .select(
         (col("doc_id") + col("_k") * 10000000L).as("doc_id"),
@@ -42,6 +54,7 @@ object SoakGen {
       .repartition(64)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
     val vecs = spark.read.parquet(s"$src/embeddings.parquet")
+    assertFits(vecs, "vec_id", 10000000L, "embeddings")
     val dims = vecs.select(size(col("embedding"))).head().getInt(0)
     val rot = (col("_k") % dims).cast("int")
     vecs.crossJoin(reps)
@@ -58,6 +71,8 @@ object SoakGen {
     // growth for funnel/retention/transition rehearsals), not
     // 100×-longer single histories.
     val ev = Tables(spark, src, "events")
+    assertFits(ev, "event_id", 10000000L, "events")
+    assertFits(ev, "user_id", 10000000L, "events")
     ev.crossJoin(reps)
       .select(
         (col("event_id") + col("_k") * 10000000L).as("event_id"),
@@ -72,6 +87,7 @@ object SoakGen {
     // (the natural warehouse growth). Dims copy through verbatim so a
     // soak dir is a full drop-in table set.
     val ord = spark.read.parquet(s"$src/orders.parquet")
+    assertFits(ord, "o_orderkey", 1000000000L, "orders")
     ord.crossJoin(reps)
       .select(
         (col("o_orderkey") + col("_k") * 1000000000L).as("o_orderkey"),
@@ -80,6 +96,7 @@ object SoakGen {
       .repartition(64)
       .write.mode("overwrite").parquet(s"$dst/orders.parquet")
     val li = spark.read.parquet(s"$src/lineitem.parquet")
+    assertFits(li, "l_orderkey", 1000000000L, "lineitem")
     li.crossJoin(reps)
       .select((col("l_orderkey") + col("_k") * 1000000000L).as("l_orderkey")
         +: li.columns.filter(_ != "l_orderkey").map(col): _*)

@@ -167,8 +167,30 @@ object Retrieval {
   def probeBm25Index(spark: org.apache.spark.sql.SparkSession,
                      prefix: String, idCol: String, queries: DataFrame,
                      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    probePostings(spark.table(s"${prefix}_postings"),
+    // deletes ([[Tombstones]]) filter the postings by broadcast
+    // anti-join (bucketed partitioning survives); the terms stats stay
+    // as built — the same frozen-stats contract streaming maintenance
+    // probes under — until [[compactBm25Index]] re-derives them exactly
+    probePostings(
+      Tombstones.filter(spark, prefix,
+        spark.table(s"${prefix}_postings"), idCol),
       spark.table(s"${prefix}_terms"), idCol, queries, k, k1, b)
+
+  /** Physically remove tombstoned documents from a [[writeBm25Index]]
+    * artifact: rebuild both tables from the tombstone-filtered
+    * postings — [[writeBm25IndexFromPostings]] re-derives doc count,
+    * avgdl and every idf exactly from what remains, so the compacted
+    * index is bit-identical to one built fresh from the surviving
+    * corpus — then drop the tombstone table.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       prefix: String, idCol: String, buckets: Int): Unit = {
+    val kept = Tombstones.filter(spark, prefix,
+        spark.table(s"${prefix}_postings"), idCol)
+      .localCheckpoint(true) // staged: the rewrite reads the table it replaces
+    writeBm25IndexFromPostings(kept, idCol, prefix, buckets)
+    Tombstones.clear(spark, prefix)
+  }
 
   /** [[probeBm25Index]] against explicit postings/terms frames — the
     * core the catalog probe and the streaming live view
@@ -282,8 +304,13 @@ object Retrieval {
       acc
     }
     val norms = vecs.map(v => math.sqrt(dotv(v, v)))
-    def sim(i: Int, j: Int): Double =
-      r6(dotv(vecs(i), vecs(j)) / (norms(i) * norms(j)))
+    // a zero-norm vector yields 0/0 = NaN; clamp to 0 so maxSim never
+    // stays -Infinity past the first pick (which would overflow the
+    // step score to +Infinity and crash BigDecimal.valueOf)
+    def sim(i: Int, j: Int): Double = {
+      val c = dotv(vecs(i), vecs(j)) / (norms(i) * norms(j))
+      if (c.isNaN) 0.0 else r6(c)
+    }
     val n = rows.length
     // the diversity weight is computed as the IEEE difference 1.0 − λ
     // (NOT a shortened decimal literal like 0.3, which is a DIFFERENT
