@@ -625,10 +625,18 @@ object Queries7 {
     * Determinism: all counts are exact integers in doubles (exact up
     * to 2^53, order-free), the probability ratio evaluates in one
     * fixed IEEE tree, the `ln` rounds to 9 (the q37/q88 discipline),
-    * ties break on the bigram. Scale shape: two exploded aggregations
-    * (unigrams, bigrams), two vocab-keyed equi-joins for the
-    * constituent counts — never broadcast (a 100 TB vocab outgrows a
-    * broadcast; AQE may still choose one when small), totals attach
+    * ties break on the bigram. Scale shape (round-12 rewrite — the
+    * previous version tokenized the corpus FOUR times: unigram agg,
+    * unigram total, bigram agg, bigram total): ONE tokenize pass emits
+    * every unigram as `(w, null)` and every adjacent pair as
+    * `(w, next)` through a single generator, ONE count shuffle builds
+    * the combined vocab frame, and that frame persists (vocab-sized —
+    * sub-corpus by Heaps, MEMORY_AND_DISK spills) so unigram counts,
+    * bigram counts, and BOTH totals derive from it without touching
+    * the corpus again. Constituent-count joins run on 64-bit
+    * `xxhash64` pre-hashed keys (the q63 lever: fixed 8-byte shuffle
+    * keys instead of strings) — never broadcast (a 100 TB vocab
+    * outgrows one; AQE may still choose it when small), totals attach
     * as broadcast 1-row aggregates, and the cut is orderBy+limit.
     */
   val q97Collocations = {
@@ -637,25 +645,37 @@ object Queries7 {
       "q97_collocations",
       (s, dir) => {
         import s.implicits._
-        import graft.functions.GraftFunctions.{shingles, words}
+        import graft.functions.GraftFunctions.words
         val docs = t(s, dir, "documents")
-        val toks = docs.select(explode(words($"text")).as("w"))
-        val uni = toks.groupBy($"w")
-          .agg(count(lit(1)).cast("double").as("cw"))
-        val uniTot = toks.agg(count(lit(1)).cast("double").as("t"))
-        val bis = docs.select(explode(shingles(words($"text"), 2))
-          .as("bigram"))
-        val biTot = bis.agg(count(lit(1)).cast("double").as("tb"))
-        val bi = bis.groupBy($"bigram")
-          .agg(count(lit(1)).cast("double").as("cab"))
-          .filter($"cab" >= MinCount)
+        val ws = words($"text")
+        val uniE = transform(ws,
+          w => struct(w.as("a"), lit(null).cast("string").as("b")))
+        val biE = when(size(ws) >= 2,
+            zip_with(slice(ws, lit(1), size(ws) - 1),
+              slice(ws, lit(2), size(ws) - 1),
+              (a, b) => struct(a.as("a"), b.as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+        val counts = docs
+          .select(explode(concat(uniE, biE)).as("e"))
+          .select($"e.a".as("a"), $"e.b".as("b"))
+          .groupBy($"a", $"b").agg(count(lit(1)).as("cnt"))
+          .persist()
+        val uni = counts.filter($"b".isNull)
+          .select(xxhash64($"a").as("h"), $"cnt".cast("double").as("cw"))
+        val uniTot = counts.filter($"b".isNull)
+          .agg(sum($"cnt").cast("double").as("t"))
+        val biAll = counts.filter($"b".isNotNull)
+        val biTot = biAll.agg(sum($"cnt").cast("double").as("tb"))
+        val bi = biAll.filter($"cnt" >= MinCount)
+          .select($"a", $"b", $"cnt".cast("double").as("cab"))
         val scored = bi
-          .withColumn("w1", split($"bigram", " ")(0))
-          .withColumn("w2", split($"bigram", " ")(1))
-          .join(uni.select($"w".as("w1"), $"cw".as("ca")), "w1")
-          .join(uni.select($"w".as("w2"), $"cw".as("cb")), "w2")
+          .withColumn("h1", xxhash64($"a"))
+          .withColumn("h2", xxhash64($"b"))
+          .join(uni.select($"h".as("h1"), $"cw".as("ca")), "h1")
+          .join(uni.select($"h".as("h2"), $"cw".as("cb")), "h2")
           .crossJoin(broadcast(uniTot)).crossJoin(broadcast(biTot))
-          .select($"bigram", $"cab".cast("long").as("n_ab"),
+          .select(concat_ws(" ", $"a", $"b").as("bigram"),
+            $"cab".cast("long").as("n_ab"),
             round(log(($"cab" / $"tb") / (($"ca" / $"t") * ($"cb" / $"t"))),
               9).as("pmi"))
         val w = Window.orderBy($"pmi".desc, $"bigram".asc)
