@@ -177,10 +177,14 @@ object Queries16 {
     * distinct-part count in the same window pass (a fixed 0.1% cut is
     * a hand-set dial that silently returns nothing once the catalog
     * grows — measured empty here at sf0.01; the autoPlanes lesson).
-    * Per-part partial-agg sums, global total and part count via one
-    * unpartitioned window over the parts frame (never a second fact
-    * scan), top-20 by value. The 100 TB story: the fact table shuffles
-    * once on l_partkey; everything after is parts-sized.
+    * Per-part partial-agg sums; the global total and part count attach
+    * as a broadcast ONE-ROW aggregate (round-12: the previous
+    * unpartitioned window dragged the whole parts frame — parts ∝
+    * scale factor — through a single task; the one-row agg partial-aggs
+    * in place and Spark's ReuseExchange computes the per-part shuffle
+    * once for both branches), top-20 by value. The 100 TB story: the
+    * fact table shuffles once on l_partkey; everything after is
+    * parts-sized and never single-threaded.
     */
   val q139PartValueShare = QueryDef(
     "q139_part_value_share",
@@ -190,10 +194,10 @@ object Queries16 {
         .groupBy($"l_partkey")
         .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
           .as("_v"))
-      val all = Window.partitionBy(lit(0))
+      val tot = perPart.agg(sum($"_v").as("_tot"),
+        count(lit(1)).as("_np"))
       perPart
-        .withColumn("_tot", sum($"_v").over(all))
-        .withColumn("_np", count(lit(1)).over(all))
+        .crossJoin(broadcast(tot))
         .select($"l_partkey",
           round($"_v".cast("double"), 4).as("value"),
           round($"_v".cast("double") / $"_tot".cast("double"), 9).as("share"),
@@ -211,12 +215,12 @@ object Queries16 {
                SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS v
         FROM lineitem GROUP BY 1),
+      tot AS (SELECT SUM(v) AS t, COUNT(*) AS np FROM pp),
       sh AS (
         SELECT l_partkey, round(CAST(v AS DOUBLE), 4) AS value,
-               round(CAST(v AS DOUBLE) / CAST(SUM(v) OVER () AS DOUBLE), 9)
-                 AS share,
-               round(1.5 / COUNT(*) OVER (), 9) AS thr
-        FROM pp)
+               round(CAST(v AS DOUBLE) / CAST(t AS DOUBLE), 9) AS share,
+               round(1.5 / np, 9) AS thr
+        FROM pp, tot)
       SELECT p_name, value, round(share, 6) AS share
       FROM sh JOIN part ON l_partkey = p_partkey
       WHERE share > thr

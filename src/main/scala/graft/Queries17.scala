@@ -18,17 +18,26 @@ object Queries17 {
 
   // ------------------------------------------------------------ q140_rfm_segments
   /** RFM segmentation: every customer scored into recency / frequency
-    * / monetary quartiles (ntile over deterministic total orders —
-    * ties broken by custkey so both engines cut identically), then the
-    * 64-cell segment census — the classic CRM partitioning, and a
-    * stress test for three independent rank windows over the same
-    * customer frame. One fact pass builds the per-customer summary;
-    * everything after is customer-sized.
+    * / monetary quartiles, then the 64-cell segment census — the
+    * classic CRM partitioning. Round-12: quartiles are VALUE-threshold
+    * cuts (the q94 scale-safe NTILE replacement) — the previous three
+    * `ntile(4)` global windows dragged the whole customer frame
+    * (customers ∝ corpus: 15 M at TPC-H sf100, billions at 100 TB)
+    * through ONE task, three times. Now the three metrics melt into
+    * (metric, value) rows and ONE bounded-memory distributed rank
+    * selection ([[graft.operators.Percentiles.exactCont]], one range
+    * exchange over 3n rows) yields nine round-6 thresholds that
+    * broadcast onto a narrow per-row CASE — the customer frame never
+    * re-shuffles to learn its buckets. Threshold semantics: ties share
+    * a bucket (value-based, both engines cut on the same round-6
+    * doubles via `quantile_cont` parity, the q94 discipline); quartile
+    * 1 = most recent / most frequent / highest spend.
     */
   val q140RfmSegments = QueryDef(
     "q140_rfm_segments",
     (s, dir) => {
       import s.implicits._
+      import graft.operators.Percentiles
       val ord = t(s, dir, "orders")
         .select($"o_custkey", unix_micros($"o_orderdate").as("us"),
           dec($"o_totalprice").as("v"))
@@ -40,18 +49,45 @@ object Queries17 {
         .select($"o_custkey",
           expr("(_mx - _last) div 86400000000").as("rec_days"),
           $"freq", $"_mon")
-      val rfm = cust
-        .withColumn("r", ntile(4).over(
-          Window.orderBy($"rec_days", $"o_custkey")))
-        .withColumn("f", ntile(4).over(
-          Window.orderBy($"freq".desc, $"o_custkey")))
-        .withColumn("m", ntile(4).over(
-          Window.orderBy($"_mon".desc, $"o_custkey")))
+      val melted = cust.select(explode(array(
+          struct(lit("r").as("metric"), $"rec_days".cast("double").as("mv")),
+          struct(lit("f").as("metric"), $"freq".cast("double").as("mv")),
+          struct(lit("m").as("metric"), $"_mon".cast("double").as("mv"))))
+          .as("x"))
+        .select($"x.metric", $"x.mv")
+      val th = Percentiles.exactCont(melted, Seq("metric"), "mv",
+          Seq(0.25, 0.5, 0.75))
+        .groupBy($"metric")
+        .agg(round(min(when($"p" === 0.25, $"value")), 6).as("t25"),
+          round(min(when($"p" === 0.5, $"value")), 6).as("t50"),
+          round(min(when($"p" === 0.75, $"value")), 6).as("t75"))
+      val thRow = th.agg(
+        min(when($"metric" === "r", $"t25")).as("r25"),
+        min(when($"metric" === "r", $"t50")).as("r50"),
+        min(when($"metric" === "r", $"t75")).as("r75"),
+        min(when($"metric" === "f", $"t25")).as("f25"),
+        min(when($"metric" === "f", $"t50")).as("f50"),
+        min(when($"metric" === "f", $"t75")).as("f75"),
+        min(when($"metric" === "m", $"t25")).as("m25"),
+        min(when($"metric" === "m", $"t50")).as("m50"),
+        min(when($"metric" === "m", $"t75")).as("m75"))
+      val rfm = cust.crossJoin(broadcast(thRow))
+        .select($"_mon",
+          when($"rec_days".cast("double") <= $"r25", 1L)
+            .when($"rec_days".cast("double") <= $"r50", 2L)
+            .when($"rec_days".cast("double") <= $"r75", 3L)
+            .otherwise(4L).as("r"),
+          when($"freq".cast("double") > $"f75", 1L)
+            .when($"freq".cast("double") > $"f50", 2L)
+            .when($"freq".cast("double") > $"f25", 3L)
+            .otherwise(4L).as("f"),
+          when($"_mon".cast("double") > $"m75", 1L)
+            .when($"_mon".cast("double") > $"m50", 2L)
+            .when($"_mon".cast("double") > $"m25", 3L)
+            .otherwise(4L).as("m"))
       rfm.groupBy($"r", $"f", $"m")
         .agg(count(lit(1)).as("n_customers"),
           round(sum($"_mon").cast("double"), 4).as("monetary"))
-        .select($"r".cast("long").as("r"), $"f".cast("long").as("f"),
-          $"m".cast("long").as("m"), $"n_customers", $"monetary")
         .orderBy($"r", $"f", $"m")
     },
     Some("""
@@ -64,12 +100,33 @@ object Queries17 {
         SELECT o_custkey, (mxus - MAX(us)) // 86400000000 AS rec_days,
                COUNT(*) AS freq, SUM(v) AS mon
         FROM ord, mx GROUP BY o_custkey, mxus),
+      th AS (
+        SELECT
+          round(quantile_cont(CAST(rec_days AS DOUBLE), 0.25), 6) AS r25,
+          round(quantile_cont(CAST(rec_days AS DOUBLE), 0.50), 6) AS r50,
+          round(quantile_cont(CAST(rec_days AS DOUBLE), 0.75), 6) AS r75,
+          round(quantile_cont(CAST(freq AS DOUBLE), 0.25), 6) AS f25,
+          round(quantile_cont(CAST(freq AS DOUBLE), 0.50), 6) AS f50,
+          round(quantile_cont(CAST(freq AS DOUBLE), 0.75), 6) AS f75,
+          round(quantile_cont(CAST(mon AS DOUBLE), 0.25), 6) AS m25,
+          round(quantile_cont(CAST(mon AS DOUBLE), 0.50), 6) AS m50,
+          round(quantile_cont(CAST(mon AS DOUBLE), 0.75), 6) AS m75
+        FROM cust),
       rfm AS (
-        SELECT o_custkey, mon,
-               NTILE(4) OVER (ORDER BY rec_days, o_custkey) AS r,
-               NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
-               NTILE(4) OVER (ORDER BY mon DESC, o_custkey) AS m
-        FROM cust)
+        SELECT mon,
+               CASE WHEN CAST(rec_days AS DOUBLE) <= r25 THEN 1
+                    WHEN CAST(rec_days AS DOUBLE) <= r50 THEN 2
+                    WHEN CAST(rec_days AS DOUBLE) <= r75 THEN 3
+                    ELSE 4 END AS r,
+               CASE WHEN CAST(freq AS DOUBLE) > f75 THEN 1
+                    WHEN CAST(freq AS DOUBLE) > f50 THEN 2
+                    WHEN CAST(freq AS DOUBLE) > f25 THEN 3
+                    ELSE 4 END AS f,
+               CASE WHEN CAST(mon AS DOUBLE) > m75 THEN 1
+                    WHEN CAST(mon AS DOUBLE) > m50 THEN 2
+                    WHEN CAST(mon AS DOUBLE) > m25 THEN 3
+                    ELSE 4 END AS m
+        FROM cust, th)
       SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
              CAST(m AS BIGINT) AS m,
              CAST(COUNT(*) AS BIGINT) AS n_customers,

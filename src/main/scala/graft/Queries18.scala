@@ -51,9 +51,15 @@ object Queries18 {
     * covered by the top-100 / top-500 / top-2000 terms — the number
     * that sizes a tokenizer vocab (or a stopword list) before training
     * one, and the cumulative view of q116's Zipf fit. One tokenize
-    * pass → term counts; the rank window runs over the Heaps-bounded
-    * vocab frame, and all three coverage points fold as conditional
-    * sums in ONE grouped pass (exact integers until the final share).
+    * pass → term counts. Round-12: the coverage points only ever look
+    * at the top-max(Ks) terms, so the rank comes from a distributed
+    * `TakeOrdered` of max(Ks) rows (the ranks themselves fold as a
+    * window over that LIMIT-bounded frame) instead of the previous
+    * global `row_number` over the whole vocab — Heaps-bounded is still
+    * ~10⁸–10⁹ unigrams at 100 TB, too many for one task. Vocab size
+    * and total token mass attach as a broadcast one-row aggregate from
+    * the same term-count pass (exchange-reused); exact integers until
+    * the final share.
     */
   val q145VocabCoverage = {
     val Ks = Seq(100, 500, 2000)
@@ -61,14 +67,16 @@ object Queries18 {
       "q145_vocab_coverage",
       (s, dir) => {
         import s.implicits._
-        val rk = t(s, dir, "documents")
+        val tc = t(s, dir, "documents")
           .select(explode(words($"text")).as("w"))
           .groupBy($"w").agg(count(lit(1)).as("c"))
+        val tot = tc.agg(count(lit(1)).as("vocab"), sum($"c").as("total"))
+        val rk = tc.orderBy($"c".desc, $"w").limit(Ks.max)
           .withColumn("rn", row_number().over(
             Window.orderBy($"c".desc, $"w")))
-        val aggCols = count(lit(1)).as("vocab") +: sum($"c").as("total") +:
-          Ks.map(k => sum(when($"rn" <= k, $"c")).as(s"cov$k"))
+        val aggCols = Ks.map(k => sum(when($"rn" <= k, $"c")).as(s"cov$k"))
         val agg = rk.agg(aggCols.head, aggCols.tail: _*)
+          .crossJoin(broadcast(tot))
         agg.select(explode(array(Ks.map(k =>
             struct(lit(k.toLong).as("k"), $"vocab", $"total",
               coalesce(col(s"cov$k"), lit(0L)).as("covered"))): _*)).as("x"))

@@ -59,8 +59,19 @@ object Queries19 {
     * cut. The head sizes DERIVE from the customer count
     * (`ceil(p·n)` — integer-exact in both engines, the q139 derived-
     * threshold discipline); per-customer revenue partial-aggs from one
-    * fact pass, ranks and all three cut points fold as conditional
-    * sums over ONE windowed pass of the customer-sized frame.
+    * fact pass. Round-12: ranks come from a RANGE-PARTITIONED global
+    * row number — the [[graft.operators.Percentiles.exactCont]]
+    * machinery inlined: range-repartition on (revenue desc, custkey),
+    * pin (range boundaries sample nondeterministically, the
+    * TokenBudget hazard), per-partition counts fold to broadcast
+    * offsets (an O(partitions) frame — the one remaining unpartitioned
+    * window, over ≤ `spark.sql.shuffle.partitions` rows), and rank =
+    * offset + in-partition row_number. The previous
+    * `row_number().over(Window.orderBy(...))` + `partitionBy(lit(0))`
+    * totals dragged the whole customer frame (customers ∝ corpus)
+    * through ONE task; now totals attach as a broadcast one-row
+    * aggregate and the head sums fold in the final O(1)-row aggregate.
+    * Ranks are exact, so the oracle is unchanged.
     */
   val q149RevenueConcentration = {
     val Pcts = Seq(1, 5, 20)
@@ -68,14 +79,24 @@ object Queries19 {
       "q149_revenue_concentration",
       (s, dir) => {
         import s.implicits._
+        import graft.operators.Checkpoints
         val pc = t(s, dir, "orders")
           .groupBy($"o_custkey").agg(sum(dec($"o_totalprice")).as("_v"))
-        val all = Window.partitionBy(lit(0))
-        val rk = pc
-          .withColumn("_rn", row_number().over(
-            Window.orderBy($"_v".desc, $"o_custkey")))
-          .withColumn("_n", count(lit(1)).over(all))
-          .withColumn("_tot", sum($"_v").over(all))
+        val tot = pc.agg(count(lit(1)).as("_n"), sum($"_v").as("_tot"))
+        val parts = Checkpoints.pin(
+          pc.repartitionByRange($"_v".desc, $"o_custkey")
+            .withColumn("_pid", spark_partition_id()))
+        val wOff = Window.orderBy($"_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = parts.groupBy($"_pid").agg(count(lit(1)).as("_c"))
+          .select($"_pid",
+            coalesce(sum($"_c").over(wOff), lit(0L)).as("_off"))
+        val rk = parts
+          .withColumn("_r", row_number().over(
+            Window.partitionBy($"_pid").orderBy($"_v".desc, $"o_custkey")))
+          .join(broadcast(offsets), "_pid")
+          .select($"_v", ($"_off" + $"_r").as("_rn"))
+          .crossJoin(broadcast(tot))
         val aggCols = max($"_n").as("n_customers") +:
           max(round($"_tot".cast("double"), 4)).as("total_rev") +:
           Pcts.map(p => sum(when($"_rn" <= ceil($"_n" * p / 100.0), $"_v"))

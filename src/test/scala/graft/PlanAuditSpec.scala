@@ -776,28 +776,39 @@ class PlanAuditSpec extends SparkSpec {
       s"conditional sum must not fork the join into two branches:\n$p")
   }
 
-  test("q139_part_value_share: one fact shuffle on l_partkey; total " +
-    "and part count via the window, part names broadcast") {
+  test("q139_part_value_share: per-part sums partial-aggregate; totals " +
+    "attach as a broadcast one-row aggregate, part names broadcast") {
     val p = plan("q139_part_value_share")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(p.contains("partial_sum"),
       s"per-part sums must partial-aggregate map-side:\n$p")
+    // the per-part frame feeds the rows AND the 1-row total — the two
+    // branches canonicalize identically, so ReuseExchange computes the
+    // fact shuffle once at runtime (2 scans in the pre-AQE text)
     assert("Scan parquet.*lineitem|FileScan parquet.*lineitem".r
-      .findAllIn(p).size <= 1,
-      s"the fact table must be scanned once:\n$p")
+      .findAllIn(p).size <= 2,
+      s"the fact table feeds at most the rows + totals branches:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"part names must broadcast:\n$p")
   }
 
-  test("q140_rfm_segments: one fact pass; rank windows run over the " +
-    "customer-sized frame") {
+  test("q140_rfm_segments: one fact pass; quartiles are broadcast " +
+    "thresholds, never a global rank window over the customer frame") {
     val p = plan("q140_rfm_segments")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"per-customer summary must partial-aggregate map-side:\n$p")
     // orders feeds the summary AND the 1-row horizon max — 2 scans max
+    // in the returned plan (the exactCont threshold pass pinned its
+    // input eagerly and serves from the checkpoint)
     assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 2,
-      s"the ntile windows must not rescan the fact table:\n$p")
+      s"the threshold cut must not rescan the fact table:\n$p")
+    assert(!p.contains("ntile"),
+      s"quartiles must be threshold cuts, not global ntile windows:\n$p")
+    // the 1-row threshold frame attaches by broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"thresholds must broadcast onto the customer frame:\n$p")
   }
 
   test("q141_basket_affinity: pairs explode WITHIN an order (equi-join " +
@@ -819,14 +830,20 @@ class PlanAuditSpec extends SparkSpec {
       s"the fact table must be scanned once:\n$p")
   }
 
-  test("q145_vocab_coverage: one tokenize pass; all coverage points are " +
-    "conditional sums in one grouped pass over the vocab frame") {
+  test("q145_vocab_coverage: one tokenize pass; the rank frame is a " +
+    "distributed TakeOrdered of max(Ks) rows, never a global vocab window") {
     val p = plan("q145_vocab_coverage")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(p.contains("partial_count"),
       s"term counting must partial-aggregate map-side:\n$p")
-    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
-      s"coverage points must not rescan the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-max(Ks) cut must be a distributed top-k merge:\n$p")
+    // the term-count frame feeds the TakeOrdered AND the 1-row
+    // vocab/total aggregate — identical canonical subtrees, so
+    // ReuseExchange computes the tokenize shuffle once at runtime
+    // (2 scans in the pre-AQE text)
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 2,
+      s"coverage points must reuse the term-count pass:\n$p")
   }
 
   test("q146_prefix_dup: hash-only opener groups, top-10 is TakeOrdered") {
@@ -853,13 +870,89 @@ class PlanAuditSpec extends SparkSpec {
       s"the quarter filter must reach the orders scan:\n$p")
   }
 
-  test("q149_revenue_concentration: one fact pass; all three Pareto " +
-    "cuts as conditional sums over one windowed customer frame") {
+  test("q149_revenue_concentration: one fact pass; ranks from the " +
+    "range-partitioned row number (pinned), totals broadcast") {
     val p = plan("q149_revenue_concentration")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(p.contains("partial_sum"),
       s"per-customer revenue must partial-aggregate map-side:\n$p")
+    // the totals branch is the only parquet read in the returned plan;
+    // the ranked frame serves from the eager range-partition checkpoint
     assert("Scan parquet|FileScan parquet".r.findAllIn(p).size <= 1,
       s"the cut points must not rescan the fact table:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"ranks must serve from the pinned range partitioning:\n$p")
+    // per-partition rank windows only — the offsets attach by broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"partition offsets must broadcast:\n$p")
+  }
+
+  // ------------------------------------------------------ single-reducer sweep
+  /** The automated guard the q140 episode called for (round-11 verdict
+    * §"What's wrong"): the global-window anti-pattern shipped one round
+    * AFTER it was documented, because per-query audits rely on the
+    * author remembering. This sweep walks EVERY `SparkEntry.queries`
+    * physical plan and fails on any window whose partition spec is
+    * empty or all-foldable (every row lands on ONE reducer) unless the
+    * frame is provably bounded — a LIMIT / TakeOrdered sits below it —
+    * or the site is whitelisted here with its boundedness argument.
+    * Whitelist entries are claims subject to review, not exemptions:
+    * each names the O(small) frame the window runs over.
+    */
+  test("single-reducer sweep: no unpartitioned window over an unbounded frame") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
+      LocalTableScanExec, TakeOrderedAndProjectExec}
+
+    val whitelist: Map[String, String] = Map(
+      "q106_js_drift" ->
+        "totals window over the O(event-type categories) counts frame",
+      "q115_time_decay_mix" ->
+        "totals window over the O(event-type categories) weighted frame",
+      "q120_loo_influence" ->
+        "totals window over the O(sources) regression-sums frame",
+      "q125_event_funnel" ->
+        "lag window over the 3-row funnel-steps frame",
+      "q129_survival_km" ->
+        "KM product windows over the O(horizon-days) durations frame",
+      "q131_error_spike" ->
+        "trailing-stats windows over the O(days) daily frame",
+      "q143_seasonality" ->
+        "totals window over the O(12) month frame",
+      "q149_revenue_concentration" ->
+        "offset cumsum over the O(spark.sql.shuffle.partitions) frame")
+
+    def boundedBelow(p: SparkPlan): Boolean =
+      p.find {
+        case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
+             _: CollectLimitExec | _: LocalTableScanExec => true
+        case _ => false
+      }.isDefined
+
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        // sparkPlan (pre-AQE, pre-preparation): window nodes carry their
+        // real partition expressions and no adaptive wrapper hides them
+        val sp = fn(spark, dir).queryExecution.sparkPlan
+        val bad = sp.collect {
+          case w: WindowExecBase
+              if w.partitionSpec.forall(_.foldable) &&
+                !boundedBelow(w.child) &&
+                !whitelist.contains(name) =>
+            w.nodeName
+        }
+        spark.sharedState.cacheManager.clearCache()
+        bad.map(n => s"$name: $n")
+    }
+    assert(violations.isEmpty,
+      s"single-partition window exchanges over unbounded frames:\n" +
+        violations.mkString("\n") +
+        "\nEither re-shape (exactCont thresholds / range-partitioned " +
+        "rank / broadcast one-row totals) or whitelist with a " +
+        "boundedness argument.")
+    // the whitelist must not rot: every entry still names a real query
+    val stale = whitelist.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"whitelisted queries no longer exist: $stale")
   }
 }
