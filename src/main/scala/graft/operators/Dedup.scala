@@ -143,22 +143,32 @@ object Dedup {
       ScaleJoins.writeBucketed(corpusShingles, s"${prefix}_shingles", idCol, buckets))
   }
 
-  /** Reopen the two tables [[writeBandIndex]] wrote. The scans carry the
-    * bucket spec, so joins keyed on `band_key` / the id column read the
-    * corpus co-partitioned from disk (no corpus-side Exchange).
+  /** Reopen the two tables [[writeBandIndex]] wrote, with any recorded
+    * deletes ([[Tombstones.write]] against the same prefix) filtered
+    * out by a broadcast anti-join — a deleted document stops matching
+    * probes immediately, without an index rebuild. The scans carry the
+    * bucket spec and the tombstone side broadcasts, so joins keyed on
+    * `band_key` / the id column still read the corpus co-partitioned
+    * from disk (no corpus-side Exchange).
     */
   def readBandIndex(spark: org.apache.spark.sql.SparkSession,
-                    prefix: String): (DataFrame, DataFrame) =
-    (spark.table(s"${prefix}_bands"), spark.table(s"${prefix}_shingles"))
+                    prefix: String,
+                    idCol: String = "doc_id"): (DataFrame, DataFrame) =
+    (Tombstones.filter(spark, prefix, spark.table(s"${prefix}_bands"), idCol),
+      Tombstones.filter(spark, prefix,
+        spark.table(s"${prefix}_shingles"), idCol))
 
-  /** Rewrite the band index dropping duplicate rows — the periodic
-    * maintenance pass for at-least-once streaming appends
-    * ([[graft.streaming.StreamingContentDedup]]): a replayed batch
-    * re-appends its bands/shingles, which costs storage and duplicate
-    * candidate generation (not correctness — pairs are DISTINCT).
-    * One distinct per table, then the normal bucketed rewrite; probes
-    * running DURING the rewrite see the old tables until the catalog
-    * swap (saveAsTable overwrite).
+  /** Rewrite the band index dropping duplicate rows AND tombstoned
+    * documents — the periodic maintenance pass for at-least-once
+    * streaming appends ([[graft.streaming.StreamingContentDedup]]) and
+    * for deletes: a replayed batch re-appends its bands/shingles
+    * (storage + duplicate candidates, not correctness — pairs are
+    * DISTINCT), and [[Tombstones]] marks deletes that until now were
+    * filtered at probe time. One distinct per table over the
+    * tombstone-filtered read, then the normal bucketed rewrite, then
+    * the tombstone table drops (its rows are now physically gone);
+    * probes running DURING the rewrite see the old tables until the
+    * catalog swap (saveAsTable overwrite).
     */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
                        prefix: String, buckets: Int): Unit = {
@@ -168,6 +178,7 @@ object Dedup {
     val bandsD = bands.distinct().localCheckpoint(true)
     val shD = sh.distinct().localCheckpoint(true)
     writeBandIndex(bandsD, shD, "doc_id", prefix, buckets)
+    Tombstones.clear(spark, prefix)
   }
 
   /** Substring-level exact dedup: find spans of `n` consecutive tokens
@@ -467,13 +478,32 @@ object Dedup {
                        prefix: String, batchFps: DataFrame, idCol: String,
                        minShared: Long): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
-    val postings = spark.table(s"${prefix}_winnow")
+    // deletes ([[Tombstones]]) filter by broadcast anti-join — the
+    // bucketed postings partitioning survives, so the probe stays
+    // corpus-exchange-free
+    val postings = Tombstones.filter(spark, prefix,
+        spark.table(s"${prefix}_winnow"), idCol)
       .select(col("fp"), col(idCol).as("id_old"))
     batchFps.select(col("fp"), col(idCol).as("id_new"))
       .join(postings, Seq("fp"))
       .groupBy(col("id_new"), col("id_old"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Physically remove tombstoned documents from a [[writeWinnowIndex]]
+    * table (the [[compactBandIndex]] pattern): rewrite the bucketed
+    * postings from the tombstone-filtered read, then drop the tombstone
+    * table. Probes between a delete and this compaction already exclude
+    * the documents via [[probeWinnowIndex]]'s anti-join.
+    */
+  def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+                         prefix: String, idCol: String, buckets: Int): Unit = {
+    val kept = Tombstones.filter(spark, prefix,
+        spark.table(s"${prefix}_winnow"), idCol)
+      .localCheckpoint(true) // staged: the rewrite reads the table it replaces
+    ScaleJoins.writeBucketed(kept, s"${prefix}_winnow", "fp", buckets)
+    Tombstones.clear(spark, prefix)
   }
 
   /** Content-defined chunking (the storage-dedup CDC idea applied to

@@ -395,10 +395,32 @@ object Similarity {
       ScaleJoins.writeBucketed(lists, s"${prefix}_lists", "cell", buckets))
   }
 
-  /** Reopen the [[writeIvfIndex]] tables: (centroids, lists). */
+  /** Reopen the [[writeIvfIndex]] tables: (centroids, lists). Deletes
+    * recorded via [[Tombstones.write]] against the same prefix filter
+    * the lists by a broadcast anti-join — a deleted vector stops being
+    * a candidate immediately, the bucketed `cell` partitioning
+    * survives, and the frozen quantizer (centroids) is untouched.
+    */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
                    prefix: String): (DataFrame, DataFrame) =
-    (spark.table(s"${prefix}_centroids"), spark.table(s"${prefix}_lists"))
+    (spark.table(s"${prefix}_centroids"),
+      Tombstones.filter(spark, prefix,
+        spark.table(s"${prefix}_lists"), "cand_id"))
+
+  /** Physically remove tombstoned vectors from a [[writeIvfIndex]]
+    * lists table (the band-index compaction pattern): rewrite the
+    * bucketed lists from the tombstone-filtered read — the centroid
+    * codebook is a frozen quantizer and never rewrites — then drop the
+    * tombstone table.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      prefix: String, buckets: Int): Unit = {
+    val kept = Tombstones.filter(spark, prefix,
+        spark.table(s"${prefix}_lists"), "cand_id")
+      .localCheckpoint(true) // staged: the rewrite reads the table it replaces
+    ScaleJoins.writeBucketed(kept, s"${prefix}_lists", "cell", buckets)
+    Tombstones.clear(spark, prefix)
+  }
 
   /** IVF top-k against a PERSISTED index ([[writeIvfIndex]]): identical
     * semantics to [[knnIvf]], but the corpus side comes pre-assigned

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delete/retract propagation for the persisted-index family — the
+  * band index ([[Dedup.writeBandIndex]]), the IVF lists
+  * ([[Similarity.writeIvfIndex]]), the BM25 postings
+  * ([[Retrieval.writeBm25Index]]) and the winnow postings
+  * ([[Dedup.writeWinnowIndex]]). Those artifacts are build-once +
+  * append-only; a production corpus takes deletions (takedowns,
+  * licensing, PII purges) that must NOT wait for a full index rebuild.
+  *
+  * Mechanism — the LSM tombstone idea applied to catalog tables:
+  *
+  *  1. [[write]] appends the deleted ids to a small side table
+  *     `<prefix>_tombstones` (append-only, so the write is cheap and
+  *     idempotent under streaming replay — duplicates are `distinct`ed
+  *     at read).
+  *  2. Probe paths call [[filter]]: a BROADCAST anti-join of the index
+  *     scan against the tombstone set. The broadcast side is the
+  *     (small) delete set, so the index side's bucketed partitioning
+  *     survives and probes stay corpus-exchange-free — deletes cost
+  *     O(tombstones) per probe, never a rebuild.
+  *  3. Compaction (`compact*Index` in each index's home object)
+  *     physically drops tombstoned rows during its rewrite and then
+  *     [[clear]]s the side table — the storage cost is reclaimed and
+  *     the probe-time anti-join returns to a no-op.
+  *
+  * The tombstone set is assumed broadcast-small between compactions
+  * (deletes are rare events against a 100 TB corpus); a delete wave
+  * large enough to outgrow a broadcast is exactly when you run the
+  * compaction instead.
+  */
+object Tombstones {
+
+  def tableName(prefix: String): String = s"${prefix}_tombstones"
+
+  /** Append delete markers for `ids` (a one-column id frame, or any
+    * frame carrying `idCol`). Idempotent under replay: re-appending the
+    * same ids only costs storage until the next compaction.
+    */
+  def write(spark: SparkSession, prefix: String, ids: DataFrame,
+            idCol: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(tableName(prefix))
+
+  /** The distinct tombstoned ids, if any delete was ever recorded. */
+  def read(spark: SparkSession, prefix: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(tableName(prefix)))
+      Some(spark.table(tableName(prefix)).select(col("id")).distinct())
+    else None
+
+  /** Anti-join `df` against the tombstone set — a no-op (same plan)
+    * when no delete was ever recorded. The tombstone side broadcasts,
+    * so `df`'s (bucketed) output partitioning is preserved.
+    */
+  def filter(spark: SparkSession, prefix: String, df: DataFrame,
+             idCol: String): DataFrame =
+    read(spark, prefix) match {
+      case Some(ts) =>
+        df.join(broadcast(ts.select(col("id").as("__ts_id"))),
+          col(idCol) === col("__ts_id"), "left_anti")
+      case None => df
+    }
+
+  /** Drop the tombstone table — called by the compactions AFTER the
+    * rewrite physically removed the tombstoned rows.
+    */
+  def clear(spark: SparkSession, prefix: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(prefix)}")
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions.words
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[Tombstones]]: delete/retract propagation through the persisted
+  * index family. Contract per index — (1) after [[Tombstones.write]]
+  * the deleted document stops matching probes WITHOUT a rebuild,
+  * (2) other documents keep matching, (3) the compaction physically
+  * removes the rows, drops the tombstone table, and probes still
+  * exclude the document afterwards.
+  */
+class TombstonesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // docs 1 and 2 are EXACT dups (identical shingle sets -> every LSH
+  // band matches deterministically; a near-dup pair would make the
+  // band-probe assertion probabilistic in the banding dice)
+  private def docs: DataFrame = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (3L, "the quick brown fox jumps over the lazy dog"),
+    (4L, "completely unrelated content fills this document body"))
+    .toDF("doc_id", "text")
+
+  private def shingled(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      Dedup.shingleHashes3(Dedup.wordHashes(words(col("text")))).as("sh"))
+
+  private def banded(d: DataFrame): DataFrame =
+    Dedup.lshBands(
+      shingled(d).select(col("doc_id"),
+        Dedup.minhashSig(col("sh"), 8).as("sig")),
+      "doc_id", "sig", bands = 4, rowsPerBand = 2)
+
+  test("band index: delete -> probe miss, compact -> physically gone") {
+    val prefix = "graft_spec_ts_band"
+    Dedup.writeBandIndex(banded(docs), shingled(docs), "doc_id", prefix,
+      buckets = 4)
+    // doc 2 is a near-dup of doc 1; probing with doc 2's bands must hit
+    // doc 1 (and itself) before the delete
+    val probe = banded(docs.filter($"doc_id" === 2L))
+    def hits(): Set[Long] = {
+      val (bandsT, _) = Dedup.readBandIndex(spark, prefix)
+      Dedup.lshCrossPairs(probe, bandsT, "doc_id")
+        .select("id_old").as[Long].collect().toSet
+    }
+    assert(hits().contains(1L), "pre-delete probe must hit doc 1")
+
+    Tombstones.write(spark, prefix, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(!hits().contains(1L), "tombstoned doc must stop matching")
+    assert(hits().contains(2L), "other docs must keep matching")
+    // the shingle side filters too (the Jaccard-verify join)
+    val (_, shT) = Dedup.readBandIndex(spark, prefix)
+    assert(!shT.select("doc_id").as[Long].collect().contains(1L))
+
+    Dedup.compactBandIndex(spark, prefix, buckets = 4)
+    assert(!spark.catalog.tableExists(Tombstones.tableName(prefix)),
+      "compaction must drop the tombstone table")
+    assert(!spark.table(s"${prefix}_bands")
+      .select("doc_id").as[Long].collect().contains(1L),
+      "compaction must physically remove tombstoned band rows")
+    assert(!hits().contains(1L) && hits().contains(2L),
+      "post-compaction probes unchanged")
+  }
+
+  test("winnow index: delete -> probe miss, compact -> physically gone") {
+    val prefix = "graft_spec_ts_winnow"
+    Dedup.writeWinnowIndex(docs, "doc_id", "text", k = 3, w = 4, seed = 7,
+      maxDf = 10L, prefix = prefix, buckets = 4)
+    val batchFps = docs.filter($"doc_id" === 2L)
+      .select(col("doc_id"), explode(
+        Dedup.winnowFingerprints(words(col("text")), 3, 4, 7)).as("fp"))
+    def hits(): Set[Long] =
+      Dedup.probeWinnowIndex(spark, prefix, batchFps, "doc_id",
+        minShared = 1L).select("id_old").as[Long].collect().toSet
+    assert(hits().contains(1L), "pre-delete probe must hit doc 1")
+
+    Tombstones.write(spark, prefix, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(!hits().contains(1L) && hits().contains(2L))
+
+    Dedup.compactWinnowIndex(spark, prefix, "doc_id", buckets = 4)
+    assert(!spark.catalog.tableExists(Tombstones.tableName(prefix)))
+    assert(!spark.table(s"${prefix}_winnow")
+      .select("doc_id").as[Long].collect().contains(1L))
+    assert(!hits().contains(1L) && hits().contains(2L))
+  }
+
+  test("bm25 index: delete -> probe miss; compact re-derives stats " +
+    "exactly as a fresh build over the surviving corpus") {
+    val prefix = "graft_spec_ts_bm25"
+    Retrieval.writeBm25Index(docs, "doc_id", "text", prefix, buckets = 4)
+    val queries = Seq((1L, "alpha")).toDF("query_id", "term")
+    def hits(): Set[Long] =
+      Retrieval.probeBm25Index(spark, prefix, "doc_id", queries, k = 5)
+        .select("doc_id").as[Long].collect().toSet
+    assert(hits() == Set(1L, 2L), s"pre-delete: ${hits()}")
+
+    Tombstones.write(spark, prefix, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(hits() == Set(2L), s"post-delete: ${hits()}")
+
+    Retrieval.compactBm25Index(spark, prefix, "doc_id", buckets = 4)
+    assert(!spark.catalog.tableExists(Tombstones.tableName(prefix)))
+    assert(hits() == Set(2L), s"post-compaction: ${hits()}")
+    // stats parity: the compacted index == a fresh build on docs - {1}
+    Retrieval.writeBm25Index(docs.filter($"doc_id" =!= 1L), "doc_id",
+      "text", "graft_spec_ts_bm25_fresh", buckets = 4)
+    val compacted = spark.table(s"${prefix}_terms")
+      .orderBy("term").collect().toSeq
+    val fresh = spark.table("graft_spec_ts_bm25_fresh_terms")
+      .orderBy("term").collect().toSeq
+    assert(compacted == fresh,
+      "compacted idf/avgdl must equal the fresh-build stats")
+  }
+
+  test("ivf index: delete -> candidate gone, compact -> physically gone; " +
+    "centroids untouched") {
+    val prefix = "graft_spec_ts_ivf"
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(d => (((seed * 31 + d * 17) % 97) / 97.0f) - 0.5f)
+    val corpus = (0L until 20L).map(i => (i, vec(i.toInt)))
+      .toDF("cand_id", "cv")
+    val centroids = (0 until 3).map(c => (c.toLong, vec(1000 + c)))
+      .toDF("centroid_id", "centroid_vec")
+    Similarity.writeIvfIndex(corpus, centroids, prefix, buckets = 4)
+    val probes = Seq((100L, vec(5))).toDF("probe_id", "pv")
+    def hits(): Set[Long] = {
+      val (cent, lists) = Similarity.readIvfIndex(spark, prefix)
+      Similarity.knnIvfIndexed(probes, cent, lists, k = 20, nprobe = 3)
+        .select("cand_id").as[Long].collect().toSet
+    }
+    assert(hits().contains(5L), "pre-delete probe must reach vector 5")
+
+    Tombstones.write(spark, prefix, Seq(5L).toDF("cand_id"), "cand_id")
+    assert(!hits().contains(5L), "tombstoned vector must stop matching")
+    assert(hits().nonEmpty, "other vectors must keep matching")
+
+    Similarity.compactIvfIndex(spark, prefix, buckets = 4)
+    assert(!spark.catalog.tableExists(Tombstones.tableName(prefix)))
+    assert(!spark.table(s"${prefix}_lists")
+      .select("cand_id").as[Long].collect().contains(5L))
+    assert(!hits().contains(5L) && hits().nonEmpty)
+    assert(spark.table(s"${prefix}_centroids").count() == 3,
+      "the frozen quantizer must survive compaction")
+  }
+}
