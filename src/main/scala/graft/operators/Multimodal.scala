@@ -148,6 +148,119 @@ object Multimodal {
     media.mapPartitions(_.map(kernel))
   }
 
+  /** Decoded audio features (fixed-width, shuffle-friendly). All decoded
+    * fields are None when the payload is not parseable PCM WAV;
+    * `mean_abs_amp` is the exact integer-ratio mean of |sample| over all
+    * frames×channels (unrounded — callers round for reporting).
+    */
+  case class AudioFeatures(
+      media_id: Long,
+      decode_ok: Boolean,
+      sample_rate: Option[Int],
+      channels: Option[Int],
+      bits: Option[Int],
+      n_samples: Option[Long],
+      duration_ms: Option[Long],
+      mean_abs_amp: Option[Double])
+
+  /** The real audio kernel: pure-JVM RIFF/WAVE container parsing for
+    * 16-bit PCM — the audio half of the decode seam [[MediaCodecImageIO]]
+    * fills for stills. Walks the chunk list (chunks pad to even length),
+    * reads `fmt ` (PCM only) and `data`, validates that the declared
+    * data length actually fits the payload (a TRUNCATED blob — the
+    * commonest corruption in a crawled corpus — must degrade to
+    * `decode_ok = false`, never fail the partition), and reports sample
+    * rate / channels / bit depth / frame count / exact integer-division
+    * duration and the mean absolute amplitude. Compressed codecs
+    * (non-PCM format tags, non-16-bit depths) are out of JVM-built-in
+    * scope and degrade the same way; a JNI codec slots into the same
+    * kernel seam via [[decodeAudioFeatures]]'s parameter.
+    */
+  object MediaCodecWav {
+
+    /** Canonical 44-byte-header PCM-16 mono/stereo WAV writer — the
+      * encoder dual of [[decode]], used by [[syntheticAudio]] so specs
+      * and the oracle can predict every decoded field from the sample
+      * formula.
+      */
+    def encodePcm16(sampleRate: Int, channels: Int,
+                    samples: Array[Short]): Array[Byte] = {
+      require(channels >= 1 && samples.length % channels == 0)
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort)
+        .putInt(sampleRate)
+        .putInt(sampleRate * channels * 2) // byte rate
+        .putShort((channels * 2).toShort) // block align
+        .putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+
+    def decode(m: MediaRow): AudioFeatures = {
+      val b = m.payload
+      val fail = AudioFeatures(m.media_id, decode_ok = false,
+        None, None, None, None, None, None)
+      try {
+        if (b.length < 44) return fail
+        val buf = java.nio.ByteBuffer.wrap(b)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def str4(off: Int) = new String(b, off, 4, "US-ASCII")
+        if (str4(0) != "RIFF" || str4(8) != "WAVE") return fail
+        var off = 12
+        var fmt = -1; var channels = -1; var rate = -1; var bits = -1
+        var dataOff = -1; var dataLen = -1
+        while (off + 8 <= b.length && (fmt < 0 || dataOff < 0)) {
+          val cid = str4(off); val clen = buf.getInt(off + 4)
+          if (clen < 0) return fail
+          if (cid == "fmt ") {
+            if (off + 24 > b.length) return fail
+            fmt = buf.getShort(off + 8) & 0xffff
+            channels = buf.getShort(off + 10) & 0xffff
+            rate = buf.getInt(off + 12)
+            bits = buf.getShort(off + 22) & 0xffff
+          } else if (cid == "data") {
+            dataOff = off + 8; dataLen = clen
+          }
+          off += 8 + clen + (clen & 1) // chunks pad to even length
+        }
+        if (fmt != 1 || bits != 16 || channels < 1 || rate <= 0) return fail
+        // the truncation check: a declared data chunk that outruns the
+        // actual bytes is a cut-off upload, not a smaller file
+        if (dataOff < 0 || dataLen < 0 ||
+          dataOff.toLong + dataLen > b.length) return fail
+        val bytesPerFrame = channels * 2
+        if (dataLen % bytesPerFrame != 0) return fail
+        val nFrames = dataLen / bytesPerFrame
+        var s = 0L; var i = 0
+        while (i < nFrames * channels) {
+          s += math.abs(buf.getShort(dataOff + i * 2).toLong); i += 1
+        }
+        val mean =
+          if (nFrames == 0) 0.0 else s.toDouble / (nFrames.toLong * channels)
+        AudioFeatures(m.media_id, decode_ok = true, Some(rate),
+          Some(channels), Some(bits), Some(nFrames.toLong),
+          Some(nFrames.toLong * 1000L / rate), Some(mean))
+      } catch { case _: Exception => fail }
+    }
+  }
+
+  /** Partition-local audio decode — same narrow no-payload-shuffle shape
+    * as [[decodeFeatures]], with [[MediaCodecWav]] as the default kernel.
+    */
+  def decodeAudioFeatures(media: Dataset[MediaRow],
+                          kernel: MediaRow => AudioFeatures = MediaCodecWav.decode)
+      : Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(kernel))
+  }
+
   /** Resize planning (pure column math, no decode): target dims that fit
     * `maxSide` preserving aspect ratio — computed before the expensive
     * decode so undersized items skip the kernel entirely.
@@ -232,6 +345,42 @@ object Multimodal {
         sample_rate = if (kind == "audio") Some(44100) else None,
         duration_ms = if (kind == "video") Some((id % 90000 + 1000).toInt) else None,
         format = Some(if (kind == "image") "png" else if (kind == "audio") "wav" else "mp4"))
+    }
+  }
+
+  /** Every [[syntheticAudio]] id ≡ this (mod 60) ships a TRUNCATED WAV
+    * (the header survives, the data chunk is cut short — the crawl
+    * corruption mode), so the degradation path is exercised by every
+    * caller.
+    */
+  val CorruptAudioId = 13L
+
+  /** Deterministic PCM sample formula for synthetic audio (id, j) —
+    * pure integer arithmetic in [-2048, 2047], so a codec-less engine
+    * (the SQL oracle) predicts the decoded amplitude stats exactly.
+    */
+  def synthSample(id: Long, j: Int): Int =
+    ((id * 37 + j * 11) % 4096).toInt - 2048
+  def synthNSamples(id: Long): Int = (id % 50 + 20).toInt
+  val SynthAudioRate = 8000
+
+  /** Demo audio table: REAL mono PCM-16 WAV payloads (encoded with
+    * [[MediaCodecWav.encodePcm16]]) of [[synthNSamples]] samples filled
+    * by [[synthSample]] — PCM is lossless, so [[MediaCodecWav.decode]]
+    * recovers the formula values exactly. The corrupt id's payload is
+    * truncated after the header.
+    */
+  def syntheticAudio(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val samples =
+        Array.tabulate(synthNSamples(id))(j => synthSample(id, j).toShort)
+      val full = MediaCodecWav.encodePcm16(SynthAudioRate, 1, samples)
+      val payload =
+        if (id % 60 == CorruptAudioId % 60) full.take(48) else full
+      MediaRow(id, "audio", payload, None, None,
+        sample_rate = Some(SynthAudioRate), duration_ms = None,
+        format = Some("wav"))
     }
   }
 }

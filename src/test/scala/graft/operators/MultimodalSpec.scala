@@ -89,6 +89,47 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.filter(_.kind != "image").forall(f => !f.decode_ok))
   }
 
+  test("wav kernel: encode/decode roundtrip recovers the sample formula") {
+    val feats = decodeAudioFeatures(syntheticAudio(spark, 60))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 60)
+    for (f <- feats if f.media_id != CorruptAudioId) {
+      val id = f.media_id
+      val n = synthNSamples(id)
+      assert(f.decode_ok, s"id $id must decode")
+      assert(f.sample_rate.contains(SynthAudioRate) &&
+        f.channels.contains(1) && f.bits.contains(16))
+      assert(f.n_samples.contains(n.toLong))
+      assert(f.duration_ms.contains(n.toLong * 1000 / SynthAudioRate))
+      val expMean = (0 until n).map(j => math.abs(synthSample(id, j))).sum
+        .toDouble / n
+      assert(f.mean_abs_amp.contains(expMean), s"amplitude mismatch for $id")
+    }
+  }
+
+  test("wav kernel: truncated payload degrades to decode_ok=false, " +
+    "never fails the partition") {
+    // CorruptAudioId ships a WAV cut 4 bytes into its data chunk: the
+    // declared data length outruns the payload, the corruption mode a
+    // crawled corpus actually produces
+    val feats = decodeAudioFeatures(syntheticAudio(spark, 60)).collect()
+    val bad = feats.find(_.media_id == CorruptAudioId).get
+    assert(!bad.decode_ok && bad.sample_rate.isEmpty &&
+      bad.n_samples.isEmpty && bad.mean_abs_amp.isEmpty)
+    assert(feats.count(_.decode_ok) == 59,
+      "every intact row in the same pass must decode")
+    // defense in depth: junk bytes, short buffers, and a non-PCM format
+    // tag all degrade instead of throwing
+    def row(payload: Array[Byte]) = MediaRow(99L, "audio", payload,
+      None, None, None, None, Some("wav"))
+    assert(!MediaCodecWav.decode(row(Array.empty[Byte])).decode_ok)
+    assert(!MediaCodecWav.decode(row(Array.fill[Byte](100)(7))).decode_ok)
+    val nonPcm = MediaCodecWav.encodePcm16(8000, 1,
+      Array.tabulate(8)(_.toShort))
+    nonPcm(20) = 3 // format tag -> IEEE float: no JVM kernel, degrade
+    assert(!MediaCodecWav.decode(row(nonPcm)).decode_ok)
+  }
+
   test("features join embeddings-style downstream ops (cosine over stub vectors)") {
     import graft.functions.GraftFunctions.cosine
     val f = decodeFeatures(media).toDF()
