@@ -887,6 +887,55 @@ class PlanAuditSpec extends SparkSpec {
       s"partition offsets must broadcast:\n$p")
   }
 
+  test("q151_shipping_priority: top-10 is TakeOrdered; both date " +
+    "filters reach their scans; no cartesian") {
+    val p = plan("q151_shipping_priority")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the revenue cut must be a distributed top-k merge:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("o_orderdate") &&
+      p.contains("l_shipdate"),
+      s"both date predicates must reach their parquet scans:\n$p")
+  }
+
+  test("q154_returned_items: aggregate-then-attach — the 20-row cut " +
+    "broadcasts INTO the customer dim, wide attributes never ride the " +
+    "fact aggregation") {
+    val p = plan("q154_returned_items")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the revenue cut must be a distributed top-k merge:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the cut must broadcast into customer/nation:\n$p")
+    // exactly one corpus-keyed aggregation exchange (the per-customer
+    // revenue); the attach joins add none
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"attach joins must not re-shuffle ($hashEx):\n$p")
+  }
+
+  test("q157_large_orders: qualifying set joins by key with NO broadcast " +
+    "hint — fact-proportional, AQE decides; top-20 is TakeOrdered") {
+    val p = plan("q157_large_orders")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the attach joins must stay equi-joins:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-order quantity must partial-aggregate map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a distributed top-k merge:\n$p")
+  }
+
+  test("q159_idle_wealthy: derived scalars broadcast; the recency cut " +
+    "is an anti-join, never a NOT-IN cross") {
+    val p = plan("q159_idle_wealthy")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"the no-recent-order cut must be an anti-join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the one-row threshold/cutoff scalars must broadcast:\n$p")
+  }
+
   // ------------------------------------------------------ single-reducer sweep
   /** The automated guard the q140 episode called for (round-11 verdict
     * §"What's wrong"): the global-window anti-pattern shipped one round
