@@ -1004,4 +1004,26 @@ class PlanAuditSpec extends SparkSpec {
     val stale = whitelist.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"whitelisted queries no longer exist: $stale")
   }
+
+  /** Companion sweep: no query may plan a CartesianProduct, ever — the
+    * per-query pins assert this for the shapes where an all-pairs bug
+    * is plausible, but a new query with a missed join key (or a typo
+    * that turns an equi-join condition non-equi) ships a cartesian
+    * silently until its data grows. Empty whitelist by design: a
+    * genuine cross of two >1-row frames has no place in this engine
+    * (1-row attaches plan as BroadcastNestedLoopJoin, which is
+    * allowed).
+    */
+  test("cartesian sweep: no CartesianProduct in any query plan") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val sp = fn(spark, dir).queryExecution.sparkPlan
+        val bad = sp.collect { case c: CartesianProductExec => c.nodeName }
+        spark.sharedState.cacheManager.clearCache()
+        bad.map(n => s"$name: $n")
+    }
+    assert(violations.isEmpty,
+      s"cartesian products planned:\n${violations.mkString("\n")}")
+  }
 }
