@@ -19,4 +19,18 @@ private[streaming] object StreamingBatchDirs {
     fs.exists(path) && fs.listStatus(path).exists(s =>
       s.isDirectory && s.getPath.getName.startsWith("batch="))
   }
+
+  /** The committed batch ids under `path`, ascending — empty when the
+    * tree does not exist yet. Used by the takedown path to rewrite
+    * exactly the affected partitions.
+    */
+  def list(spark: SparkSession, dir: String): Seq[Long] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .sorted
+  }
 }

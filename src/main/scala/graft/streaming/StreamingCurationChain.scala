@@ -64,10 +64,18 @@ object StreamingCurationChain {
     StreamingContentDedup.processBatch(spark,
       batch.select(col("doc_id"), col("text")), prefix,
       s"$keptDir/batch=$batchId", jaccardMin, buckets)
+    // enrich the kept partition with (lang, source) IN PLACE: stages
+    // 2-4 and — crucially — the [[deleteDocs]] takedown path must be
+    // able to regenerate every derived artifact from the kept store
+    // alone (at takedown time the raw batch no longer exists). Pinned
+    // before the overwrite (read-what-you-replace), idempotent on
+    // replay like every other per-batch write.
+    val kept = graft.operators.Checkpoints.pin(
+      spark.read.parquet(s"$keptDir/batch=$batchId")
+        .join(batch.select(col("doc_id"), col("lang"), col("source")),
+          Seq("doc_id")))
+    kept.write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
     onStage(batchId, 1)
-    val kept = spark.read.parquet(s"$keptDir/batch=$batchId")
-      .join(batch.select(col("doc_id"), col("lang"), col("source")),
-        Seq("doc_id"))
     StreamingCardStats.writeBatch(kept, cardDir, batchId)
     onStage(batchId, 2)
     StreamingVectorIndex.writeBatch(
@@ -79,6 +87,51 @@ object StreamingCurationChain {
       kept.select(col("doc_id"), col("text")), "doc_id", "text",
       postingsDir, batchId)
     onStage(batchId, 4)
+  }
+
+  /** Takedown: propagate the deletion of `ids` (a one-column `doc_id`
+    * frame) through ALL five chain artifacts — the GDPR/licensing path
+    * a production curation pipeline cannot ship without.
+    *
+    *  - The band index takes a [[graft.operators.Tombstones]] marker:
+    *    probes exclude the documents immediately (broadcast anti-join),
+    *    [[graft.operators.Dedup.compactBandIndex]] purges physically —
+    *    so a future equivalent document is ADMITTED again, exactly the
+    *    semantics a takedown implies.
+    *  - The kept store, card partials, vector lists and postings trees
+    *    are batch-partitioned plain parquet, so the affected `batch=<id>`
+    *    partitions REWRITE in place, each re-derived from the surviving
+    *    kept rows through the SAME per-batch expressions the chain used
+    *    — batch-sized work, no corpus scan, and idempotent: a crashed
+    *    or repeated delete re-runs safely.
+    *
+    * Run against a quiesced stream (or accept that a batch committing
+    * concurrently with this call is not covered by it — re-issue the
+    * delete afterwards; idempotency makes that safe).
+    */
+  def deleteDocs(spark: SparkSession, ids: DataFrame, prefix: String,
+                 keptDir: String, cardDir: String, indexDir: String,
+                 postingsDir: String, centroids: DataFrame,
+                 dims: Int = 8): Unit = {
+    import graft.operators.{Checkpoints, Tombstones}
+    val del = Checkpoints.pin(ids.select(col("doc_id")).distinct())
+    Tombstones.write(spark, prefix, del, "doc_id")
+    for (b <- StreamingBatchDirs.list(spark, keptDir)) {
+      val path = s"$keptDir/batch=$b"
+      val kept = spark.read.parquet(path)
+      if (!kept.join(del, Seq("doc_id"), "left_semi").isEmpty) {
+        val rest = Checkpoints.pin(kept.join(del, Seq("doc_id"), "left_anti"))
+        rest.write.mode("overwrite").parquet(path)
+        StreamingCardStats.writeBatch(rest, cardDir, b)
+        StreamingVectorIndex.writeBatch(
+          rest.select(col("doc_id").as("cand_id"),
+            textEmbedding(col("text"), dims).as("cv")),
+          centroids, indexDir, b)
+        StreamingPostingsIndex.writeBatch(
+          rest.select(col("doc_id"), col("text")), "doc_id", "text",
+          postingsDir, b)
+      }
+    }
   }
 
   /** Start the chain on a streaming `(doc_id, text, lang, source)`

@@ -118,4 +118,61 @@ class StreamingCurationChainSpec extends SparkSpec {
     assert(postRows == oneShotPost,
       "streamed postings must equal the one-shot tokenize of the kept store")
   }
+
+  test("takedown: deleteDocs purges every artifact, is idempotent, and " +
+    "unblocks a future equivalent document") {
+    val dir = java.nio.file.Files.createTempDirectory("chaindel").toString
+    val prefix = "graft_spec_chain_del"
+    def runBatch(id: Long, docs: ChainDoc*): Unit =
+      StreamingCurationChain.processBatch(spark, docs.toDF(), prefix,
+        s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post",
+        centroids, id)
+    StreamingContentDedup.bootstrapIndex(spark, prefix, buckets = 8)
+    runBatch(0L,
+      ChainDoc(1L, "alpha beta gamma delta epsilon zeta", "en", "web"),
+      ChainDoc(3L, "the quick brown fox jumps over lazy dogs", "en", "books"))
+    runBatch(1L,
+      ChainDoc(5L, "entirely new content appears in this batch", "de", "web"))
+
+    def state(): (Seq[Long], Map[(String, String), Long], Seq[Long], Seq[Long]) = {
+      val kept = spark.read.parquet(s"$dir/kept")
+      val card = spark.read.parquet(s"$dir/card")
+        .groupBy($"source", $"lang").agg(sum($"n_docs").as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      (kept.select("doc_id").as[Long].collect().sorted.toSeq, card,
+        StreamingVectorIndex.lists(spark, s"$dir/ivf")
+          .select("cand_id").as[Long].collect().sorted.toSeq,
+        StreamingPostingsIndex.postings(spark, s"$dir/post",
+            kept.select($"doc_id", $"text"), "doc_id", "text")
+          .select("doc_id").distinct().as[Long].collect().sorted.toSeq)
+    }
+    assert(state()._1 == Seq(1L, 3L, 5L))
+
+    StreamingCurationChain.deleteDocs(spark, Seq(1L).toDF("doc_id"),
+      prefix, s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post",
+      centroids)
+    val after = state()
+    assert(after._1 == Seq(3L, 5L), s"kept = ${after._1}")
+    assert(after._2 == Map(("books", "en") -> 1L, ("web", "de") -> 1L),
+      s"card = ${after._2}")
+    assert(after._3 == Seq(3L, 5L), s"lists = ${after._3}")
+    assert(after._4 == Seq(3L, 5L), s"postings = ${after._4}")
+
+    // idempotent: a crashed/repeated delete re-runs to the same state
+    StreamingCurationChain.deleteDocs(spark, Seq(1L).toDF("doc_id"),
+      prefix, s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post",
+      centroids)
+    assert(state() == after, "repeated delete must be a no-op")
+
+    // takedown semantics: an EQUIVALENT new document is new content now
+    // — the gate admits it (the tombstone filters the band probe)
+    runBatch(2L,
+      ChainDoc(11L, "alpha beta gamma delta epsilon zeta", "en", "web"))
+    val readmitted = state()
+    assert(readmitted._1 == Seq(3L, 5L, 11L), s"kept = ${readmitted._1}")
+    assert(readmitted._2(("web", "en")) == 1L)
+    assert(readmitted._3 == Seq(3L, 5L, 11L) &&
+      readmitted._4 == Seq(3L, 5L, 11L))
+  }
 }
