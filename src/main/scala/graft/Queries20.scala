@@ -450,8 +450,47 @@ object Queries20 {
         AND c_custkey NOT IN (SELECT o_custkey FROM recent)
       GROUP BY n_name ORDER BY n_name"""))
 
+  // ---------------------------------------------------------- q160_partition_prune
+  /** Partition pruning — the time-axis scan lever every 100 TB event
+    * store lives on, demonstrated end to end: the event log is written
+    * ONCE as a day-partitioned catalog table
+    * ([[graft.operators.ScaleJoins.writePartitioned]] — the layout
+    * production lands ingest in, day directories on disk), and the
+    * one-week rollup then reads ONLY the seven matching directories —
+    * the day predicate resolves at PLANNING time (`PartitionFilters`
+    * on the scan, pinned in PlanAuditSpec), zero I/O for the other
+    * days, where the raw layout (the oracle's view) scans every row.
+    * Like the q84/q93 index probes, the timed query deliberately pays
+    * the build; production amortizes it across every query that ever
+    * filters on time.
+    */
+  val q160PartitionPrune = QueryDef(
+    "q160_partition_prune",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.ScaleJoins
+      val tbl = ScaleJoins.writePartitioned(
+        t(s, dir, "events").withColumn("day", to_date($"ts")),
+        "graft_q160_events_byday", "day")
+      s.table(tbl)
+        .filter($"day" >= lit("2024-01-08").cast("date") &&
+          $"day" < lit("2024-01-15").cast("date"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(dec($"value")).cast("double"), 4).as("value_sum"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+               AS value_sum
+      FROM events
+      WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+        AND CAST(ts AS DATE) <  DATE '2024-01-15'
+      GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[QueryDef] = Seq(q150AudioDecode, q151ShippingPriority,
     q152VolumeShipping, q153ProductProfit, q154ReturnedItems,
     q155OrderCountHistogram, q156PromoRevenue, q157LargeOrders,
-    q158DiscountRevenue, q159IdleWealthy)
+    q158DiscountRevenue, q159IdleWealthy, q160PartitionPrune)
 }

@@ -106,6 +106,30 @@ object ScaleJoins {
     table
   }
 
+  /** Write `df` as a parquet catalog table PARTITIONED by `partCol` —
+    * the time-axis layout a 100 TB event store ships with: a predicate
+    * on the partition column prunes whole directories at planning time
+    * (`PartitionFilters` in the scan, zero I/O for pruned days), where
+    * the unpartitioned layout scans every file and filters rows.
+    * Bucketing (above) co-locates JOIN keys; partitioning prunes SCAN
+    * ranges — a production store uses both (partition by day, bucket by
+    * user). Same stale-location cleanup contract as [[writeBucketed]].
+    */
+  def writePartitioned(df: DataFrame, table: String,
+                       partCol: String): String = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy(partCol)
+      .saveAsTable(table)
+    table
+  }
+
   /** Write both sides bucketed by the join key so subsequent joins are
     * shuffle-free (co-located partitions). Returns the two catalog table
     * names. `numBuckets` should match the target parallelism of the
