@@ -416,8 +416,11 @@ object Queries20 {
       val thr = cust.filter($"c_acctbal" > 0)
         .agg((sum(dec($"c_acctbal")).cast("double") / count(lit(1)))
           .as("_thr"))
+      // timestamp - INTERVAL (not add_months, which truncates to DATE
+      // and would silently diverge from the oracle's interval
+      // arithmetic if order timestamps ever carried a time of day)
       val cutoff = t(s, dir, "orders")
-        .agg(add_months(max($"o_orderdate"), -24).as("_cut"))
+        .agg((max($"o_orderdate") - expr("INTERVAL 24 MONTHS")).as("_cut"))
       val recent = t(s, dir, "orders").crossJoin(broadcast(cutoff))
         .filter($"o_orderdate" >= $"_cut")
         .select($"o_custkey")

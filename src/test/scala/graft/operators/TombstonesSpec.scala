@@ -81,6 +81,16 @@ class TombstonesSpec extends SparkSpec {
 
     Tombstones.write(spark, prefix, Seq(1L).toDF("doc_id"), "doc_id")
     assert(!hits().contains(1L) && hits().contains(2L))
+    // the tombstone anti-join must not cost the index its bucketed
+    // partitioning: the broadcast side is the delete set, so the
+    // postings still read co-partitioned and the probe adds no
+    // corpus-side fp exchange
+    val probePlan = Dedup.probeWinnowIndex(spark, prefix, batchFps,
+      "doc_id", minShared = 1L).queryExecution.executedPlan.toString
+    assert(probePlan.contains("Bucketed: true"),
+      s"tombstoned probe must keep the bucketed scan:\n$probePlan")
+    assert("Exchange hashpartitioning\\(fp".r.findAllIn(probePlan).size <= 1,
+      s"tombstone filter must not re-shuffle the postings on fp:\n$probePlan")
 
     Dedup.compactWinnowIndex(spark, prefix, "doc_id", buckets = 4)
     assert(!spark.catalog.tableExists(Tombstones.tableName(prefix)))
