@@ -137,6 +137,13 @@ object Retrieval {
   def writeBm25IndexFromPostings(postings: DataFrame, idCol: String,
                                  prefix: String, buckets: Int): (String, String) = {
     require(buckets >= 1, "buckets >= 1")
+    // Deliberately NOT persisted across the two write jobs: the
+    // postings frame is corpus-scale, and a round-12 measurement
+    // repeated the q117 lesson — persist made the build 4.32→4.06 s at
+    // sf0.1 (noise-level) and 24.7→25.8 s at 100×, because
+    // materializing the wide frame costs more than re-running the
+    // narrow codegen'd tokenize (whose exchange the stats subtree
+    // already reuses within the terms job).
     val id = col(idCol)
     val stats = postings.select(id, col("len")).distinct().agg(
       count(lit(1)).cast("double").as("_n"),
