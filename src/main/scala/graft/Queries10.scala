@@ -41,6 +41,12 @@ object Queries10 {
         .join(cust.select($"c_custkey".as("cand_key"), $"c_nationkey".as("_nk"),
           $"c_name".as("_cname")), "_nk")
         .select($"probe_key", $"cand_key",
+          // full-DP on purpose: the thresholded builtin
+          // `levenshtein(l, r, 2)` (banded early abort) was measured
+          // round-12 at 0.49 → 1.03 s on this frame — on short
+          // catalog names the banded path's per-call overhead beats
+          // its asymptotic win; revisit only when verify strings are
+          // long (documents, addresses), where O(k·n) vs O(n²) is real
           levenshtein($"_pname", $"_cname").as("dist"))
         .filter($"dist" <= 2)
       cand
