@@ -41,10 +41,25 @@ object Tombstones {
     * same ids only costs storage until the next compaction.
     */
   def write(spark: SparkSession, prefix: String, ids: DataFrame,
-            idCol: String): Unit =
+            idCol: String): Unit = {
+    val table = tableName(prefix)
+    if (!spark.catalog.tableExists(table)) {
+      // a previous JVM's files outlive the in-memory catalog and
+      // saveAsTable refuses to CREATE over them (the
+      // [[ScaleJoins.writeBucketed]] stale-location contract). Orphaned
+      // tombstones belong to an index that was itself rebuilt (the
+      // bucketed writers clean their locations), so clearing them is
+      // the correct semantics, not data loss.
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     ids.select(col(idCol).as("id")).distinct()
       .write.mode("append").format("parquet")
-      .saveAsTable(tableName(prefix))
+      .saveAsTable(table)
+  }
 
   /** The distinct tombstoned ids, if any delete was ever recorded. */
   def read(spark: SparkSession, prefix: String): Option[DataFrame] =
