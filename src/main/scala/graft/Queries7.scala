@@ -661,18 +661,29 @@ object Queries7 {
           .groupBy($"a", $"b").agg(count(lit(1)).as("cnt"))
           .persist()
         val uni = counts.filter($"b".isNull)
-          .select(xxhash64($"a").as("h"), $"cnt".cast("double").as("cw"))
+          .select(xxhash64($"a").as("h"), $"a".as("w"),
+            $"cnt".cast("double").as("cw"))
         val uniTot = counts.filter($"b".isNull)
           .agg(sum($"cnt").cast("double").as("t"))
         val biAll = counts.filter($"b".isNotNull)
         val biTot = biAll.agg(sum($"cnt").cast("double").as("tb"))
         val bi = biAll.filter($"cnt" >= MinCount)
           .select($"a", $"b", $"cnt".cast("double").as("cab"))
+        // hash-keyed shuffle + word-equality verify: the join SHUFFLES
+        // on the fixed 8-byte hash, and the post-join filter drops any
+        // 64-bit collision victim (two vocab words sharing a hash would
+        // otherwise fan a bigram into two rows with one wrong count —
+        // a real risk at the 10^8-vocab scale this is sized for; the
+        // true constituent's row always survives the filter)
         val scored = bi
           .withColumn("h1", xxhash64($"a"))
           .withColumn("h2", xxhash64($"b"))
-          .join(uni.select($"h".as("h1"), $"cw".as("ca")), "h1")
-          .join(uni.select($"h".as("h2"), $"cw".as("cb")), "h2")
+          .join(uni.select($"h".as("h1"), $"w".as("wa"), $"cw".as("ca")),
+            "h1")
+          .filter($"wa" === $"a")
+          .join(uni.select($"h".as("h2"), $"w".as("wb"), $"cw".as("cb")),
+            "h2")
+          .filter($"wb" === $"b")
           .crossJoin(broadcast(uniTot)).crossJoin(broadcast(biTot))
           .select(concat_ws(" ", $"a", $"b").as("bigram"),
             $"cab".cast("long").as("n_ab"),

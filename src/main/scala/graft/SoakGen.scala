@@ -37,9 +37,13 @@ object SoakGen {
     def assertFits(df: org.apache.spark.sql.DataFrame, idCol: String,
                    shift: Long, table: String): Unit =
       if (factor > 1) {
-        val mx = df.agg(max(col(idCol).cast("long"))).head().getLong(0)
-        require(mx < shift,
-          s"$table.$idCol max $mx >= replica shift $shift: ids would collide")
+        val row = df.agg(max(col(idCol).cast("long"))).head()
+        // max() over an empty table is null — nothing to collide
+        if (!row.isNullAt(0)) {
+          val mx = row.getLong(0)
+          require(mx < shift,
+            s"$table.$idCol max $mx >= replica shift $shift: ids would collide")
+        }
       }
     val docs = spark.read.parquet(s"$src/documents.parquet")
     assertFits(docs, "doc_id", 10000000L, "documents")

@@ -172,13 +172,20 @@ object Dedup {
     */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
                        prefix: String, buckets: Int): Unit = {
-    val (bands, sh) = readBandIndex(spark, prefix)
+    // tombstone SNAPSHOT, not the live filter: a delete arriving during
+    // the rewrite must survive the epilogue (Tombstones.retire removes
+    // only the ids this rewrite actually applied)
+    val snap = Tombstones.snapshot(spark, prefix)
+    val bands = Tombstones.filterWith(
+      spark.table(s"${prefix}_bands"), snap, "doc_id")
+    val sh = Tombstones.filterWith(
+      spark.table(s"${prefix}_shingles"), snap, "doc_id")
     // materialize BEFORE the overwrite: the rewrite plan reads the very
     // tables it replaces, so stage the distinct rows first
     val bandsD = bands.distinct().localCheckpoint(true)
     val shD = sh.distinct().localCheckpoint(true)
     writeBandIndex(bandsD, shD, "doc_id", prefix, buckets)
-    Tombstones.clear(spark, prefix)
+    Tombstones.retire(spark, prefix, snap)
   }
 
   /** Substring-level exact dedup: find spans of `n` consecutive tokens
@@ -499,11 +506,12 @@ object Dedup {
     */
   def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
                          prefix: String, idCol: String, buckets: Int): Unit = {
-    val kept = Tombstones.filter(spark, prefix,
-        spark.table(s"${prefix}_winnow"), idCol)
+    val snap = Tombstones.snapshot(spark, prefix) // see compactBandIndex
+    val kept = Tombstones.filterWith(
+        spark.table(s"${prefix}_winnow"), snap, idCol)
       .localCheckpoint(true) // staged: the rewrite reads the table it replaces
     ScaleJoins.writeBucketed(kept, s"${prefix}_winnow", "fp", buckets)
-    Tombstones.clear(spark, prefix)
+    Tombstones.retire(spark, prefix, snap)
   }
 
   /** Content-defined chunking (the storage-dedup CDC idea applied to

@@ -192,11 +192,14 @@ object Retrieval {
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        prefix: String, idCol: String, buckets: Int): Unit = {
-    val kept = Tombstones.filter(spark, prefix,
-        spark.table(s"${prefix}_postings"), idCol)
+    // snapshot + retire, not clear: a delete arriving during the
+    // rewrite must survive the epilogue (Dedup.compactBandIndex note)
+    val snap = Tombstones.snapshot(spark, prefix)
+    val kept = Tombstones.filterWith(
+        spark.table(s"${prefix}_postings"), snap, idCol)
       .localCheckpoint(true) // staged: the rewrite reads the table it replaces
     writeBm25IndexFromPostings(kept, idCol, prefix, buckets)
-    Tombstones.clear(spark, prefix)
+    Tombstones.retire(spark, prefix, snap)
   }
 
   /** [[probeBm25Index]] against explicit postings/terms frames — the

@@ -415,11 +415,14 @@ object Similarity {
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       prefix: String, buckets: Int): Unit = {
-    val kept = Tombstones.filter(spark, prefix,
-        spark.table(s"${prefix}_lists"), "cand_id")
+    // snapshot + retire, not clear: a delete arriving during the
+    // rewrite must survive the epilogue (Dedup.compactBandIndex note)
+    val snap = Tombstones.snapshot(spark, prefix)
+    val kept = Tombstones.filterWith(
+        spark.table(s"${prefix}_lists"), snap, "cand_id")
       .localCheckpoint(true) // staged: the rewrite reads the table it replaces
     ScaleJoins.writeBucketed(kept, s"${prefix}_lists", "cell", buckets)
-    Tombstones.clear(spark, prefix)
+    Tombstones.retire(spark, prefix, snap)
   }
 
   /** IVF top-k against a PERSISTED index ([[writeIvfIndex]]): identical

@@ -80,8 +80,48 @@ object Tombstones {
       case None => df
     }
 
-  /** Drop the tombstone table — called by the compactions AFTER the
-    * rewrite physically removed the tombstoned rows.
+  /** A PINNED copy of the current tombstone ids, for the compaction
+    * protocol: compactions must filter their rewrite with a snapshot
+    * and afterwards [[retire]] exactly that snapshot — retiring "the
+    * whole table" instead would silently discard any tombstone written
+    * DURING the (long, corpus-scale) rewrite, resurrecting the deleted
+    * document (the lost-delete race).
+    */
+  def snapshot(spark: SparkSession, prefix: String): Option[DataFrame] =
+    read(spark, prefix).map(Checkpoints.pin)
+
+  /** [[filter]] against an explicit (snapshot) tombstone set. */
+  def filterWith(df: DataFrame, snap: Option[DataFrame],
+                 idCol: String): DataFrame =
+    snap match {
+      case Some(ts) =>
+        df.join(broadcast(ts.select(col("id").as("__ts_id"))),
+          col(idCol) === col("__ts_id"), "left_anti")
+      case None => df
+    }
+
+  /** Remove exactly the `applied` ids from the tombstone table — the
+    * compaction epilogue. Ids written after the snapshot survive and
+    * keep filtering probes until the next compaction. Drops the table
+    * (and its files) when nothing survives.
+    */
+  def retire(spark: SparkSession, prefix: String,
+             applied: Option[DataFrame]): Unit =
+    applied.foreach { a =>
+      val table = tableName(prefix)
+      if (spark.catalog.tableExists(table)) {
+        val rest = Checkpoints.pin(
+          spark.table(table).select(col("id")).distinct()
+            .join(broadcast(a.select(col("id").as("__a"))),
+              col("id") === col("__a"), "left_anti"))
+        spark.sql(s"DROP TABLE IF EXISTS $table") // drops the files too
+        if (!rest.isEmpty) write(spark, prefix, rest, "id")
+      }
+    }
+
+  /** Drop the tombstone table unconditionally. ONLY safe when no
+    * concurrent delete can be in flight (tests, quiesced maintenance);
+    * running compactions use [[snapshot]] + [[retire]] instead.
     */
   def clear(spark: SparkSession, prefix: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(prefix)}")

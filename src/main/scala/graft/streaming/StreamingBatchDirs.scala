@@ -21,16 +21,29 @@ private[streaming] object StreamingBatchDirs {
   }
 
   /** The committed batch ids under `path`, ascending — empty when the
-    * tree does not exist yet. Used by the takedown path to rewrite
-    * exactly the affected partitions.
+    * tree does not exist yet. Foreign `batch=<non-numeric>` names are
+    * skipped, not a crash (the [[graft.operators.Compaction]] batchId
+    * contract). Used by the takedown path to rewrite exactly the
+    * affected partitions.
     */
   def list(spark: SparkSession, dir: String): Seq[Long] = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(_.isDirectory)
+      .flatMap(s => {
+        val n = s.getPath.getName
+        if (n.startsWith("batch=")) n.stripPrefix("batch=").toLongOption
+        else None
+      })
       .sorted
+  }
+
+  /** Delete one `batch=<id>` partition dir (takedown reconciliation). */
+  def deletePartition(spark: SparkSession, dir: String, id: Long): Unit = {
+    val p = new Path(s"$dir/batch=$id")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 }

@@ -93,45 +93,60 @@ object StreamingCurationChain {
     * frame) through ALL five chain artifacts — the GDPR/licensing path
     * a production curation pipeline cannot ship without.
     *
-    *  - The band index takes a [[graft.operators.Tombstones]] marker:
-    *    probes exclude the documents immediately (broadcast anti-join),
+    *  - The band index takes a [[graft.operators.Tombstones]] marker
+    *    FIRST (durable intent before any mutation): probes exclude the
+    *    documents immediately (broadcast anti-join),
     *    [[graft.operators.Dedup.compactBandIndex]] purges physically —
     *    so a future equivalent document is ADMITTED again, exactly the
     *    semantics a takedown implies.
-    *  - The kept store, card partials, vector lists and postings trees
-    *    are batch-partitioned plain parquet, so the affected `batch=<id>`
-    *    partitions REWRITE in place, each re-derived from the surviving
-    *    kept rows through the SAME per-batch expressions the chain used
-    *    — batch-sized work, no corpus scan, and idempotent: a crashed
-    *    or repeated delete re-runs safely.
+    *  - The kept store, vector lists and postings trees are row-level
+    *    and id-keyed, so each rewrites ITS OWN affected `batch=<id>`
+    *    partitions by an anti-join on the ids — no correspondence with
+    *    the kept tree's partitioning is assumed, which makes the purge
+    *    robust to [[graft.operators.Compaction.compactBatchTree]] folds
+    *    having merged any of the trees independently.
+    *  - The card partials carry NO document ids (they are (source,
+    *    lang) sums), so they cannot be filtered: the card tree REBUILDS
+    *    from the post-delete kept store — one partial per current kept
+    *    partition, stale card partitions (ids no longer in the kept
+    *    tree, e.g. after an independent fold) deleted. The rebuild runs
+    *    UNCONDITIONALLY: a crashed earlier delete leaves no marker
+    *    saying whether the card was corrected, and one kept-store scan
+    *    per takedown (a rare event) is the price of a recovery story
+    *    with no such marker.
     *
-    * Run against a quiesced stream (or accept that a batch committing
-    * concurrently with this call is not covered by it — re-issue the
-    * delete afterwards; idempotency makes that safe).
+    * Idempotent and crash-recoverable by re-running with the same ids:
+    * every step is a pure filter or a recomputation from current state,
+    * and the card rebuild — the only step whose staleness is invisible
+    * — always runs. Run against a quiesced stream (or accept that a
+    * batch committing concurrently is not covered — re-issue the
+    * delete afterwards).
     */
   def deleteDocs(spark: SparkSession, ids: DataFrame, prefix: String,
                  keptDir: String, cardDir: String, indexDir: String,
-                 postingsDir: String, centroids: DataFrame,
-                 dims: Int = 8): Unit = {
+                 postingsDir: String): Unit = {
     import graft.operators.{Checkpoints, Tombstones}
     val del = Checkpoints.pin(ids.select(col("doc_id")).distinct())
     Tombstones.write(spark, prefix, del, "doc_id")
-    for (b <- StreamingBatchDirs.list(spark, keptDir)) {
-      val path = s"$keptDir/batch=$b"
-      val kept = spark.read.parquet(path)
-      if (!kept.join(del, Seq("doc_id"), "left_semi").isEmpty) {
-        val rest = Checkpoints.pin(kept.join(del, Seq("doc_id"), "left_anti"))
-        rest.write.mode("overwrite").parquet(path)
-        StreamingCardStats.writeBatch(rest, cardDir, b)
-        StreamingVectorIndex.writeBatch(
-          rest.select(col("doc_id").as("cand_id"),
-            textEmbedding(col("text"), dims).as("cv")),
-          centroids, indexDir, b)
-        StreamingPostingsIndex.writeBatch(
-          rest.select(col("doc_id"), col("text")), "doc_id", "text",
-          postingsDir, b)
+    def purge(dir: String, idCol: String): Unit =
+      for (b <- StreamingBatchDirs.list(spark, dir)) {
+        val path = s"$dir/batch=$b"
+        val part = spark.read.parquet(path)
+        val cond = part(idCol) === del("doc_id")
+        if (!part.join(del, cond, "left_semi").isEmpty) {
+          val rest = Checkpoints.pin(part.join(del, cond, "left_anti"))
+          rest.write.mode("overwrite").parquet(path)
+        }
       }
-    }
+    purge(indexDir, "cand_id")
+    purge(postingsDir, "doc_id")
+    purge(keptDir, "doc_id")
+    val keptBatches = StreamingBatchDirs.list(spark, keptDir)
+    for (b <- keptBatches)
+      StreamingCardStats.writeBatch(
+        spark.read.parquet(s"$keptDir/batch=$b"), cardDir, b)
+    for (b <- StreamingBatchDirs.list(spark, cardDir).toSet -- keptBatches)
+      StreamingBatchDirs.deletePartition(spark, cardDir, b)
   }
 
   /** Start the chain on a streaming `(doc_id, text, lang, source)`

@@ -67,6 +67,22 @@ class TombstonesSpec extends SparkSpec {
       "post-compaction probes unchanged")
   }
 
+  test("retire removes only the snapshot ids: a delete arriving during " +
+    "a compaction survives the epilogue") {
+    val prefix = "graft_spec_ts_retire"
+    Tombstones.write(spark, prefix, Seq(1L).toDF("id"), "id")
+    val snap = Tombstones.snapshot(spark, prefix) // compaction starts
+    Tombstones.write(spark, prefix, Seq(2L).toDF("id"), "id") // mid-rewrite
+    Tombstones.retire(spark, prefix, snap) // compaction epilogue
+    val left = Tombstones.read(spark, prefix)
+      .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
+    assert(left == Set(2L),
+      s"the mid-compaction delete must survive, got $left")
+    // retiring the remainder drops the table entirely
+    Tombstones.retire(spark, prefix, Tombstones.snapshot(spark, prefix))
+    assert(Tombstones.read(spark, prefix).isEmpty)
+  }
+
   test("winnow index: delete -> probe miss, compact -> physically gone") {
     val prefix = "graft_spec_ts_winnow"
     Dedup.writeWinnowIndex(docs, "doc_id", "text", k = 3, w = 4, seed = 7,

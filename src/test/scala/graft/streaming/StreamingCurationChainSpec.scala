@@ -150,8 +150,7 @@ class StreamingCurationChainSpec extends SparkSpec {
     assert(state()._1 == Seq(1L, 3L, 5L))
 
     StreamingCurationChain.deleteDocs(spark, Seq(1L).toDF("doc_id"),
-      prefix, s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post",
-      centroids)
+      prefix, s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post")
     val after = state()
     assert(after._1 == Seq(3L, 5L), s"kept = ${after._1}")
     assert(after._2 == Map(("books", "en") -> 1L, ("web", "de") -> 1L),
@@ -161,8 +160,7 @@ class StreamingCurationChainSpec extends SparkSpec {
 
     // idempotent: a crashed/repeated delete re-runs to the same state
     StreamingCurationChain.deleteDocs(spark, Seq(1L).toDF("doc_id"),
-      prefix, s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post",
-      centroids)
+      prefix, s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post")
     assert(state() == after, "repeated delete must be a no-op")
 
     // takedown semantics: an EQUIVALENT new document is new content now
@@ -174,5 +172,59 @@ class StreamingCurationChainSpec extends SparkSpec {
     assert(readmitted._2(("web", "en")) == 1L)
     assert(readmitted._3 == Seq(3L, 5L, 11L) &&
       readmitted._4 == Seq(3L, 5L, 11L))
+  }
+
+  test("takedown recovery: a TORN earlier delete (kept purged, card " +
+    "stale) heals on re-run, and a FOLDED card tree reconciles") {
+    import org.apache.spark.sql.{functions => F}
+    val dir = java.nio.file.Files.createTempDirectory("chainrec").toString
+    val prefix = "graft_spec_chain_rec"
+    def runBatch(id: Long, docs: ChainDoc*): Unit =
+      StreamingCurationChain.processBatch(spark, docs.toDF(), prefix,
+        s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post",
+        centroids, id)
+    StreamingContentDedup.bootstrapIndex(spark, prefix, buckets = 8)
+    runBatch(0L,
+      ChainDoc(1L, "alpha beta gamma delta epsilon zeta", "en", "web"),
+      ChainDoc(3L, "the quick brown fox jumps over lazy dogs", "en", "books"))
+    runBatch(1L,
+      ChainDoc(5L, "entirely new content appears in this batch", "de", "web"))
+    runBatch(2L,
+      ChainDoc(6L, "sixth document with its own fresh words", "fr", "web"))
+
+    // simulate the torn state a crash mid-delete leaves: doc 1 purged
+    // from the kept partition, card/lists/postings NOT corrected
+    val keptP = s"$dir/kept/batch=0"
+    val purged = graft.operators.Checkpoints.pin(
+      spark.read.parquet(keptP).filter($"doc_id" =!= 1L))
+    purged.write.mode("overwrite").parquet(keptP)
+    // and fold the card tree (independent maintenance): batches {0,1}
+    // merge under batch=1, so card ids {1,2} no longer mirror kept
+    // ids {0,1,2}
+    graft.operators.Compaction.compactBatchTree(spark, s"$dir/card")
+    val staleCard = spark.read.parquet(s"$dir/card")
+      .agg(F.sum($"n_docs")).head().getLong(0)
+    assert(staleCard == 4L, "torn state: card still counts the purged doc")
+
+    // the documented recovery: re-run the delete with the same ids
+    StreamingCurationChain.deleteDocs(spark, Seq(1L).toDF("doc_id"),
+      prefix, s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post")
+
+    val card = spark.read.parquet(s"$dir/card")
+      .groupBy($"source", $"lang").agg(F.sum($"n_docs").as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(card == Map(("books", "en") -> 1L, ("web", "de") -> 1L,
+      ("web", "fr") -> 1L), s"healed card = $card")
+    // card partitions mirror the kept tree again (stale fold ids gone)
+    assert(StreamingBatchDirs.list(spark, s"$dir/card") ==
+      StreamingBatchDirs.list(spark, s"$dir/kept"))
+    // the row-level artifacts are purged too
+    assert(!StreamingVectorIndex.lists(spark, s"$dir/ivf")
+      .select("cand_id").as[Long].collect().contains(1L))
+    val kept = spark.read.parquet(s"$dir/kept")
+    assert(!StreamingPostingsIndex.postings(spark, s"$dir/post",
+        kept.select($"doc_id", $"text"), "doc_id", "text")
+      .select("doc_id").as[Long].collect().contains(1L))
   }
 }
