@@ -68,15 +68,21 @@ object StreamingPostingsIndex {
 
   /** BM25 top-k over base index ∪ streamed segments under the
     * frozen-stats contract: postings union, terms table (idf/avgdl)
-    * pinned to the base index.
+    * pinned to the base index. Deletes recorded against `basePrefix`
+    * ([[graft.operators.Tombstones]]) filter the WHOLE union — base
+    * rows and streamed segments alike — so the live view honors a
+    * takedown exactly like [[Retrieval.probeBm25Index]] does on the
+    * base index alone.
     */
   def probeLive(spark: SparkSession, basePrefix: String, path: String,
                 template: DataFrame, idCol: String, textCol: String,
                 queries: DataFrame, k: Int,
                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
     Retrieval.probePostings(
-      spark.table(s"${basePrefix}_postings")
-        .unionByName(postings(spark, path, template, idCol, textCol)),
+      graft.operators.Tombstones.filter(spark, basePrefix,
+        spark.table(s"${basePrefix}_postings")
+          .unionByName(postings(spark, path, template, idCol, textCol)),
+        idCol),
       spark.table(s"${basePrefix}_terms"), idCol, queries, k, k1, b)
 
   /** Retrain-time refresh: fold the base index's postings and every
@@ -93,8 +99,14 @@ object StreamingPostingsIndex {
   def rebuildIndex(spark: SparkSession, basePrefix: String, path: String,
                    template: DataFrame, idCol: String, textCol: String,
                    newPrefix: String, buckets: Int): (String, String) =
+    // tombstoned docs (basePrefix) drop out physically here, exactly
+    // like compactBm25Index — the new index's stats re-derive from the
+    // survivors only. The base tombstone table intentionally stays:
+    // readers of the OLD prefix still need the filter until the swap.
     Retrieval.writeBm25IndexFromPostings(
-      spark.table(s"${basePrefix}_postings")
-        .unionByName(postings(spark, path, template, idCol, textCol)),
+      graft.operators.Tombstones.filter(spark, basePrefix,
+        spark.table(s"${basePrefix}_postings")
+          .unionByName(postings(spark, path, template, idCol, textCol)),
+        idCol),
       idCol, newPrefix, buckets)
 }

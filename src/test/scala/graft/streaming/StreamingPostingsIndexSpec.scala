@@ -112,4 +112,40 @@ class StreamingPostingsIndexSpec extends SparkSpec {
     assert(viaRebuilt == direct,
       s"rebuilt probe must equal the direct ranking: $viaRebuilt vs $direct")
   }
+
+  test("tombstones cover the live view: base AND streamed docs stop " +
+    "matching probeLive; the rebuild drops them physically") {
+    import graft.operators.Tombstones
+    val dir = java.nio.file.Files.createTempDirectory("spid").toString
+    val prefix = "graft_spec_spi_del"
+    Retrieval.writeBm25Index(base, "doc_id", "text", prefix, buckets = 2)
+    StreamingPostingsIndex.writeBatch(b1.toDF(), "doc_id", "text",
+      s"$dir/seg", batchId = 0)
+    def live(term: String): Seq[Long] =
+      StreamingPostingsIndex.probeLive(spark, prefix, s"$dir/seg",
+        base, "doc_id", "text", q(1 -> term), k = 4)
+        .collect().map(_.getLong(2)).toSeq
+    assert(live("rare") == Seq(10L, 1L), "pre-delete: both corpora match")
+
+    // delete one BASE doc (1) and one STREAMED doc (10) via the one store
+    Tombstones.write(spark, prefix, Seq(1L, 10L).toDF("doc_id"), "doc_id")
+    assert(live("rare") == Seq.empty,
+      "post-delete: neither the base row nor the streamed segment may match")
+    assert(live("common").nonEmpty, "other docs keep matching")
+
+    // the retrain-time rebuild removes them physically — equal to a
+    // fresh build over the surviving concatenated corpus
+    StreamingPostingsIndex.rebuildIndex(spark, prefix, s"$dir/seg",
+      base, "doc_id", "text", s"${prefix}_v2", buckets = 2)
+    val survivors = base.unionByName(b1.toDF())
+      .filter(!$"doc_id".isin(1L, 10L))
+    Retrieval.writeBm25Index(survivors, "doc_id", "text",
+      s"${prefix}_ref", buckets = 2)
+    assert(spark.table(s"${prefix}_v2_terms").collect().map(_.toSeq).toSet ==
+      spark.table(s"${prefix}_ref_terms").collect().map(_.toSeq).toSet,
+      "rebuilt stats must equal the fresh build over the survivors")
+    assert(!spark.table(s"${prefix}_v2_postings")
+      .select("doc_id").as[Long].collect().exists(Set(1L, 10L)),
+      "tombstoned docs must be physically absent from the rebuilt postings")
+  }
 }
