@@ -67,6 +67,25 @@ object StreamingVectorIndex {
        lit(null).cast("array<float>").as("cv"), lit(0L).as("cell"),
        lit(0.0).as("_cn"))).drop("batch")
 
+  /** IVF top-k over base index ∪ streamed segments — the vector twin
+    * of [[StreamingPostingsIndex.probeLive]]: the base lists and
+    * centroids come from the [[Similarity.writeIvfIndex]] catalog
+    * tables under `basePrefix` (the frozen quantizer), the streamed
+    * rows from the batch tree, and deletes recorded against
+    * `basePrefix` ([[graft.operators.Tombstones]]) filter the WHOLE
+    * union — a takedown covers base vectors and streamed appends with
+    * one marker.
+    */
+  def probeLive(spark: SparkSession, basePrefix: String, path: String,
+                probes: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    val (cent, baseLists) = Similarity.readIvfIndex(spark, basePrefix)
+    val streamed = graft.operators.Tombstones.filter(spark, basePrefix,
+      lists(spark, path), "cand_id")
+    Similarity.knnIvfIndexed(probes, cent,
+      baseLists.unionByName(
+        streamed.select(baseLists.columns.map(col): _*)), k, nprobe)
+  }
+
   /** Retrain-time rebuild — the lifecycle step the frozen-quantizer
     * contract defers to: fold every committed batch partition of the
     * streaming tree into the bucketed [[Similarity.writeIvfIndex]]
@@ -87,10 +106,19 @@ object StreamingVectorIndex {
     */
   def rebuildIndex(spark: SparkSession, path: String,
                    newCentroids: DataFrame, prefix: String,
-                   buckets: Int): (String, String) =
+                   buckets: Int,
+                   tombstonePrefix: Option[String] = None): (String, String) = {
+    // deletes recorded against `tombstonePrefix` drop out physically at
+    // the retrain, mirroring StreamingPostingsIndex.rebuildIndex; the
+    // old prefix's tombstone table intentionally stays for readers of
+    // the old index until the catalog swap
+    val src = tombstonePrefix.fold(lists(spark, path))(tp =>
+      graft.operators.Tombstones.filter(spark, tp, lists(spark, path),
+        "cand_id"))
     Similarity.writeIvfIndex(
-      lists(spark, path).select(col("cand_id"), col("cv")),
+      src.select(col("cand_id"), col("cv")),
       newCentroids, prefix, buckets)
+  }
 
   /** [[lists]] with the pre-commit schema DERIVED instead of assumed:
     * `template` is any batch frame shaped like the stream's

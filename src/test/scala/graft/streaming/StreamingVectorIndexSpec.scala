@@ -129,4 +129,34 @@ class StreamingVectorIndexSpec extends SparkSpec {
       post.select(pre.columns.map(col): _*)
         .schema.map(f => (f.name, f.dataType.simpleString)).toSet)
   }
+
+  test("tombstones cover the live view: base AND streamed vectors stop " +
+    "matching probeLive; the rebuild drops them physically") {
+    import graft.operators.Tombstones
+    val dir = java.nio.file.Files.createTempDirectory("svid").toString
+    val prefix = "graft_spec_svi_del"
+    // base index: vectors 1, 2; streamed batch: vectors 3, 4, 5
+    Similarity.writeIvfIndex(
+      b1.toDF().select($"cand_id", $"cv"), cents, prefix, buckets = 2)
+    StreamingVectorIndex.writeBatch(b2.toDF(), cents, s"$dir/ivf",
+      batchId = 0L)
+    val probes = Seq((100L, Seq(0.9, 0.2))).toDF("probe_id", "pv")
+    def live(): Set[Long] =
+      StreamingVectorIndex.probeLive(spark, prefix, s"$dir/ivf",
+        probes, k = 10, nprobe = 2)
+        .select("cand_id").as[Long].collect().toSet
+    assert(live() == Set(1L, 2L, 3L, 4L, 5L), s"pre-delete: ${live()}")
+
+    // delete one BASE vector (1) and one STREAMED vector (5)
+    Tombstones.write(spark, prefix, Seq(1L, 5L).toDF("cand_id"), "cand_id")
+    assert(live() == Set(2L, 3L, 4L), s"post-delete: ${live()}")
+
+    // retrain-time rebuild with the tombstone prefix drops them
+    StreamingVectorIndex.rebuildIndex(spark, s"$dir/ivf", cents,
+      s"${prefix}_v2", buckets = 2, tombstonePrefix = Some(prefix))
+    val rebuilt = spark.table(s"${prefix}_v2_lists")
+      .select("cand_id").as[Long].collect().toSet
+    assert(rebuilt == Set(3L, 4L),
+      s"rebuilt lists must hold only the surviving streamed vectors: $rebuilt")
+  }
 }
