@@ -119,6 +119,26 @@ object Tombstones {
       }
     }
 
+  /** Copy the tombstones recorded AFTER `applied` (the snapshot a
+    * REBUILD filtered with) from `fromPrefix` to `toPrefix` — the
+    * version-swap half of the lost-delete protocol: a rebuild writes a
+    * NEW prefix and leaves the old one (and its tombstone table) for
+    * current readers, so [[retire]] does not apply; instead the late
+    * deletes must follow the swap, or the rebuilt index serves them
+    * again. No-op when nothing was recorded after the snapshot.
+    */
+  def carryForward(spark: SparkSession, fromPrefix: String,
+                   toPrefix: String, applied: Option[DataFrame]): Unit =
+    read(spark, fromPrefix).foreach { cur =>
+      val late = Checkpoints.pin(applied match {
+        case Some(a) =>
+          cur.join(broadcast(a.select(col("id").as("__a"))),
+            col("id") === col("__a"), "left_anti")
+        case None => cur
+      })
+      if (!late.isEmpty) write(spark, toPrefix, late, "id")
+    }
+
   /** Drop the tombstone table unconditionally. ONLY safe when no
     * concurrent delete can be in flight (tests, quiesced maintenance);
     * running compactions use [[snapshot]] + [[retire]] instead.

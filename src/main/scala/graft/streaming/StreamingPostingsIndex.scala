@@ -98,15 +98,25 @@ object StreamingPostingsIndex {
     */
   def rebuildIndex(spark: SparkSession, basePrefix: String, path: String,
                    template: DataFrame, idCol: String, textCol: String,
-                   newPrefix: String, buckets: Int): (String, String) =
-    // tombstoned docs (basePrefix) drop out physically here, exactly
-    // like compactBm25Index — the new index's stats re-derive from the
-    // survivors only. The base tombstone table intentionally stays:
-    // readers of the OLD prefix still need the filter until the swap.
-    Retrieval.writeBm25IndexFromPostings(
-      graft.operators.Tombstones.filter(spark, basePrefix,
+                   newPrefix: String, buckets: Int): (String, String) = {
+    import graft.operators.Tombstones
+    // lost-delete protocol (the compactBm25Index discipline adapted to
+    // a VERSION swap): filter with a tombstone SNAPSHOT — pinned, so
+    // the postings and terms write jobs see one consistent state even
+    // if a delete lands between them — then carry any tombstone
+    // recorded after the snapshot forward to the new prefix, where
+    // probeBm25Index keeps filtering it. The base tombstone table
+    // intentionally stays: readers of the OLD prefix need it until the
+    // swap.
+    val snap = Tombstones.snapshot(spark, basePrefix)
+    val kept = Tombstones.filterWith(
         spark.table(s"${basePrefix}_postings")
           .unionByName(postings(spark, path, template, idCol, textCol)),
-        idCol),
-      idCol, newPrefix, buckets)
+        snap, idCol)
+      .localCheckpoint(true)
+    val out = Retrieval.writeBm25IndexFromPostings(kept, idCol, newPrefix,
+      buckets)
+    Tombstones.carryForward(spark, basePrefix, newPrefix, snap)
+    out
+  }
 }

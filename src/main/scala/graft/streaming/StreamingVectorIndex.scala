@@ -79,8 +79,13 @@ object StreamingVectorIndex {
   def probeLive(spark: SparkSession, basePrefix: String, path: String,
                 probes: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     val (cent, baseLists) = Similarity.readIvfIndex(spark, basePrefix)
+    // pre-commit schema comes from the BASE lists via the template
+    // overload, so a base index off the embeddings convention (string
+    // ids, double vectors) unions cleanly before the first batch
+    // commits — the drift the template overload exists to prevent
     val streamed = graft.operators.Tombstones.filter(spark, basePrefix,
-      lists(spark, path), "cand_id")
+      lists(spark, path, baseLists.select(col("cand_id"), col("cv")), cent),
+      "cand_id")
     Similarity.knnIvfIndexed(probes, cent,
       baseLists.unionByName(
         streamed.select(baseLists.columns.map(col): _*)), k, nprobe)
@@ -107,18 +112,37 @@ object StreamingVectorIndex {
   def rebuildIndex(spark: SparkSession, path: String,
                    newCentroids: DataFrame, prefix: String,
                    buckets: Int,
-                   tombstonePrefix: Option[String] = None): (String, String) = {
-    // deletes recorded against `tombstonePrefix` drop out physically at
-    // the retrain, mirroring StreamingPostingsIndex.rebuildIndex; the
-    // old prefix's tombstone table intentionally stays for readers of
-    // the old index until the catalog swap
-    val src = tombstonePrefix.fold(lists(spark, path))(tp =>
-      graft.operators.Tombstones.filter(spark, tp, lists(spark, path),
-        "cand_id"))
-    Similarity.writeIvfIndex(
-      src.select(col("cand_id"), col("cv")),
-      newCentroids, prefix, buckets)
-  }
+                   basePrefix: Option[String] = None): (String, String) =
+    basePrefix match {
+      case None =>
+        // standalone-tree fold (the original contract: the streamed
+        // tree IS the whole corpus)
+        Similarity.writeIvfIndex(
+          lists(spark, path).select(col("cand_id"), col("cv")),
+          newCentroids, prefix, buckets)
+      case Some(bp) =>
+        // full-corpus retrain over base ∪ streamed (the
+        // StreamingPostingsIndex.rebuildIndex twin — folding only the
+        // streamed tree would silently drop every surviving BASE vector
+        // at the catalog swap): tombstone SNAPSHOT filters both sides,
+        // pinned so the write sees one consistent state, and deletes
+        // recorded after the snapshot carry forward to the new prefix.
+        // The old prefix's tombstone table stays for its readers until
+        // the swap.
+        import graft.operators.{Checkpoints, Tombstones}
+        val snap = Tombstones.snapshot(spark, bp)
+        val base = spark.table(s"${bp}_lists")
+          .select(col("cand_id"), col("cv"))
+        val streamed = lists(spark, path, base,
+            spark.table(s"${bp}_centroids"))
+          .select(col("cand_id"), col("cv"))
+        val kept = Checkpoints.pin(Tombstones.filterWith(
+          base.unionByName(streamed), snap, "cand_id"))
+        val out = Similarity.writeIvfIndex(kept, newCentroids, prefix,
+          buckets)
+        Tombstones.carryForward(spark, bp, prefix, snap)
+        out
+    }
 
   /** [[lists]] with the pre-commit schema DERIVED instead of assumed:
     * `template` is any batch frame shaped like the stream's

@@ -83,6 +83,22 @@ class TombstonesSpec extends SparkSpec {
     assert(Tombstones.read(spark, prefix).isEmpty)
   }
 
+  test("carryForward ships only post-snapshot deletes to a rebuilt " +
+    "prefix; the old prefix keeps its full set for its readers") {
+    val from = "graft_spec_ts_cf_from"; val to = "graft_spec_ts_cf_to"
+    Tombstones.clear(spark, from); Tombstones.clear(spark, to)
+    Tombstones.write(spark, from, Seq(1L).toDF("id"), "id")
+    val snap = Tombstones.snapshot(spark, from) // rebuild starts
+    Tombstones.write(spark, from, Seq(2L).toDF("id"), "id") // mid-rebuild
+    Tombstones.carryForward(spark, from, to, snap) // rebuild epilogue
+    def ids(p: String): Set[Long] = Tombstones.read(spark, p)
+      .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
+    assert(ids(to) == Set(2L),
+      s"only the late delete follows the swap, got ${ids(to)}")
+    assert(ids(from) == Set(1L, 2L),
+      "the old prefix keeps filtering for its remaining readers")
+  }
+
   test("winnow index: delete -> probe miss, compact -> physically gone") {
     val prefix = "graft_spec_ts_winnow"
     Dedup.writeWinnowIndex(docs, "doc_id", "text", k = 3, w = 4, seed = 7,

@@ -145,18 +145,21 @@ class StreamingVectorIndexSpec extends SparkSpec {
       StreamingVectorIndex.probeLive(spark, prefix, s"$dir/ivf",
         probes, k = 10, nprobe = 2)
         .select("cand_id").as[Long].collect().toSet
-    assert(live() == Set(1L, 2L, 3L, 4L, 5L), s"pre-delete: ${live()}")
+    val pre = live()
+    assert(pre == Set(1L, 2L, 3L, 4L, 5L), s"pre-delete: $pre")
 
     // delete one BASE vector (1) and one STREAMED vector (5)
     Tombstones.write(spark, prefix, Seq(1L, 5L).toDF("cand_id"), "cand_id")
-    assert(live() == Set(2L, 3L, 4L), s"post-delete: ${live()}")
+    val post = live()
+    assert(post == Set(2L, 3L, 4L), s"post-delete: $post")
 
-    // retrain-time rebuild with the tombstone prefix drops them
+    // full-corpus retrain over base ∪ streamed: the SURVIVING base
+    // vector (2) must come along — deleted ones must not
     StreamingVectorIndex.rebuildIndex(spark, s"$dir/ivf", cents,
-      s"${prefix}_v2", buckets = 2, tombstonePrefix = Some(prefix))
+      s"${prefix}_v2", buckets = 2, basePrefix = Some(prefix))
     val rebuilt = spark.table(s"${prefix}_v2_lists")
       .select("cand_id").as[Long].collect().toSet
-    assert(rebuilt == Set(3L, 4L),
-      s"rebuilt lists must hold only the surviving streamed vectors: $rebuilt")
+    assert(rebuilt == Set(2L, 3L, 4L),
+      s"rebuilt lists must hold ALL survivors (base + streamed): $rebuilt")
   }
 }
