@@ -126,16 +126,19 @@ object Tombstones {
     * current readers, so [[retire]] does not apply; instead the late
     * deletes must follow the swap, or the rebuilt index serves them
     * again. No-op when nothing was recorded after the snapshot.
+    *
+    * A delete can still land AFTER this call and BEFORE the caller
+    * swaps its readers — the residual window of any version swap.
+    * Callers either quiesce deletes across the swap, or re-run
+    * carryForward once more AFTER the swap: it is safe to repeat
+    * (anti-join against the same snapshot; duplicate markers are
+    * `distinct`ed at read) and the second run picks up exactly the
+    * swap-window stragglers.
     */
   def carryForward(spark: SparkSession, fromPrefix: String,
                    toPrefix: String, applied: Option[DataFrame]): Unit =
     read(spark, fromPrefix).foreach { cur =>
-      val late = Checkpoints.pin(applied match {
-        case Some(a) =>
-          cur.join(broadcast(a.select(col("id").as("__a"))),
-            col("id") === col("__a"), "left_anti")
-        case None => cur
-      })
+      val late = Checkpoints.pin(filterWith(cur, applied, "id"))
       if (!late.isEmpty) write(spark, toPrefix, late, "id")
     }
 

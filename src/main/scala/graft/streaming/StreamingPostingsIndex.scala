@@ -101,19 +101,22 @@ object StreamingPostingsIndex {
                    newPrefix: String, buckets: Int): (String, String) = {
     import graft.operators.Tombstones
     // lost-delete protocol (the compactBm25Index discipline adapted to
-    // a VERSION swap): filter with a tombstone SNAPSHOT — pinned, so
-    // the postings and terms write jobs see one consistent state even
-    // if a delete lands between them — then carry any tombstone
-    // recorded after the snapshot forward to the new prefix, where
-    // probeBm25Index keeps filtering it. The base tombstone table
-    // intentionally stays: readers of the OLD prefix need it until the
-    // swap.
+    // a VERSION swap): filter with a tombstone SNAPSHOT — the pinned
+    // snapshot itself is what makes the postings and terms write jobs
+    // see one delete state (the base table is immutable during the
+    // rebuild and the batch tree's file listing is fixed when the
+    // frame is created, so NO corpus-scale checkpoint is needed — the
+    // measured writeBm25IndexFromPostings lesson) — then carry any
+    // tombstone recorded after the snapshot forward to the new prefix,
+    // where probeBm25Index keeps filtering it (re-run carryForward
+    // after the reader swap for the residual window, see its scaladoc).
+    // The base tombstone table intentionally stays: readers of the OLD
+    // prefix need it until the swap.
     val snap = Tombstones.snapshot(spark, basePrefix)
     val kept = Tombstones.filterWith(
-        spark.table(s"${basePrefix}_postings")
-          .unionByName(postings(spark, path, template, idCol, textCol)),
-        snap, idCol)
-      .localCheckpoint(true)
+      spark.table(s"${basePrefix}_postings")
+        .unionByName(postings(spark, path, template, idCol, textCol)),
+      snap, idCol)
     val out = Retrieval.writeBm25IndexFromPostings(kept, idCol, newPrefix,
       buckets)
     Tombstones.carryForward(spark, basePrefix, newPrefix, snap)

@@ -124,20 +124,22 @@ object StreamingVectorIndex {
         // full-corpus retrain over base ∪ streamed (the
         // StreamingPostingsIndex.rebuildIndex twin — folding only the
         // streamed tree would silently drop every surviving BASE vector
-        // at the catalog swap): tombstone SNAPSHOT filters both sides,
-        // pinned so the write sees one consistent state, and deletes
-        // recorded after the snapshot carry forward to the new prefix.
-        // The old prefix's tombstone table stays for its readers until
-        // the swap.
-        import graft.operators.{Checkpoints, Tombstones}
+        // at the catalog swap): the pinned tombstone SNAPSHOT filters
+        // both sides (one delete state by construction; the single
+        // lists-write job needs no corpus-scale checkpoint), and
+        // deletes recorded after the snapshot carry forward to the new
+        // prefix (re-run carryForward after the reader swap for the
+        // residual window, see its scaladoc). The old prefix's
+        // tombstone table stays for its readers until the swap.
+        import graft.operators.Tombstones
         val snap = Tombstones.snapshot(spark, bp)
         val base = spark.table(s"${bp}_lists")
           .select(col("cand_id"), col("cv"))
         val streamed = lists(spark, path, base,
             spark.table(s"${bp}_centroids"))
           .select(col("cand_id"), col("cv"))
-        val kept = Checkpoints.pin(Tombstones.filterWith(
-          base.unionByName(streamed), snap, "cand_id"))
+        val kept = Tombstones.filterWith(
+          base.unionByName(streamed), snap, "cand_id")
         val out = Similarity.writeIvfIndex(kept, newCentroids, prefix,
           buckets)
         Tombstones.carryForward(spark, bp, prefix, snap)
