@@ -96,6 +96,28 @@ object Compaction {
     if (!name.startsWith("batch=")) None
     else name.stripPrefix("batch=").toLongOption
 
+  /** Segment-count policy wrapper over [[compactBatchTree]]: fold only
+    * when the tree holds MORE than `maxSegments` committed `batch=<id>`
+    * partitions; the check is one directory listing, so calling it
+    * every micro-batch is free. This is how the streaming maintainers
+    * keep a long-running stream's directory count bounded by policy
+    * ([[graft.streaming.StreamingCurationChain]] stage 5) instead of by
+    * an operator remembering to run maintenance. `maxSegments` ≥ 2
+    * because the fold always keeps the newest partition replayable.
+    * Returns (before, after) like [[compactBatchTree]].
+    */
+  def maybeCompactBatchTree(spark: SparkSession, dir: String,
+                            maxSegments: Int): (Int, Int) = {
+    require(maxSegments >= 2,
+      "maxSegments must be >= 2 (the fold keeps the newest partition)")
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return (0, 0)
+    val n = fs.listStatus(path).count(s =>
+      s.isDirectory && batchId(s.getPath.getName).isDefined)
+    if (n <= maxSegments) (n, n) else compactBatchTree(spark, dir)
+  }
+
   def compactBatchTree(spark: SparkSession, dir: String): (Int, Int) = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -36,36 +36,67 @@ object Tombstones {
 
   def tableName(prefix: String): String = s"${prefix}_tombstones"
 
+  private def defaultLocation(spark: SparkSession,
+                              table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+
+  /** Re-register a previous JVM's tombstone files as live deletes.
+    * After a restart the in-memory catalog forgets the table while its
+    * parquet files survive at the default location; treating the table
+    * as absent would silently serve deleted documents, and letting the
+    * next [[write]] clear the files would silently DESTROY the previous
+    * JVM's deletes. Adoption is the conservative resolution: the
+    * orphaned ids become live tombstones again. That is always safe —
+    * ids already physically purged anti-join to a no-op — and it makes
+    * delete durability survive restarts with no operator intervention.
+    * (The one semantic it costs: a doc id REUSED after its takedown
+    * stays filtered until the next compaction retires the marker —
+    * identical to the in-JVM behavior between a delete and its
+    * compaction, so adoption changes nothing the contract didn't
+    * already say.) No-op when the table is registered or no files
+    * exist. Rewrites the rows as a fresh managed table (pin → delete
+    * files → [[write]]) so later appends and `DROP TABLE` keep their
+    * managed-table file semantics.
+    */
+  def adopt(spark: SparkSession, prefix: String): Unit = {
+    val table = tableName(prefix)
+    if (spark.catalog.tableExists(table)) return
+    val loc = defaultLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) return
+    val orphans = Checkpoints.pin(
+      spark.read.parquet(loc.toString).select(col("id")).distinct())
+    fs.delete(loc, true)
+    write(spark, prefix, orphans, "id")
+  }
+
   /** Append delete markers for `ids` (a one-column id frame, or any
     * frame carrying `idCol`). Idempotent under replay: re-appending the
-    * same ids only costs storage until the next compaction.
+    * same ids only costs storage until the next compaction. Orphaned
+    * files from a previous JVM are [[adopt]]ed first — the previous
+    * deletes keep filtering rather than being silently replaced.
     */
   def write(spark: SparkSession, prefix: String, ids: DataFrame,
             idCol: String): Unit = {
-    val table = tableName(prefix)
-    if (!spark.catalog.tableExists(table)) {
-      // a previous JVM's files outlive the in-memory catalog and
-      // saveAsTable refuses to CREATE over them (the
-      // [[ScaleJoins.writeBucketed]] stale-location contract). Orphaned
-      // tombstones belong to an index that was itself rebuilt (the
-      // bucketed writers clean their locations), so clearing them is
-      // the correct semantics, not data loss.
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.defaultTablePath(
-          org.apache.spark.sql.catalyst.TableIdentifier(table)))
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    adopt(spark, prefix)
     ids.select(col(idCol).as("id")).distinct()
       .write.mode("append").format("parquet")
-      .saveAsTable(table)
+      .saveAsTable(tableName(prefix))
   }
 
-  /** The distinct tombstoned ids, if any delete was ever recorded. */
-  def read(spark: SparkSession, prefix: String): Option[DataFrame] =
+  /** The distinct tombstoned ids, if any delete was ever recorded —
+    * including a previous JVM's ([[adopt]]ed on first touch, so a
+    * restart can never silently serve deleted documents).
+    */
+  def read(spark: SparkSession, prefix: String): Option[DataFrame] = {
+    if (!spark.catalog.tableExists(tableName(prefix)))
+      adopt(spark, prefix)
     if (spark.catalog.tableExists(tableName(prefix)))
       Some(spark.table(tableName(prefix)).select(col("id")).distinct())
     else None
+  }
 
   /** Anti-join `df` against the tombstone set — a no-op (same plan)
     * when no delete was ever recorded. The tombstone side broadcasts,
@@ -104,6 +135,17 @@ object Tombstones {
     * compaction epilogue. Ids written after the snapshot survive and
     * keep filtering probes until the next compaction. Drops the table
     * (and its files) when nothing survives.
+    *
+    * Concurrency contract: the lost-delete protection covers deletes
+    * that land during the (long) index REWRITE — they are outside the
+    * snapshot and survive here by the anti-join. It does NOT cover the
+    * epilogue itself: a [[write]] landing between this method's pin of
+    * the survivor set and its DROP TABLE is discarded with the dropped
+    * files, and one racing the recreate can hit the dropped-table
+    * window. Deletes must be quiesced across this (row-count-sized,
+    * sub-second) epilogue — the single-writer discipline every caller
+    * here already has: compactions and takedowns run from one
+    * maintenance driver, never concurrently with each other.
     */
   def retire(spark: SparkSession, prefix: String,
              applied: Option[DataFrame]): Unit =
@@ -142,10 +184,18 @@ object Tombstones {
       if (!late.isEmpty) write(spark, toPrefix, late, "id")
     }
 
-  /** Drop the tombstone table unconditionally. ONLY safe when no
-    * concurrent delete can be in flight (tests, quiesced maintenance);
-    * running compactions use [[snapshot]] + [[retire]] instead.
+  /** Drop the tombstone table unconditionally — including orphaned
+    * files a previous JVM left (the explicit "the index was rebuilt
+    * from scratch, these markers are obsolete" path, the one case
+    * where [[adopt]]'s keep-everything default is not wanted). ONLY
+    * safe when no concurrent delete can be in flight (tests, quiesced
+    * maintenance); running compactions use [[snapshot]] + [[retire]]
+    * instead.
     */
-  def clear(spark: SparkSession, prefix: String): Unit =
+  def clear(spark: SparkSession, prefix: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(prefix)}")
+    val loc = defaultLocation(spark, tableName(prefix))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
 }

@@ -45,11 +45,17 @@ object StreamingCardStats {
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
   /** The decomposable per-(source, lang) statistics of one frame. */
-  def partials(df: DataFrame): DataFrame =
-    df.select(col("source"), col("lang"),
+  def partials(df: DataFrame): DataFrame = partialsKeyed(df, Nil)
+
+  /** [[partials]] with extra leading grouping keys — the takedown card
+    * rebuild ([[StreamingCurationChain.deleteDocs]]) groups by the kept
+    * batch id so every partition's partial recomputes in ONE job.
+    */
+  def partialsKeyed(df: DataFrame, extraKeys: Seq[String]): DataFrame =
+    df.select(extraKeys.map(col) ++ Seq(col("source"), col("lang"),
         size(words(col("text"))).cast("long").as("_nt"),
-        bpe_token_count(col("text")).cast("long").as("_ns"))
-      .groupBy(col("source"), col("lang"))
+        bpe_token_count(col("text")).cast("long").as("_ns")): _*)
+      .groupBy((extraKeys ++ Seq("source", "lang")).map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("_nt") < graft.operators.TextAnalysis.ShortDocTokens, 1))
           .as("n_short"),

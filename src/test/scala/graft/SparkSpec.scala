@@ -24,6 +24,15 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // fresh warehouse per test JVM: catalog tables (band indexes,
+      // tombstones) must not leak between `sbt test` runs — especially
+      // now that Tombstones.adopt deliberately resurrects a previous
+      // JVM's orphaned delete markers (the durability contract a
+      // persistent-warehouse deployment wants, and exactly what a
+      // fresh-fixture test run does not)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse")
+          .toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

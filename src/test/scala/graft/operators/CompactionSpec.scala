@@ -56,6 +56,25 @@ class CompactionSpec extends SparkSpec {
       s"post-compaction replay + append must stay exact: $est")
   }
 
+  test("maybeCompactBatchTree: no-op at or under the bound, folds above it") {
+    import graft.streaming.StreamingHeavyHitters
+    val dir = java.nio.file.Files.createTempDirectory("mcbt").toString + "/cms"
+    assert(Compaction.maybeCompactBatchTree(spark, dir, 4) == (0, 0),
+      "absent tree is a free no-op")
+    for (b <- 0L to 3L)
+      StreamingHeavyHitters.writeBatch(
+        Seq.fill(2)(s"k$b").toDF("key"), "key", dir, 3, 64, b)
+    assert(Compaction.maybeCompactBatchTree(spark, dir, 4) == (4, 4),
+      "at the bound: listing only, no fold")
+    StreamingHeavyHitters.writeBatch(
+      Seq("k4").toDF("key"), "key", dir, 3, 64, 4L)
+    assert(Compaction.maybeCompactBatchTree(spark, dir, 4) == (5, 2),
+      "over the bound: the fold runs")
+    intercept[IllegalArgumentException] {
+      Compaction.maybeCompactBatchTree(spark, dir, 1)
+    }
+  }
+
   test("compactBatchTree: foreign batch= names are skipped, not a crash") {
     import graft.streaming.StreamingHeavyHitters
     val dir = java.nio.file.Files.createTempDirectory("cbtf").toString + "/cms"

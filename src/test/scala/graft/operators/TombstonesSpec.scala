@@ -99,6 +99,35 @@ class TombstonesSpec extends SparkSpec {
       "the old prefix keeps filtering for its remaining readers")
   }
 
+  test("orphaned tombstone files from a previous JVM are adopted as " +
+    "live deletes, not silently lost") {
+    val prefix = "graft_spec_ts_orphan"
+    val table = Tombstones.tableName(prefix)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the restart: marker files on disk, no catalog entry
+    // (exactly what a JVM exit leaves behind a managed table)
+    Seq(7L).toDF("id").write.parquet(loc.toString)
+    assert(!spark.catalog.tableExists(table))
+
+    def ids(): Set[Long] = Tombstones.read(spark, prefix)
+      .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
+    assert(ids() == Set(7L), "read must adopt the previous JVM's deletes")
+    assert(spark.catalog.tableExists(table),
+      "adoption re-registers the managed table")
+    // appends merge with the adopted set instead of replacing it
+    Tombstones.write(spark, prefix, Seq(9L).toDF("id"), "id")
+    assert(ids() == Set(7L, 9L))
+    // the explicit post-rebuild path drops table AND files
+    Tombstones.clear(spark, prefix)
+    assert(Tombstones.read(spark, prefix).isEmpty)
+    assert(!fs.exists(loc), "clear must remove the files too")
+    // ... so a second clear/read cannot resurrect anything
+    assert(Tombstones.read(spark, prefix).isEmpty)
+  }
+
   test("winnow index: delete -> probe miss, compact -> physically gone") {
     val prefix = "graft_spec_ts_winnow"
     Dedup.writeWinnowIndex(docs, "doc_id", "text", k = 3, w = 4, seed = 7,

@@ -174,6 +174,195 @@ class StreamingCurationChainSpec extends SparkSpec {
       readmitted._4 == Seq(3L, 5L, 11L))
   }
 
+  test("takedown at scale: one discovery join per tree — exactly the " +
+    "affected partitions rewrite, the rest are untouched bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("chainscale").toString
+    val prefix = "graft_spec_chain_scale"
+    val nB = 50
+    // build the three row-level trees directly (the purge contract is
+    // over the batch-tree layout, not over how the stream produced it);
+    // the card tree only needs to exist — deleteDocs rebuilds it whole
+    for (b <- 0 until nB) {
+      val docs = Seq(
+        (b * 10L, s"alpha$b one two", "en", "web"),
+        (b * 10L + 1, s"beta$b three four", "en", "books"))
+        .toDF("doc_id", "text", "lang", "source")
+      docs.write.parquet(s"$dir/kept/batch=$b")
+      docs.select($"doc_id".as("cand_id"), lit(0L).as("cell"))
+        .write.parquet(s"$dir/ivf/batch=$b")
+      docs.select($"doc_id", lit("t").as("term"), lit(1L).as("tf"))
+        .write.parquet(s"$dir/post/batch=$b")
+    }
+    StreamingCardStats.writeBatch(
+      spark.read.parquet(s"$dir/kept/batch=0"), s"$dir/card", 0L)
+
+    def listing(tree: String): Map[Long, Set[(String, Long)]] =
+      (0 until nB).map { b =>
+        val p = java.nio.file.Paths.get(s"$dir/$tree/batch=$b")
+        import scala.jdk.CollectionConverters._
+        b.toLong -> java.nio.file.Files.list(p).iterator().asScala
+          .map(f => f.getFileName.toString -> java.nio.file.Files.size(f))
+          .toSet
+      }.toMap
+    val before = Seq("kept", "ivf", "post").map(t => t -> listing(t)).toMap
+
+    // deletes touch batches 5, 17, 40 — and empty batch 45 entirely
+    val delIds = Seq(50L, 171L, 400L, 450L, 451L)
+    val hit = Set(5L, 17L, 40L, 45L)
+    spark.sparkContext.setJobGroup("takedown", "takedown", false)
+    val affected = try StreamingCurationChain.deleteDocs(spark,
+      delIds.toDF("doc_id"), prefix,
+      s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post")
+    finally spark.sparkContext.clearJobGroup()
+
+    // the returned rewrite set is exactly the affected partitions
+    assert(affected(s"$dir/kept") == hit.toSeq.sorted, s"kept: $affected")
+    assert(affected(s"$dir/ivf") == hit.toSeq.sorted)
+    assert(affected(s"$dir/post") == hit.toSeq.sorted)
+    // physically: unaffected partitions are byte-for-byte untouched
+    val after = Seq("kept", "ivf", "post").map(t => t -> listing(t)).toMap
+    for (t <- Seq("kept", "ivf", "post"); b <- 0L until nB.toLong
+         if !hit(b))
+      assert(after(t)(b) == before(t)(b),
+        s"$t batch=$b must not be rewritten by an unrelated takedown")
+    for (t <- Seq("kept", "ivf", "post"); b <- hit)
+      assert(after(t)(b) != before(t)(b), s"$t batch=$b must rewrite")
+    // semantics: rows gone, everything else intact, card mirrors kept
+    val keptIds = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == (0 until nB).flatMap(b =>
+      Seq(b * 10L, b * 10L + 1)).toSet -- delIds)
+    assert(StreamingBatchDirs.list(spark, s"$dir/card") ==
+      StreamingBatchDirs.list(spark, s"$dir/kept"),
+      "card partitions mirror kept (including the emptied batch 45)")
+    val cardN = spark.read.parquet(s"$dir/card")
+      .agg(sum($"n_docs")).head().getLong(0)
+    assert(cardN == keptIds.size.toLong, s"card counts $cardN")
+
+    // driver job count is O(affected)+O(1), not O(batches): the old
+    // per-partition probe design spent >= 3*50 jobs on discovery alone
+    val jobs = {
+      // the status store is fed asynchronously; wait for it to settle
+      var n = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val m = spark.sparkContext.statusTracker
+          .getJobIdsForGroup("takedown").length
+        if (m == n) stable += 1 else { n = m; stable = 0 }
+      }
+      n
+    }
+    // measured 60 on this fixture: ~4-5 AQE stage-jobs per rewrite
+    // action x 12 affected partitions, plus 3 discovery joins and the
+    // card rebuild. The old per-partition probe design's FLOOR was
+    // 3 x 50 = 150 discovery jobs before any rewrite, so < 100 cleanly
+    // separates O(affected)+O(1) from O(batches).
+    assert(jobs > 0 && jobs < 100,
+      s"takedown must be O(affected) driver jobs, measured $jobs")
+  }
+
+  test("a delete during a running stream: the NEXT batch's artifacts " +
+    "exclude the id with no second deleteDocs call") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("chaininfl").toString
+    val prefix = "graft_spec_chain_inflight"
+    val in = MemoryStream[ChainDoc]
+    val q = StreamingCurationChain.start(
+      in.toDF(), prefix, keptDir = s"$dir/kept", cardDir = s"$dir/card",
+      indexDir = s"$dir/ivf", postingsDir = s"$dir/post",
+      centroids = centroids, checkpoint = s"$dir/ckpt")
+    in.addData(
+      ChainDoc(1L, "alpha beta gamma delta epsilon zeta", "en", "web"),
+      ChainDoc(3L, "the quick brown fox jumps over lazy dogs", "en", "books"))
+    q.processAllAvailable()
+
+    // takedown lands while the stream is live (between micro-batches)
+    StreamingCurationChain.deleteDocs(spark, Seq(1L).toDF("doc_id"),
+      prefix, s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post")
+
+    // the next batch REDELIVERS the deleted doc (at-least-once source)
+    // alongside a novel one — the batch-entry tombstone filter must
+    // keep it out of all four artifacts without a second deleteDocs
+    in.addData(
+      ChainDoc(1L, "alpha beta gamma delta epsilon zeta", "en", "web"),
+      ChainDoc(5L, "entirely new content appears in this batch", "de", "web"))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(s"$dir/kept")
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 5L), "redelivered deleted doc must stay out of kept")
+    assert(spark.read.parquet(s"$dir/kept/batch=1")
+      .select("doc_id").as[Long].collect().toSeq == Seq(5L))
+    assert(StreamingVectorIndex.lists(spark, s"$dir/ivf")
+      .select("cand_id").as[Long].collect().sorted.toSeq == Seq(3L, 5L))
+    assert(StreamingPostingsIndex.postings(spark, s"$dir/post",
+        kept.select($"doc_id", $"text"), "doc_id", "text")
+      .select("doc_id").distinct().as[Long].collect().sorted.toSeq ==
+      Seq(3L, 5L))
+    val card = spark.read.parquet(s"$dir/card")
+      .groupBy($"source", $"lang").agg(sum($"n_docs").as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(card == Map(("books", "en") -> 1L, ("web", "de") -> 1L),
+      s"card = $card")
+  }
+
+  test("maintenance policy: a long stream stays bounded per tree and " +
+    "a delete wave settles (tombstones retired) within one batch") {
+    val dir = java.nio.file.Files.createTempDirectory("chainmaint").toString
+    val prefix = "graft_spec_chain_maint"
+    val maxSeg = 4
+    val sentences = Vector(
+      "crimson harbor lantern drifts across silent water",
+      "mountain echo carries winter songs beyond valleys",
+      "glass towers reflect amber sunsets every evening",
+      "quiet libraries hold forgotten maps of empires",
+      "robots assemble intricate clockwork under neon light",
+      "gardens bloom with saffron petals after rainfall",
+      "sailors chart unknown reefs beneath polar stars",
+      "violins tune their strings before the overture",
+      "bakers fold chestnut flour into morning loaves",
+      "comets scatter silver dust along the horizon")
+    def runBatch(b: Long): Unit =
+      StreamingCurationChain.processBatch(spark,
+        Seq(ChainDoc(b, sentences(b.toInt), "en", "web")).toDF(), prefix,
+        s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post",
+        centroids, b, maxSegments = maxSeg)
+    StreamingContentDedup.bootstrapIndex(spark, prefix, buckets = 8)
+    for (b <- 0L to 4L) runBatch(b)
+
+    // delete doc 2 mid-stream; the next batch's stage-5 maintenance
+    // must physically purge the band index and retire the marker
+    StreamingCurationChain.deleteDocs(spark, Seq(2L).toDF("doc_id"),
+      prefix, s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post")
+    assert(graft.operators.Tombstones.read(spark, prefix).isDefined)
+    runBatch(5L)
+    assert(graft.operators.Tombstones.read(spark, prefix).isEmpty,
+      "stage-5 maintenance must retire the applied tombstones")
+    assert(!spark.table(s"${prefix}_bands")
+      .select("doc_id").as[Long].collect().contains(2L),
+      "the band rows must be physically gone")
+
+    for (b <- 6L to 9L) runBatch(b)
+    // every tree bounded by the policy
+    for (t <- Seq("kept", "card", "ivf", "post")) {
+      val n = StreamingBatchDirs.list(spark, s"$dir/$t").length
+      assert(n <= maxSeg, s"$t holds $n segments after 10 batches")
+    }
+    // and the artifacts still describe exactly the admitted-minus-
+    // deleted set, once each
+    val keptIds = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptIds == (0L to 9L).filterNot(_ == 2L),
+      s"kept after folds = $keptIds")
+    assert(StreamingVectorIndex.lists(spark, s"$dir/ivf")
+      .select("cand_id").as[Long].collect().sorted.toSeq == keptIds)
+    val cardN = spark.read.parquet(s"$dir/card")
+      .agg(sum($"n_docs")).head().getLong(0)
+    assert(cardN == keptIds.length.toLong)
+  }
+
   test("takedown recovery: a TORN earlier delete (kept purged, card " +
     "stale) heals on re-run, and a FOLDED card tree reconciles") {
     import org.apache.spark.sql.{functions => F}
