@@ -34,8 +34,9 @@ import org.apache.spark.sql.SparkSession
   *    timed runs were EQUALLY slowed, so the ratio looked clean): the
   *    last round's per-query times are read from `BENCH.json` (override
   *    with SPARK_GRAFT_BENCH_PREV; skipped when the sf differs), any
-  *    query whose best exceeds 2.5x its previous time + 0.2 s gets the
-  *    same one extra timed pass, and the JSON reports `rerun_delta`
+  *    query whose best exceeds 1.5x its previous time + 0.2 s (2.5x
+  *    for sub-0.5 s queries — jitter-dominated) gets a min-of-3
+  *    confirmation rerun, and the JSON reports `rerun_delta`
   *    (seconds recovered by each rerun — a large delta means the first
   *    window was noisy, not the code) plus `prev_outliers` (still over
   *    the previous-round threshold after the rerun — a REAL candidate
@@ -109,8 +110,16 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filter(_._2 >= 0).toMap
     } catch { case _: Exception => Map.empty }
+    // round-12 finding: q141/q143 moved 2.3-2.5x vs the previous round
+    // on untouched code and sat just UNDER the old 2.5x bar, so they
+    // shipped unadjudicated. Second-scale queries get a 1.5x bar (a
+    // real regression worth a look is rarely subtler than that, and
+    // min-of-3 below absorbs the extra reruns noise would trigger);
+    // sub-0.5 s queries keep 2.5x +0.2 s — scheduler jitter alone
+    // moves them 1.5x.
     def prevThresh(n: String): Double =
-      prev.get(n).map(2.5 * _ + 0.2).getOrElse(Double.MaxValue)
+      prev.get(n).map(p => (if (p >= 0.5) 1.5 else 2.5) * p + 0.2)
+        .getOrElse(Double.MaxValue)
     // soak runs at large factors set SPARK_GRAFT_BENCH_TIMED=1: one
     // timed pass instead of min-of-2 (the driver protocol default)
     val timedPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMED", "2").toInt
@@ -122,9 +131,13 @@ object Bench {
       var best = if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2)
       var rerunDelta = Option.empty[Double]
       if (best > thresh(n) || best > prevThresh(n)) {
-        val t3 = execute(n) // one retry in a possibly quieter window
+        // min-of-3 confirmation: a single retry can itself land in a
+        // noisy slot and leave a phantom regression standing (the
+        // round-12 q141/q143 lesson); three passes in later windows
+        // make a surviving outlier a REAL candidate, not host luck
+        val retries = Seq.fill(3)(execute(n)).filter(_ >= 0)
         val before = best
-        if (t3 >= 0 && t3 < best) best = t3
+        if (retries.nonEmpty && retries.min < best) best = retries.min
         rerunDelta = Some(before - best)
       }
       val contended = best > thresh(n)
