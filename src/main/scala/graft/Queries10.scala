@@ -23,10 +23,11 @@ object Queries10 {
     * entity tables. The scale shape is the whole point: candidates
     * come from an EQUI-join on the blocking key (nation), never
     * probe×corpus, and the quadratic edit-distance verify runs only
-    * inside blocks (at 100 TB: block on several keys and union, same
-    * plan). Best match per probe by (distance, key) rank; `n_cand`
-    * reports the block's verify fan-in — the dial blocking-key choice
-    * controls.
+    * inside blocks (at 100 TB: block on several selective keys and
+    * union — q162_entity_union_blocking in [[Queries21]] ships that
+    * form and measures the fan-in drop). Best match per probe by
+    * (distance, key) rank; `n_cand` reports the block's verify fan-in
+    * — the dial blocking-key choice controls.
     */
   val q112EntityMatch = QueryDef(
     "q112_entity_match",

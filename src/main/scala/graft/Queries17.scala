@@ -31,7 +31,11 @@ object Queries17 {
     * re-shuffles to learn its buckets. Threshold semantics: ties share
     * a bucket (value-based, both engines cut on the same round-6
     * doubles via `quantile_cont` parity, the q94 discipline); quartile
-    * 1 = most recent / most frequent / highest spend.
+    * 1 = most recent / most frequent / highest spend. At 100 TB even
+    * the one range exchange goes: swap `exactCont` for the GK-sketch
+    * thresholds q161_curriculum_sketch ([[Queries21]]) ships (same
+    * broadcast-CASE bucketing, rank-window contract instead of hash
+    * parity).
     */
   val q140RfmSegments = QueryDef(
     "q140_rfm_segments",

@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-13 query surface: the GK-sketch threshold form the q94/q140
+  * scaladocs promised as the 100 TB swap for `exactCont` consumers
+  * (q161), and the union-of-blockings entity-resolution selectivity
+  * dial q112 documented (q162). Oracle-parity rules as in
+  * [[Queries]]/[[Queries2]].
+  */
+object Queries21 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ----------------------------------------------------- q161_curriculum_sketch
+  /** q94's curriculum bucketing with SKETCH thresholds — the shape that
+    * actually ships at 100 TB. q94 derives its quartile cut-points from
+    * [[graft.operators.Percentiles.exactCont]], which pays one range
+    * exchange of the whole (group, value) corpus; thresholds need not
+    * be exact, so here they come from `percentile_approx` (the q43 GK
+    * sketch, accuracy 10000): O(accuracy) state per partition, merges
+    * associatively map-side, NO range exchange anywhere but the final
+    * 4-row ORDER BY. The bucketing itself is the same broadcast-CASE:
+    * the one-row threshold frame broadcasts onto a single conditional-
+    * aggregation pass (the four bucket counts and the six boundary
+    * ranks fold together — one corpus pass, one 1-row exchange).
+    *
+    * Oracle (the q43 rank-window CONTRACT, since sketch answers are
+    * engine-specific and can never hash-match): each engine buckets by
+    * ITS OWN sketch thresholds, then verifies in the same pass that
+    * every bucket's count is consistent with the sketch's rank
+    * guarantee — count_b must land within
+    * `0.25·n ± (2·window + ties at the straddled boundaries + slack)`,
+    * where window = n/accuracy for Spark's GK bound and the documented
+    * conservative 1%·n for DuckDB's t-digest (the q43 asymmetry). The
+    * emitted relation (bucket, n, within_window) is engine-independent
+    * and hash-green iff both sketches honor their bounds. Ties matter:
+    * token counts repeat heavily, and a threshold value's whole tie
+    * mass sits on one side of its bucket boundary — the exact-rank
+    * interval [rlo+1, rhi] absorbs it, a naive `±window` check would
+    * be false under ties.
+    */
+  val q161CurriculumSketch = QueryDef(
+    "q161_curriculum_sketch",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.TextAnalysis
+      val docs = t(s, dir, "documents").select(
+        TextAnalysis.tokenCount($"text").cast("double").as("toks"))
+      val th = docs
+        .agg(count(lit(1)).as("n"),
+          percentile_approx($"toks",
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("_t"))
+        .select($"n", $"_t"(0).as("t25"), $"_t"(1).as("t50"),
+          $"_t"(2).as("t75"))
+      val stats = docs.crossJoin(broadcast(th)).agg(
+        max($"n").as("n"),
+        sum(when($"toks" <= $"t25", 1L).otherwise(0L)).as("rhi25"),
+        sum(when($"toks" < $"t25", 1L).otherwise(0L)).as("rlo25"),
+        sum(when($"toks" <= $"t50", 1L).otherwise(0L)).as("rhi50"),
+        sum(when($"toks" < $"t50", 1L).otherwise(0L)).as("rlo50"),
+        sum(when($"toks" <= $"t75", 1L).otherwise(0L)).as("rhi75"),
+        sum(when($"toks" < $"t75", 1L).otherwise(0L)).as("rlo75"),
+        sum(when($"toks" > $"t25" && $"toks" <= $"t50", 1L).otherwise(0L))
+          .as("c1"),
+        sum(when($"toks" > $"t50" && $"toks" <= $"t75", 1L).otherwise(0L))
+          .as("c2"),
+        sum(when($"toks" > $"t75", 1L).otherwise(0L)).as("c3"))
+      val w = $"n" / 10000.0 // Spark GK: rank error <= n/accuracy
+      def tie(hi: Column, lo: Column): Column = hi - lo
+      val ok0 = ($"rhi25" >= $"n" * 0.25 - w - 1) &&
+        ($"rhi25" <= $"n" * 0.25 + w + tie($"rhi25", $"rlo25") + 1)
+      val ok1 = ($"c1" >= $"n" * 0.25 - w * 2 - tie($"rhi25", $"rlo25") - 2) &&
+        ($"c1" <= $"n" * 0.25 + w * 2 + tie($"rhi50", $"rlo50") + 2)
+      val ok2 = ($"c2" >= $"n" * 0.25 - w * 2 - tie($"rhi50", $"rlo50") - 2) &&
+        ($"c2" <= $"n" * 0.25 + w * 2 + tie($"rhi75", $"rlo75") + 2)
+      val ok3 = ($"c3" >= $"n" * 0.25 - w - tie($"rhi75", $"rlo75") - 1) &&
+        ($"c3" <= $"n" * 0.25 + w + 1)
+      stats
+        .select($"n", explode(array(
+          struct(lit(0L).as("bucket"), ok0.as("within_window")),
+          struct(lit(1L).as("bucket"), ok1.as("within_window")),
+          struct(lit(2L).as("bucket"), ok2.as("within_window")),
+          struct(lit(3L).as("bucket"), ok3.as("within_window")))).as("_r"))
+        .select($"_r.bucket".as("bucket"), $"n".cast("long").as("n"),
+          $"_r.within_window".as("within_window"))
+        .orderBy($"bucket")
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS toks
+        FROM documents),
+      a AS (
+        SELECT COUNT(*) AS n, approx_quantile(toks, [0.25, 0.5, 0.75]) AS t
+        FROM d),
+      th AS (SELECT n, t[1] AS t25, t[2] AS t50, t[3] AS t75 FROM a),
+      s AS (
+        SELECT max(th.n) AS n,
+               SUM(CASE WHEN toks <= t25 THEN 1 ELSE 0 END) AS rhi25,
+               SUM(CASE WHEN toks <  t25 THEN 1 ELSE 0 END) AS rlo25,
+               SUM(CASE WHEN toks <= t50 THEN 1 ELSE 0 END) AS rhi50,
+               SUM(CASE WHEN toks <  t50 THEN 1 ELSE 0 END) AS rlo50,
+               SUM(CASE WHEN toks <= t75 THEN 1 ELSE 0 END) AS rhi75,
+               SUM(CASE WHEN toks <  t75 THEN 1 ELSE 0 END) AS rlo75,
+               SUM(CASE WHEN toks > t25 AND toks <= t50 THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN toks > t50 AND toks <= t75 THEN 1 ELSE 0 END) AS c2,
+               SUM(CASE WHEN toks > t75 THEN 1 ELSE 0 END) AS c3
+        FROM d CROSS JOIN th),
+      v AS (
+        SELECT n, n / 100.0 AS w, rhi25, rlo25, rhi50, rlo50, rhi75, rlo75,
+               c1, c2, c3
+        FROM s),
+      ok AS (
+        SELECT n,
+          (rhi25 >= 0.25*n - w - 1 AND
+           rhi25 <= 0.25*n + w + (rhi25 - rlo25) + 1) AS ok0,
+          (c1 >= 0.25*n - 2*w - (rhi25 - rlo25) - 2 AND
+           c1 <= 0.25*n + 2*w + (rhi50 - rlo50) + 2) AS ok1,
+          (c2 >= 0.25*n - 2*w - (rhi50 - rlo50) - 2 AND
+           c2 <= 0.25*n + 2*w + (rhi75 - rlo75) + 2) AS ok2,
+          (c3 >= 0.25*n - w - (rhi75 - rlo75) - 1 AND
+           c3 <= 0.25*n + w + 1) AS ok3
+        FROM v)
+      SELECT CAST(t.b AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+             CASE t.b WHEN 0 THEN ok0 WHEN 1 THEN ok1
+                      WHEN 2 THEN ok2 ELSE ok3 END AS within_window
+      FROM ok CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+      ORDER BY bucket"""),
+    notes = "oracle checks the rank-window contract per engine (q43 " +
+      "precedent); raw sketch thresholds are engine-specific")
+
+  // --------------------------------------------------- q162_entity_union_blocking
+  /** Union-of-blockings entity resolution — the selectivity dial q112's
+    * scaladoc names for 100 TB. q112 blocks on ONE coarse complete key
+    * (nation): recall is free but every probe pays a verify fan-in of
+    * the whole nation block — at corpus scale the quadratic verify
+    * inside fat blocks IS the cost. The production alternative: a UNION
+    * of cheap selective blockings, none complete alone, whose coverage
+    * composes. The only high-entropy region of these catalog names is
+    * the number tail (everything before it is constant + padding zeros
+    * — any prefix/mid-digit key degenerates into one corpus-sized
+    * block), so the union is the deletion-neighborhood family
+    * (SymSpell's symmetric-delete idea recast as blocking): blocking i
+    * keys the probe's last-3 against the canonical last-4 WITH ITS i-th
+    * CHARACTER DELETED. A single deletion anywhere in the name lands
+    * the true pair in blocking 0 (deletion at or before the 4th-last
+    * char shifts the tail whole) or exactly one of 1..3 (deletion
+    * inside the last 3) — complete by construction, while every block
+    * stays a 3-digit bucket (~|corpus|/1000, vs the nation block's
+    * |corpus|/25). Candidates come from four equi-joins + a pair-level
+    * dedup (a pair found by several blockings counts once); the
+    * edit-distance verify runs only inside the union. Reported per
+    * probe: the best match by (distance, key), the union fan-in (the
+    * measured value of the dial vs q112's n_cand), and the per-blocking
+    * fan-ins. At 100 TB you extend the variant set (longer tails,
+    * transposition keys) and the plan stays equi-join-only.
+    */
+  val q162EntityUnionBlocking = QueryDef(
+    "q162_entity_union_blocking",
+    (s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val probes = cust.filter($"c_custkey" % 150 === 7)
+        .select($"c_custkey".as("probe_key"),
+          expr("concat(substring(c_name, 1, CAST(10 + c_custkey % 8 AS INT) - 1), " +
+            "substring(c_name, CAST(10 + c_custkey % 8 AS INT) + 1))")
+            .as("_pname"))
+      // the four delete-one variants of the canonical last-4: variant 0
+      // drops its first char (the "deletion fell before the tail, the
+      // whole tail shifted" key), variants 1..3 drop an inner/last char
+      // (the "deletion fell inside the last 3" keys)
+      val variants = cust
+        .select($"c_custkey".as("cand_key"), $"c_name".as("_cname"),
+          expr("right(c_name, 4)").as("_r4"))
+        .select($"cand_key", $"_cname", posexplode(array(
+          expr("substring(_r4, 2, 3)"),
+          expr("concat(substring(_r4, 1, 1), substring(_r4, 3, 2))"),
+          expr("concat(substring(_r4, 1, 2), substring(_r4, 4, 1))"),
+          expr("substring(_r4, 1, 3)"))).as(Seq("blk", "_bk")))
+        .distinct() // zeros make some variants coincide — key once
+      val pairs = probes.withColumn("_bk", expr("right(_pname, 3)"))
+        .join(variants, "_bk")
+      val union = pairs
+        .groupBy($"probe_key", $"cand_key", $"_pname", $"_cname")
+        .agg(max(when($"blk" === 0, 1L).otherwise(0L)).as("b0"),
+          max(when($"blk" === 1, 1L).otherwise(0L)).as("b1"),
+          max(when($"blk" === 2, 1L).otherwise(0L)).as("b2"),
+          max(when($"blk" === 3, 1L).otherwise(0L)).as("b3"))
+      val wp = Window.partitionBy($"probe_key")
+      union
+        .withColumn("n_cand", count(lit(1)).over(wp))
+        .withColumn("n_b0", sum($"b0").over(wp))
+        .withColumn("n_b1", sum($"b1").over(wp))
+        .withColumn("n_b2", sum($"b2").over(wp))
+        .withColumn("n_b3", sum($"b3").over(wp))
+        .withColumn("dist", levenshtein($"_pname", $"_cname"))
+        .filter($"dist" <= 2)
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy($"probe_key").orderBy($"dist", $"cand_key")))
+        .filter($"_rn" === 1)
+        .select($"probe_key", $"cand_key".as("matched_key"),
+          $"dist".cast("long").as("dist"), $"n_cand",
+          $"n_b0", $"n_b1", $"n_b2", $"n_b3")
+        .orderBy($"probe_key")
+    },
+    Some("""
+      WITH pr AS (
+        SELECT c_custkey AS probe_key,
+               substr(c_name, 1, CAST(10 + c_custkey % 8 AS INT) - 1)
+                 || substr(c_name, CAST(10 + c_custkey % 8 AS INT) + 1) AS pname
+        FROM customer WHERE c_custkey % 150 = 7),
+      vr AS (
+        SELECT DISTINCT cand_key, cname, blk, bk FROM (
+          SELECT c_custkey AS cand_key, c_name AS cname, 0 AS blk,
+                 substr(right(c_name, 4), 2, 3) AS bk FROM customer
+          UNION ALL
+          SELECT c_custkey, c_name, 1,
+                 substr(right(c_name, 4), 1, 1) || substr(right(c_name, 4), 3, 2)
+          FROM customer
+          UNION ALL
+          SELECT c_custkey, c_name, 2,
+                 substr(right(c_name, 4), 1, 2) || substr(right(c_name, 4), 4, 1)
+          FROM customer
+          UNION ALL
+          SELECT c_custkey, c_name, 3,
+                 substr(right(c_name, 4), 1, 3) FROM customer)),
+      u AS (
+        SELECT probe_key, cand_key, pname, cname,
+               MAX(CASE WHEN blk = 0 THEN 1 ELSE 0 END) AS b0,
+               MAX(CASE WHEN blk = 1 THEN 1 ELSE 0 END) AS b1,
+               MAX(CASE WHEN blk = 2 THEN 1 ELSE 0 END) AS b2,
+               MAX(CASE WHEN blk = 3 THEN 1 ELSE 0 END) AS b3
+        FROM pr JOIN vr ON right(pr.pname, 3) = vr.bk
+        GROUP BY 1, 2, 3, 4),
+      w AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY probe_key) AS n_cand,
+               SUM(b0) OVER (PARTITION BY probe_key) AS n_b0,
+               SUM(b1) OVER (PARTITION BY probe_key) AS n_b1,
+               SUM(b2) OVER (PARTITION BY probe_key) AS n_b2,
+               SUM(b3) OVER (PARTITION BY probe_key) AS n_b3
+        FROM u),
+      hit AS (
+        SELECT *, levenshtein(pname, cname) AS d FROM w
+        WHERE levenshtein(pname, cname) <= 2),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY probe_key ORDER BY d, cand_key) AS rn
+        FROM hit)
+      SELECT probe_key, cand_key AS matched_key, CAST(d AS BIGINT) AS dist,
+             CAST(n_cand AS BIGINT) AS n_cand,
+             CAST(n_b0 AS BIGINT) AS n_b0, CAST(n_b1 AS BIGINT) AS n_b1,
+             CAST(n_b2 AS BIGINT) AS n_b2, CAST(n_b3 AS BIGINT) AS n_b3
+      FROM rk WHERE rn = 1 ORDER BY probe_key"""))
+
+  def all: Seq[QueryDef] = Seq(q161CurriculumSketch, q162EntityUnionBlocking)
+}

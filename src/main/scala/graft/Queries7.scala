@@ -351,8 +351,10 @@ object Queries7 {
     * per-row CASE — the corpus never re-shuffles to learn its bucket.
     * Report: per-bucket doc count, token mass, and the length range —
     * the "pack easy/short first, hard/long later" curriculum layout
-    * feed. At 100 TB the thresholds would come from the q43 GK sketch
-    * (thresholds need not be exact); the exact pass is what the
+    * feed. At 100 TB the thresholds come from the q43 GK sketch
+    * instead (thresholds need not be exact) — q161_curriculum_sketch
+    * ([[Queries21]]) SHIPS that form, rank-window-verified, with no
+    * range exchange in its plan; the exact pass here is what the
     * oracle can replay hash-for-hash (`quantile_cont` parity, rounded
     * to 6 before the compare like q35).
     */

@@ -13,7 +13,8 @@ object SparkEntry {
       Queries5.all ++ Queries6.all ++ Queries7.all ++ Queries8.all ++
       Queries9.all ++ Queries10.all ++ Queries11.all ++ Queries12.all ++
       Queries13.all ++ Queries14.all ++ Queries15.all ++ Queries16.all ++
-      Queries17.all ++ Queries18.all ++ Queries19.all ++ Queries20.all
+      Queries17.all ++ Queries18.all ++ Queries19.all ++ Queries20.all ++
+      Queries21.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1022,6 +1022,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(stale.isEmpty, s"whitelisted queries no longer exist: $stale")
   }
 
+  test("q161_curriculum_sketch: sketch thresholds shed the range " +
+    "exchange q94's exactCont pays; one corpus pass per stage, " +
+    "map-side combined") {
+    val p = plan("q161_curriculum_sketch")
+    // the ONLY rangepartitioning allowed is the final 4-row ORDER BY;
+    // a second one means the exactCont machinery crept back in
+    assert("rangepartitioning".r.findAllIn(p).size <= 1,
+      s"the GK-sketch form must not range-exchange the corpus:\n$p")
+    assert(p.contains("percentile_approx"), p)
+    assert(p.contains("partial_"),
+      s"sketch and rank sums must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row threshold frame must broadcast onto the rank pass:\n$p")
+  }
+
+  test("q162_entity_union_blocking: all four blockings are equi-joins " +
+    "on the variant key — never probe x corpus") {
+    val p = plan("q162_entity_union_blocking")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("_bk"),
+      s"candidates must come from the _bk equi-join:\n$p")
+    assert(p.contains("_bk"), s"blocking key missing from the plan:\n$p")
+    // the verify (levenshtein) runs AFTER the blocking join, inside
+    // blocks only — it must not appear in any join condition
+    assert(!"join.*levenshtein".r.findFirstIn(p.toLowerCase).isDefined,
+      s"edit distance must be a post-join filter, not a join predicate:\n$p")
+  }
+
   /** Companion sweep: no query may plan a CartesianProduct, ever — the
     * per-query pins assert this for the shapes where an all-pairs bug
     * is plausible, but a new query with a missed join key (or a typo
