@@ -87,7 +87,21 @@ object Bench {
     // keeps memory flat; within a query, timed run 1 rebuilds its own
     // cache and run 2 reuses it, so min-of-2 still reports the warm
     // number.
-    def clearCache(): Unit = spark.sharedState.cacheManager.clearCache()
+    // clearCache alone is NOT enough (round-13 integrated-100x
+    // finding): localCheckpoint blocks (Checkpoints.pin) are reclaimed
+    // only when their RDD is GC'd, and in a large heap full GCs are
+    // rare — so a long run accumulates every query's pinned frames
+    // until the storage pool pressures later queries into evictions
+    // and recomputes. Measured: q36 8.5-15.9 s isolated, 57 s right
+    // after q35's 120M-row range exchange in the same JVM, 87 s deep
+    // into the full 162-query 100x session. Dropping every persistent
+    // RDD plus one GC nudge removes the residue deterministically.
+    def clearCache(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     // warmup: untimed for reporting, but each query's cold wall time is
     // kept as the contention yardstick (see scaladoc)
     val warm = names.map { n => val t = execute(n); clearCache(); n -> t }.toMap
