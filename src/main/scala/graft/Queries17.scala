@@ -32,10 +32,11 @@ object Queries17 {
     * a bucket (value-based, both engines cut on the same round-6
     * doubles via `quantile_cont` parity, the q94 discipline); quartile
     * 1 = most recent / most frequent / highest spend. At 100 TB even
-    * the one range exchange goes: swap `exactCont` for the GK-sketch
-    * thresholds q161_curriculum_sketch ([[Queries21]]) ships (same
-    * broadcast-CASE bucketing, rank-window contract instead of hash
-    * parity).
+    * the one range exchange goes: pass
+    * `SketchThresholds` instead of `ExactThresholds` at the shared
+    * operator seam ([[graft.operators.Percentiles.thresholds]], the
+    * q94/q161 pair's one-argument swap — same broadcast-CASE
+    * bucketing, rank-window contract instead of hash parity).
     */
   val q140RfmSegments = QueryDef(
     "q140_rfm_segments",
@@ -59,8 +60,8 @@ object Queries17 {
           struct(lit("m").as("metric"), $"_mon".cast("double").as("mv"))))
           .as("x"))
         .select($"x.metric", $"x.mv")
-      val th = Percentiles.exactCont(melted, Seq("metric"), "mv",
-          Seq(0.25, 0.5, 0.75))
+      val th = Percentiles.thresholds(melted, Seq("metric"), "mv",
+          Seq(0.25, 0.5, 0.75), Percentiles.ExactThresholds)
         .groupBy($"metric")
         .agg(round(min(when($"p" === 0.25, $"value")), 6).as("t25"),
           round(min(when($"p" === 0.5, $"value")), 6).as("t50"),

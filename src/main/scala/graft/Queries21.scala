@@ -50,14 +50,20 @@ object Queries21 {
       import graft.operators.TextAnalysis
       val docs = t(s, dir, "documents").select(
         TextAnalysis.tokenCount($"text").cast("double").as("toks"))
-      val th = docs
-        .agg(count(lit(1)).as("n"),
-          percentile_approx($"toks",
-            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("_t"))
-        .select($"n", $"_t"(0).as("t25"), $"_t"(1).as("t50"),
-          $"_t"(2).as("t75"))
+      // the SHARED threshold seam (Percentiles.thresholds) — q94 calls
+      // the same code path with ExactThresholds; this query IS the
+      // documented one-argument swap, not a parallel implementation
+      val th = graft.operators.Percentiles.thresholds(
+          docs.withColumn("_g", lit(0)), Seq("_g"), "toks",
+          Seq(0.25, 0.5, 0.75),
+          graft.operators.Percentiles.SketchThresholds(10000))
+        .groupBy($"_g")
+        .agg(min(when($"p" === 0.25, $"value")).as("t25"),
+          min(when($"p" === 0.5, $"value")).as("t50"),
+          min(when($"p" === 0.75, $"value")).as("t75"))
+        .drop("_g")
       val stats = docs.crossJoin(broadcast(th)).agg(
-        max($"n").as("n"),
+        count(lit(1)).as("n"),
         sum(when($"toks" <= $"t25", 1L).otherwise(0L)).as("rhi25"),
         sum(when($"toks" < $"t25", 1L).otherwise(0L)).as("rlo25"),
         sum(when($"toks" <= $"t50", 1L).otherwise(0L)).as("rhi50"),

@@ -51,26 +51,43 @@ object Queries6 {
   }
 
   // ------------------------------------------------------------- q73_semdedup
-  /** Semantic dedup ([[graft.operators.Similarity.semDedup]], SemDeDup —
-    * Abbas et al. 2023): cluster the embeddings with a trained codebook
-    * (2 Lloyd iterations, seed 31) whose cell count is DERIVED from the
-    * corpus size ([[graft.operators.Similarity.autoCells]], target ~64
-    * vectors/cell — k ∝ n, the published method's dial: ~50k clusters
-    * for billions of points), then within each cell drop every vector
-    * whose cosine to a lower-id cell-mate reaches 0.35, reporting its
-    * smallest duplicate partner (`dup_of` — under a transitive chain
-    * the partner may itself be dropped; the chain's minimum always
-    * survives). The adaptive-cell counterpart of q26's fixed-hyperplane
-    * near-dup pass: candidate pairs are CELL-local and cells stay
-    * ~`TargetCell` regardless of corpus size, so the Σ|cell|² pair work
-    * is corpus-linear, never all-pairs and never quadratic-at-scale.
-    * The oracle derives the identical k with an integer-exact scalar
-    * subquery spliced into the training init's LIMIT.
+  /** Semantic dedup (SemDeDup — Abbas et al. 2023), FLAT-cell view:
+    * every vector is assigned to one quantizer cell (~`TargetCell`
+    * occupancy, cell count ∝ n — the published method's dial: ~50k
+    * clusters for billions of points), and within each cell every
+    * vector whose cosine to a lower-id cell-mate reaches 0.35 drops,
+    * reporting its smallest duplicate partner (`dup_of` — under a
+    * transitive chain the partner may itself be dropped; the chain's
+    * minimum always survives). Output is one flat `cell` id per row —
+    * the original "one codebook" SemDeDup view.
+    *
+    * Round 14 — the assignment quadratic is RETIRED: the previous form
+    * trained ONE flat codebook of `autoCells(n)` ≈ n/64 centroids and
+    * brute-force-argmaxed every vector against it — n²/64 dot products
+    * that measured 1059 s at the 100× soak, 45% of the whole 162-query
+    * session (round-13 verdict; fine at sf0.1, a 100×-only killer).
+    * Assignment now routes through the TWO-LEVEL quantizer
+    * ([[graft.operators.Similarity.semDedupHier]], q86's machinery:
+    * coarse ⌈√(n/64)⌉-cell codebook, per-coarse-cell fine codebooks —
+    * both levels n·√(n/64) work), and the flat cell id is the
+    * collision-free encoding `coarse · 2³² + fine` (fine cids are
+    * < ⌈|coarse cell|/64⌉ ≪ 2³², and the stride preserves the
+    * (coarse, fine) lexicographic order, so the flat ORDER BY is
+    * stable). Same keep-smallest-id / transitive-chain contract; cells
+    * stay ~`TargetCell` at any n, so the Σ|cell|² pair pass stays
+    * corpus-linear AND no step evaluates n·(n/64) distances. The
+    * oracle replays both training levels (the q86 CTE chain) and the
+    * same encoding — the builder controls both sides of the hash, so
+    * re-pinning the oracle to the scale-safe training is the honest
+    * form of "keep the semantics, retire the assignment". q86 remains
+    * the two-level-keyed view of the same dedup (its output carries
+    * (coarse, cell) separately).
     */
   val q73SemDedup = {
-    import KmeansSql.{trainAssignCtesK, sqlCos}
+    import KmeansSql.{trainAssignCtesHier, sqlCos}
     val Tau = "0.35"
     val TargetCell = 64L
+    val CellStride = 1L << 32
     QueryDef(
       "q73_semdedup",
       (s, dir) => {
@@ -80,30 +97,31 @@ object Queries6 {
         val ePinned =
           if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
             e.persist() else e
-        val cent = Similarity.kmeans(ePinned, "embedding", "vec_id",
-          k = Similarity.autoCells(ePinned.count(), TargetCell),
-          iters = 2, seed = 31)
-        Similarity.semDedup(ePinned, "embedding", "vec_id", cent,
-            tau = Tau.toDouble)
-          .select($"cell", $"vec_id", $"dup_of", $"cos")
+        Similarity.semDedupHier(ePinned, "embedding", "vec_id",
+            targetCell = TargetCell, tau = Tau.toDouble)
+          .select(($"coarse" * CellStride + $"cell").as("cell"),
+            $"vec_id", $"dup_of", $"cos")
           .orderBy($"cell", $"vec_id")
       },
       Some(s"""
-        WITH ${trainAssignCtesK(
-          s"""(SELECT GREATEST(1, (count(*) + ${TargetCell - 1}) // $TargetCell)
-              FROM embeddings)""")},
+        WITH ${trainAssignCtesHier(TargetCell)},
         p AS (
-          SELECT a.cid AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+          SELECT a.gid * $CellStride + a.cid AS cell,
+                 a.vec_id AS id_a, b.vec_id AS id_b,
                  ${sqlCos("ea.embedding", "eb.embedding")} AS cos
-          FROM fin a JOIN fin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          FROM hfin a JOIN hfin b
+            ON a.gid = b.gid AND a.cid = b.cid AND a.vec_id < b.vec_id
           JOIN e ea ON ea.vec_id = a.vec_id
           JOIN e eb ON eb.vec_id = b.vec_id),
         d AS (
           SELECT cell, id_b AS vec_id, id_a AS dup_of, cos,
                  ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
           FROM p WHERE cos >= $Tau)
-        SELECT cell, vec_id, dup_of, cos FROM d
-        WHERE rn = 1 ORDER BY cell, vec_id"""))
+        SELECT CAST(cell AS BIGINT) AS cell, vec_id, dup_of, cos FROM d
+        WHERE rn = 1 ORDER BY cell, vec_id"""),
+      notes = "round 14: flat derived-k assignment (n²/64 at scale) " +
+        "retired for the two-level quantizer; oracle re-pinned to the " +
+        "two-level training replay")
   }
 
   // ------------------------------------------------------------ q74_epoch_mix

@@ -352,11 +352,15 @@ object Queries7 {
     * Report: per-bucket doc count, token mass, and the length range —
     * the "pack easy/short first, hard/long later" curriculum layout
     * feed. At 100 TB the thresholds come from the q43 GK sketch
-    * instead (thresholds need not be exact) — q161_curriculum_sketch
-    * ([[Queries21]]) SHIPS that form, rank-window-verified, with no
-    * range exchange in its plan; the exact pass here is what the
-    * oracle can replay hash-for-hash (`quantile_cont` parity, rounded
-    * to 6 before the compare like q35).
+    * instead (thresholds need not be exact) — and since round 14 that
+    * swap is ONE ARGUMENT at the shared operator seam
+    * ([[graft.operators.Percentiles.thresholds]]): this query passes
+    * `ExactThresholds`, q161_curriculum_sketch ([[Queries21]]) passes
+    * `SketchThresholds(10000)` into the SAME code path,
+    * rank-window-verified, with no range exchange in its plan. The
+    * exact pass here is what the oracle can replay hash-for-hash
+    * (`quantile_cont` parity, rounded to 6 before the compare like
+    * q35).
     */
   val q94Curriculum = QueryDef(
     "q94_curriculum",
@@ -365,8 +369,9 @@ object Queries7 {
       import graft.operators.{Percentiles, TextAnalysis}
       val docs = t(s, dir, "documents").select($"doc_id",
         TextAnalysis.tokenCount($"text").cast("double").as("toks"))
-      val th = Percentiles.exactCont(docs.withColumn("_g", lit(0)),
-          Seq("_g"), "toks", Seq(0.25, 0.5, 0.75))
+      val th = Percentiles.thresholds(docs.withColumn("_g", lit(0)),
+          Seq("_g"), "toks", Seq(0.25, 0.5, 0.75),
+          Percentiles.ExactThresholds)
         .groupBy($"_g")
         .agg(round(min(when($"p" === 0.25, $"value")), 6).as("t25"),
           round(min(when($"p" === 0.5, $"value")), 6).as("t50"),

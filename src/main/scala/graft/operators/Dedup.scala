@@ -176,6 +176,23 @@ object Dedup {
     // the rewrite must survive the epilogue (Tombstones.retire removes
     // only the ids this rewrite actually applied)
     val snap = Tombstones.snapshot(spark, prefix)
+    compactBandIndexWith(spark, prefix, buckets, snap)
+    Tombstones.retire(spark, prefix, snap)
+    snap.foreach(Checkpoints.release)
+  }
+
+  /** The rewrite half of [[compactBandIndex]] against an EXTERNAL
+    * tombstone snapshot, with NO retire — the deferred-retire seam for
+    * the streaming chain's stage-5 maintenance
+    * ([[graft.streaming.StreamingCurationChain.maintain]]): the caller
+    * purges every artifact under ONE snapshot, stages it
+    * ([[Tombstones.stageRetire]]) and retires only from a strictly
+    * later batch, so a replayed batch still sees the markers. Callers
+    * owning `snap`'s pin release it themselves.
+    */
+  def compactBandIndexWith(spark: org.apache.spark.sql.SparkSession,
+                           prefix: String, buckets: Int,
+                           snap: Option[org.apache.spark.sql.DataFrame]): Unit = {
     val bands = Tombstones.filterWith(
       spark.table(s"${prefix}_bands"), snap, "doc_id")
     val sh = Tombstones.filterWith(
@@ -185,7 +202,6 @@ object Dedup {
     val bandsD = bands.distinct().localCheckpoint(true)
     val shD = sh.distinct().localCheckpoint(true)
     writeBandIndex(bandsD, shD, "doc_id", prefix, buckets)
-    Tombstones.retire(spark, prefix, snap)
   }
 
   /** Substring-level exact dedup: find spans of `n` consecutive tokens
@@ -512,6 +528,7 @@ object Dedup {
       .localCheckpoint(true) // staged: the rewrite reads the table it replaces
     ScaleJoins.writeBucketed(kept, s"${prefix}_winnow", "fp", buckets)
     Tombstones.retire(spark, prefix, snap)
+    snap.foreach(Checkpoints.release)
   }
 
   /** Content-defined chunking (the storage-dedup CDC idea applied to

@@ -35,6 +35,65 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
 
+  /** Where threshold-style percentile consumers get their cut-points —
+    * the operator-level dial q161 proved out (round 13) and q94/q140
+    * previously hardwired to the exact form:
+    *
+    *  - [[ExactThresholds]]: the [[exactCont]] distributed rank
+    *    selection — ONE range exchange of the whole (group, value)
+    *    relation, exact to the `quantile_cont` definition, hash-parity
+    *    replayable by a SQL oracle. The right source when the
+    *    thresholds themselves are the deliverable.
+    *  - [[SketchThresholds]]: the GK sketch (`percentile_approx`) —
+    *    O(accuracy) state per partition, merges associatively map-side,
+    *    NO range exchange anywhere. Rank error ≤ n/accuracy. The right
+    *    source at 100 TB when the thresholds only FEED a bucketing
+    *    (curriculum buckets, RFM cuts): cut-points need not be exact,
+    *    and the range exchange is the plan's dominant shuffle.
+    *
+    * Both return the same relation shape, so a consumer swaps sources
+    * without rewriting its bucketing (q94 ↔ q161 are the worked pair).
+    */
+  sealed trait ThresholdSource
+
+  /** [[exactCont]]-backed thresholds (range exchange, hash-exact). */
+  case object ExactThresholds extends ThresholdSource
+
+  /** GK-sketch thresholds (`percentile_approx`, rank error ≤
+    * n/accuracy, no range exchange) — the 100 TB default for
+    * threshold-fed bucketing.
+    */
+  final case class SketchThresholds(accuracy: Int = 10000)
+    extends ThresholdSource
+
+  /** Percentile thresholds of `valueCol` per `groupCols` from the
+    * chosen [[ThresholdSource]], in [[exactCont]]'s long format
+    * `(groupCols…, p, value)` — the ONE code path the exact consumers
+    * (q94 curriculum, q140 RFM) and the sketch consumer (q161) share,
+    * so the at-scale swap is a one-argument change at the call site.
+    * Null values are skipped and all-null groups produce no rows under
+    * both sources.
+    */
+  def thresholds(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                 ps: Seq[Double], source: ThresholdSource): DataFrame =
+    source match {
+      case ExactThresholds => exactCont(df, groupCols, valueCol, ps)
+      case SketchThresholds(accuracy) =>
+        require(accuracy >= 1, "accuracy must be >= 1")
+        require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+          "percentiles must be in [0, 1]")
+        val g = groupCols.map(col)
+        df.select(g :+ col(valueCol).cast("double").as("_v"): _*)
+          .filter(col("_v").isNotNull)
+          .groupBy(g: _*)
+          .agg(percentile_approx(col("_v"), array(ps.map(lit): _*),
+            lit(accuracy)).as("_t"))
+          .select(g :+ posexplode(col("_t")).as(Seq("_i", "value")): _*)
+          .select(g ++ Seq(
+            element_at(typedLit(ps), col("_i") + 1).as("p"),
+            col("value")): _*)
+    }
+
   /** Exact interpolated percentiles of `valueCol` per `groupCols`
     * combination. Returns the long-format relation
     * `(groupCols…, p, value)` with one row per (group, requested

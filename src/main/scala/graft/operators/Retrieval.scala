@@ -200,6 +200,7 @@ object Retrieval {
       .localCheckpoint(true) // staged: the rewrite reads the table it replaces
     writeBm25IndexFromPostings(kept, idCol, prefix, buckets)
     Tombstones.retire(spark, prefix, snap)
+    snap.foreach(Checkpoints.release)
   }
 
   /** [[probeBm25Index]] against explicit postings/terms frames — the

@@ -423,6 +423,7 @@ object Similarity {
       .localCheckpoint(true) // staged: the rewrite reads the table it replaces
     ScaleJoins.writeBucketed(kept, s"${prefix}_lists", "cell", buckets)
     Tombstones.retire(spark, prefix, snap)
+    snap.foreach(Checkpoints.release)
   }
 
   /** IVF top-k against a PERSISTED index ([[writeIvfIndex]]): identical

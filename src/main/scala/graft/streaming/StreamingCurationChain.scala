@@ -25,9 +25,10 @@ import graft.functions.GraftFunctions.hash64
   *     corpus stays lexically searchable as it grows;
   *  5. (when `maxSegments` > 0) [[maintain]] applies the compaction
   *     policy: batch trees fold once they exceed the segment bound,
-  *     and pending tombstones are physically purged from the band
-  *     index and retired — a long-running stream stays bounded with
-  *     no operator remembering to run maintenance.
+  *     and pending tombstones are physically purged from EVERY
+  *     artifact — row-level trees first, then the band index — and
+  *     staged for a deferred retire, so a long-running stream stays
+  *     bounded with no operator remembering to run maintenance.
   *
   * Batch-atomic consistency across the four artifacts: the streaming
   * checkpoint commits only after the WHOLE chain returns, so a crash at
@@ -37,12 +38,19 @@ import graft.functions.GraftFunctions.hash64
   * excludes same-id matches), and stages 2–4 derive from the stage-1
   * artifact rather than the raw batch — so after the replay all four
   * artifacts describe exactly the admitted documents of batches 0..N,
-  * once each, no matter where the crash fell. Same recovery discipline
-  * as [[graft.operators.Compaction.compactBatchTree]]: decide from what
+  * once each, no matter where the crash fell. Tombstone marker RETIRES
+  * are kept replay-deterministic by deferral: stage 5 only STAGES the
+  * applied snapshot ([[graft.operators.Tombstones.stageRetire]]); the
+  * actual retire runs at the START of a strictly later batch — whose
+  * existence proves this batch's checkpoint committed — so a replayed
+  * batch always sees the same marker state its first attempt saw. Same
+  * recovery discipline as
+  * [[graft.operators.Compaction.compactBatchTree]]: decide from what
   * committed, never from what was attempted.
   *
   * Per-batch cost scales with the batch (the [[StreamingContentDedup]]
-  * contract); nothing here re-reads the corpus.
+  * contract); nothing here re-reads the corpus outside a pending
+  * takedown's O(affected) purge.
   */
 object StreamingCurationChain {
 
@@ -69,7 +77,15 @@ object StreamingCurationChain {
                    jaccardMin: Double = 0.5, buckets: Int = 8,
                    dims: Int = 8, maxSegments: Int = 0,
                    onStage: (Long, Int) => Unit = (_, _) => ()): Unit = {
-    import graft.operators.Tombstones
+    import graft.operators.{Checkpoints, Tombstones}
+    // Deferred-retire epilogue for an EARLIER batch's stage-5
+    // compaction: markers staged at batch b retire only here, at a
+    // batch > b — b's checkpoint has committed, so b can never replay
+    // and re-admit through an empty entry gate. Running BEFORE this
+    // batch's own entry snapshot keeps replay deterministic: a crash
+    // replaying THIS batch finds the identical (already-retired)
+    // marker state its first attempt saw.
+    Tombstones.retirePending(spark, prefix, beforeBatch = batchId)
     // honor tombstones at batch ENTRY: a deleted doc id that re-arrives
     // (at-least-once redelivery, or a takedown racing this batch's
     // replay) must not re-enter any artifact — without the operator
@@ -77,40 +93,51 @@ object StreamingCurationChain {
     // batch; a tombstone landing AFTER it can still commit with this
     // batch physically, but stays invisible to every probe path (the
     // band probe, the vector and postings live views all filter), and
-    // the next deleteDocs re-run or stage-5 compaction purges it — the
+    // the next deleteDocs re-run or stage-5 maintenance purges it — the
     // residual race is one batch wide, not "quiesce the stream".
-    val live = Tombstones.filterWith(batch,
-      Tombstones.snapshot(spark, prefix), "doc_id")
-    StreamingContentDedup.processBatch(spark,
-      live.select(col("doc_id"), col("text")), prefix,
-      s"$keptDir/batch=$batchId", jaccardMin, buckets)
-    // enrich the kept partition with (lang, source) IN PLACE: stages
-    // 2-4 and — crucially — the [[deleteDocs]] takedown path must be
-    // able to regenerate every derived artifact from the kept store
-    // alone (at takedown time the raw batch no longer exists). Pinned
-    // before the overwrite (read-what-you-replace), idempotent on
-    // replay like every other per-batch write.
-    val kept = graft.operators.Checkpoints.pin(
-      spark.read.parquet(s"$keptDir/batch=$batchId")
-        .join(live.select(col("doc_id"), col("lang"), col("source")),
-          Seq("doc_id")))
-    kept.write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
-    onStage(batchId, 1)
-    StreamingCardStats.writeBatch(kept, cardDir, batchId)
-    onStage(batchId, 2)
-    StreamingVectorIndex.writeBatch(
-      kept.select(col("doc_id").as("cand_id"),
-        textEmbedding(col("text"), dims).as("cv")),
-      centroids, indexDir, batchId)
-    onStage(batchId, 3)
-    StreamingPostingsIndex.writeBatch(
-      kept.select(col("doc_id"), col("text")), "doc_id", "text",
-      postingsDir, batchId)
-    onStage(batchId, 4)
-    if (maxSegments > 0) {
-      maintain(spark, prefix, Seq(keptDir, cardDir, indexDir, postingsDir),
-        maxSegments, buckets)
-      onStage(batchId, 5)
+    val entrySnap = Tombstones.snapshot(spark, prefix)
+    val live = Tombstones.filterWith(batch, entrySnap, "doc_id")
+    var kept: DataFrame = null
+    try {
+      StreamingContentDedup.processBatch(spark,
+        live.select(col("doc_id"), col("text")), prefix,
+        s"$keptDir/batch=$batchId", jaccardMin, buckets)
+      // enrich the kept partition with (lang, source) IN PLACE: stages
+      // 2-4 and — crucially — the [[deleteDocs]] takedown path must be
+      // able to regenerate every derived artifact from the kept store
+      // alone (at takedown time the raw batch no longer exists). Pinned
+      // before the overwrite (read-what-you-replace), idempotent on
+      // replay like every other per-batch write.
+      kept = graft.operators.Checkpoints.pin(
+        spark.read.parquet(s"$keptDir/batch=$batchId")
+          .join(live.select(col("doc_id"), col("lang"), col("source")),
+            Seq("doc_id")))
+      kept.write.mode("overwrite").parquet(s"$keptDir/batch=$batchId")
+      onStage(batchId, 1)
+      StreamingCardStats.writeBatch(kept, cardDir, batchId)
+      onStage(batchId, 2)
+      StreamingVectorIndex.writeBatch(
+        kept.select(col("doc_id").as("cand_id"),
+          textEmbedding(col("text"), dims).as("cv")),
+        centroids, indexDir, batchId)
+      onStage(batchId, 3)
+      StreamingPostingsIndex.writeBatch(
+        kept.select(col("doc_id"), col("text")), "doc_id", "text",
+        postingsDir, batchId)
+      onStage(batchId, 4)
+      if (maxSegments > 0) {
+        maintain(spark, prefix, keptDir, cardDir, indexDir, postingsDir,
+          maxSegments, buckets, batchId)
+        onStage(batchId, 5)
+      }
+    } finally {
+      // release this batch's pins, or a long-running stream accumulates
+      // one pinned snapshot + kept frame PER BATCH — localCheckpoint
+      // blocks are reclaimed only at rare full GCs, and the BENCH100
+      // experiment measured that accumulation compounding into
+      // storage-pool pressure (BASELINE.md round-13)
+      entrySnap.foreach(Checkpoints.release)
+      if (kept != null) Checkpoints.release(kept)
     }
   }
 
@@ -119,20 +146,46 @@ object StreamingCurationChain {
     * ([[graft.operators.Compaction.maybeCompactBatchTree]] — the fold
     * keeps the newest partition replayable, so running INSIDE
     * foreachBatch before the checkpoint commit is safe), and when a
-    * takedown left tombstones pending, physically purge them from the
-    * band index and retire the markers
-    * ([[graft.operators.Dedup.compactBandIndex]]'s snapshot/retire
-    * protocol — a delete landing during the rewrite survives). The
-    * row-level trees were already purged by [[deleteDocs]]; the band
-    * index is the one artifact that defers its physical delete, so a
-    * delete wave fully settles within one batch of being issued.
+    * takedown left tombstones pending, settle it COMPLETELY under one
+    * snapshot:
+    *
+    *  1. purge the snapshot ids from the three row-level trees and fix
+    *     the affected card partials — this closes the one-batch-wide
+    *     race where a batch committing concurrently with the takedown
+    *     kept the deleted id physically (invisible behind the marker,
+    *     but a marker retire without this purge would RESURRECT it);
+    *  2. physically purge the band index
+    *     ([[graft.operators.Dedup.compactBandIndexWith]], the same
+    *     snapshot — never a fresh one, or ids outside the purge set
+    *     could retire);
+    *  3. STAGE the snapshot for a deferred retire
+    *     ([[graft.operators.Tombstones.stageRetire]], keyed by this
+    *     batch id) — the marker outlives this batch's possible replay
+    *     and retires at the next batch's entry.
+    *
+    * Runs under the [[graft.operators.MaintenanceLock]]: a takedown
+    * racing this batch's stage 5 fails fast with a named error instead
+    * of interleaving with the purge (retry it after the batch).
     */
-  def maintain(spark: SparkSession, prefix: String, trees: Seq[String],
-               maxSegments: Int, buckets: Int): Unit = {
-    import graft.operators.{Compaction, Dedup, Tombstones}
-    trees.foreach(d => Compaction.maybeCompactBatchTree(spark, d, maxSegments))
+  def maintain(spark: SparkSession, prefix: String, keptDir: String,
+               cardDir: String, indexDir: String, postingsDir: String,
+               maxSegments: Int, buckets: Int, batchId: Long): Unit = {
+    import graft.operators.{Checkpoints, Compaction, Dedup, MaintenanceLock, Tombstones}
+    Seq(keptDir, cardDir, indexDir, postingsDir)
+      .foreach(d => Compaction.maybeCompactBatchTree(spark, d, maxSegments))
     if (Tombstones.read(spark, prefix).isDefined)
-      Dedup.compactBandIndex(spark, prefix, buckets)
+      MaintenanceLock.withLock(spark, prefix) {
+        val snap = Tombstones.snapshot(spark, prefix)
+        snap.foreach { s =>
+          val del = s.select(col("id").as("doc_id"))
+          purgeTree(spark, indexDir, "cand_id", del)
+          purgeTree(spark, postingsDir, "doc_id", del)
+          purgeKeptAndCards(spark, keptDir, cardDir, del)
+        }
+        Dedup.compactBandIndexWith(spark, prefix, buckets, snap)
+        Tombstones.stageRetire(spark, prefix, snap, batchId)
+        snap.foreach(Checkpoints.release) // staged durably; pin done
+      }
   }
 
   /** Takedown: propagate the deletion of `ids` (a one-column `doc_id`
@@ -143,7 +196,7 @@ object StreamingCurationChain {
     *
     *  - The band index takes a [[graft.operators.Tombstones]] marker
     *    FIRST (durable intent before any mutation): probes exclude the
-    *    documents immediately (broadcast anti-join),
+    *    documents immediately (anti-join),
     *    [[graft.operators.Dedup.compactBandIndex]] purges physically —
     *    so a future equivalent document is ADMITTED again, exactly the
     *    semantics a takedown implies.
@@ -159,37 +212,50 @@ object StreamingCurationChain {
     *    [[graft.operators.Compaction.compactBatchTree]] folds having
     *    merged any of the trees independently.
     *  - The card partials carry NO document ids (they are (source,
-    *    lang) sums), so they cannot be filtered: the card tree REBUILDS
-    *    from the post-delete kept store in one job, grouped by the kept
-    *    batch id so the partition layout keeps mirroring the kept tree
-    *    (stale ids from an independent fold disappear with the swap).
-    *    The rebuild runs UNCONDITIONALLY: a crashed earlier delete
-    *    leaves no marker saying whether the card was corrected, and one
-    *    kept-store scan per takedown (a rare event) is the price of a
-    *    recovery story with no such marker.
+    *    lang) sums), so they cannot be filtered: instead the card
+    *    partials OF THE AFFECTED KEPT BATCHES recompute from the
+    *    post-purge kept partitions — O(affected) like the row trees,
+    *    not one full kept-store scan per takedown
+    *    ([[purgeKeptAndCards]]; card partials are batch-local, and the
+    *    affected set is already in hand from the kept discovery). The
+    *    crash-recovery story the old unconditional rebuild bought is
+    *    kept by a DURABLE INTENT marker written before the kept purge:
+    *    a crash between the kept rewrite and the card refresh leaves
+    *    the marker, and the next takedown (or re-run) completes the
+    *    named refreshes even though discovery no longer finds those
+    *    batches. The full rebuild survives only as the fallback for
+    *    detected torn state (an independent fold diverged the trees, or
+    *    an intent batch no longer exists).
     *
     * Idempotent and crash-recoverable by re-running with the same ids:
     * every step is a pure filter or a recomputation from current state
-    * behind a heal-first staged swap, and the card rebuild — the only
-    * step whose staleness is invisible — always runs. A batch
+    * behind a heal-first staged swap, and the card intent marker makes
+    * the one invisible staleness (a purged kept batch whose card
+    * partial was not yet refreshed) visible to the re-run. A batch
     * committing concurrently with the takedown keeps the deleted id
     * physically (this purge saw only committed partitions) but
     * invisibly — its tombstone filters the batch-entry gate and every
     * probe path — until the next deleteDocs re-run or stage-5
-    * compaction; see [[processBatch]].
+    * maintenance; see [[processBatch]].
+    *
+    * Runs under the [[graft.operators.MaintenanceLock]] (fails fast
+    * against a concurrent stage-5 maintenance or second takedown — the
+    * single-writer contract; retry after it completes).
     */
   def deleteDocs(spark: SparkSession, ids: DataFrame, prefix: String,
                  keptDir: String, cardDir: String, indexDir: String,
                  postingsDir: String): Map[String, Seq[Long]] = {
-    import graft.operators.{Checkpoints, Tombstones}
-    val del = Checkpoints.pin(ids.select(col("doc_id")).distinct())
-    Tombstones.write(spark, prefix, del, "doc_id")
-    val affected = Map(
-      indexDir -> purgeTree(spark, indexDir, "cand_id", del),
-      postingsDir -> purgeTree(spark, postingsDir, "doc_id", del),
-      keptDir -> purgeTree(spark, keptDir, "doc_id", del))
-    rebuildCardTree(spark, keptDir, cardDir)
-    affected
+    import graft.operators.{Checkpoints, MaintenanceLock, Tombstones}
+    MaintenanceLock.withLock(spark, prefix) {
+      val del = Checkpoints.pin(ids.select(col("doc_id")).distinct())
+      Tombstones.write(spark, prefix, del, "doc_id")
+      val affected = Map(
+        indexDir -> purgeTree(spark, indexDir, "cand_id", del),
+        postingsDir -> purgeTree(spark, postingsDir, "doc_id", del),
+        keptDir -> purgeKeptAndCards(spark, keptDir, cardDir, del))
+      Checkpoints.release(del)
+      affected
+    }
   }
 
   /** The whole `batch=<id>` tree as one frame WITH the batch partition
@@ -202,25 +268,77 @@ object StreamingCurationChain {
     spark.read.option("basePath", dir)
       .parquet(batches.map(b => s"$dir/batch=$b"): _*)
 
-  /** Purge `del` from one row-level tree: ONE discovery semi-join over
-    * the whole tree (the delete set broadcasts; the distinct collapses
-    * to the O(affected) batch-id set), then a staged-swap rewrite of
-    * only the affected partitions. Driver job count is O(affected)+1 —
-    * a long-running pre-compaction stream has thousands of segments,
-    * and a takedown touching one of them must not cost thousands of
-    * sequential probe jobs to find out. Returns the affected ids.
+  /** The batch ids whose partitions contain any of `del` — ONE
+    * discovery semi-join over the whole tree (the delete set broadcasts
+    * while small — [[graft.operators.Tombstones.hintSmall]], the same
+    * mass-purge guard as the probe filters; the distinct collapses to
+    * the O(affected) batch-id set). Heals any torn swap first.
     */
-  private def purgeTree(spark: SparkSession, dir: String, idCol: String,
-                        del: DataFrame): Seq[Long] = {
+  private def discoverAffected(spark: SparkSession, dir: String,
+                               idCol: String, del: DataFrame): Seq[Long] = {
+    import graft.operators.Tombstones
     healSwaps(spark, dir)
     val batches = StreamingBatchDirs.list(spark, dir)
     if (batches.isEmpty) return Seq.empty
     val tree = readTree(spark, dir, batches)
-    val affected = tree
-      .join(broadcast(del), tree(idCol) === del("doc_id"), "left_semi")
+    tree
+      .join(Tombstones.hintSmall(del), tree(idCol) === del("doc_id"),
+        "left_semi")
       .select(col("batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
+  }
+
+  /** Purge `del` from one row-level tree: discovery, then a staged-swap
+    * rewrite of only the affected partitions. Driver job count is
+    * O(affected)+1 — a long-running pre-compaction stream has thousands
+    * of segments, and a takedown touching one of them must not cost
+    * thousands of sequential probe jobs to find out. Returns the
+    * affected ids.
+    */
+  private def purgeTree(spark: SparkSession, dir: String, idCol: String,
+                        del: DataFrame): Seq[Long] = {
+    val affected = discoverAffected(spark, dir, idCol, del)
     affected.foreach(b => rewritePartition(spark, dir, b, idCol, del))
+    affected
+  }
+
+  /** Purge the kept tree AND keep the card tree consistent, O(affected)
+    * end to end:
+    *
+    *  1. discover the affected kept batches;
+    *  2. union in any batches a CRASHED earlier refresh left named in
+    *     the intent marker (their kept partitions are already purged,
+    *     so discovery alone would never find them — exactly the
+    *     staleness the old design paid a full rebuild to cover);
+    *  3. write the union as the new intent marker — durable BEFORE the
+    *     kept mutation, so the kept-purged/card-stale window is always
+    *     marked;
+    *  4. rewrite the affected kept partitions (staged swaps);
+    *  5. refresh exactly the intent batches' card partials
+    *     ([[refreshCardPartials]] — falls back to the full rebuild on
+    *     detected torn state);
+    *  6. drop the marker.
+    *
+    * Returns the kept batches affected by THIS delete set (the
+    * takedown's contract), not the healed carry-overs.
+    */
+  private def purgeKeptAndCards(spark: SparkSession, keptDir: String,
+                                cardDir: String, del: DataFrame): Seq[Long] = {
+    val carried = readCardIntent(spark, cardDir)
+    val affected = discoverAffected(spark, keptDir, "doc_id", del)
+    val intent = (affected ++ carried).distinct.sorted
+    // a card tree that no longer mirrors the kept tree is repair work
+    // even when THIS delete touches nothing — an out-of-band torn state
+    // (an independent fold, or a crash predating the intent marker)
+    // that the re-run contract promises to reconcile
+    val mirrors = StreamingBatchDirs.list(spark, keptDir) ==
+      StreamingBatchDirs.list(spark, cardDir)
+    if (intent.nonEmpty || !mirrors) {
+      if (intent.nonEmpty) writeCardIntent(spark, cardDir, intent)
+      affected.foreach(b => rewritePartition(spark, keptDir, b, "doc_id", del))
+      refreshCardPartials(spark, keptDir, cardDir, intent)
+      deleteCardIntent(spark, cardDir)
+    }
     affected
   }
 
@@ -235,23 +353,36 @@ object StreamingCurationChain {
     * purge touches the tree.
     */
   private def rewritePartition(spark: SparkSession, dir: String, b: Long,
-                               idCol: String, del: DataFrame): Unit = {
+                               idCol: String, del: DataFrame): Unit =
+    swapInPartition(spark, dir, b) { staging =>
+      val part = spark.read.parquet(s"$dir/batch=$b")
+      part.join(graft.operators.Tombstones.hintSmall(del),
+          part(idCol) === del("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(staging)
+    }
+
+  /** Replace `dir/batch=<b>` with whatever `write` puts at the staging
+    * path, atomically: write staging → rename target aside → rename
+    * staging in → drop the aside. At every instant a complete copy of
+    * the partition exists under SOME name; [[healSwaps]] resolves a
+    * torn state from which names survive.
+    */
+  private def swapInPartition(spark: SparkSession, dir: String, b: Long)
+                             (write: String => Unit): Unit = {
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(s"$dir/batch=$b")
     val staging = new Path(s"$dir/.batch=$b._staging")
     val held = new Path(s"$dir/.batch=$b._old")
     if (fs.exists(staging)) fs.delete(staging, true)
-    val part = spark.read.parquet(target.toString)
-    part.join(broadcast(del), part(idCol) === del("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(staging.toString)
+    write(staging.toString)
     if (fs.exists(held)) fs.delete(held, true)
     require(fs.rename(target, held), s"rename $target aside failed")
     require(fs.rename(staging, target), s"rename $staging -> $target failed")
     fs.delete(held, true)
   }
 
-  /** Complete or roll back swaps a crashed [[rewritePartition]] left
+  /** Complete or roll back swaps a crashed [[swapInPartition]] left
     * torn: a stale staging is an incomplete rewrite (its source is
     * intact — drop it and redo); a held copy NEXT TO a committed target
     * is the pre-delete original (drop it); a held copy ALONE means the
@@ -274,13 +405,84 @@ object StreamingCurationChain {
     }
   }
 
+  // ---- card intent marker ---------------------------------------------------
+  // A sibling file of the card tree naming the kept batches whose card
+  // partials are due a refresh — written BEFORE the kept purge, dropped
+  // after the refresh, so the only invisible-staleness window of the
+  // O(affected) design is always durably marked. A sibling (not a
+  // child) so a full card-tree rebuild or swap cannot take it along.
+
+  private def cardIntentPath(cardDir: String) =
+    new Path(cardDir.stripSuffix("/") + "._refresh_pending")
+
+  private def readCardIntent(spark: SparkSession,
+                             cardDir: String): Seq[Long] = {
+    val p = cardIntentPath(cardDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.split('\n').toSeq.flatMap(_.trim.toLongOption)
+    }
+  }
+
+  private def writeCardIntent(spark: SparkSession, cardDir: String,
+                              batches: Seq[Long]): Unit = {
+    val p = cardIntentPath(cardDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batches.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+  }
+
+  private def deleteCardIntent(spark: SparkSession, cardDir: String): Unit = {
+    val p = cardIntentPath(cardDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** Refresh exactly `batches`' card partials from their (post-purge)
+    * kept partitions — one staged swap per affected partial, unaffected
+    * partials untouched (byte-for-byte; the spec pins it). Falls back
+    * to [[rebuildCardTree]] when the trees are in a state the
+    * per-partition path cannot trust: the card tree no longer mirrors
+    * the kept tree partition-for-partition (an independent
+    * [[graft.operators.Compaction.compactBatchTree]] fold), or an
+    * intent batch no longer exists in either tree (folded away after a
+    * crash) — rare states, priced at one kept scan, exactly what the
+    * old design paid on EVERY takedown.
+    */
+  private def refreshCardPartials(spark: SparkSession, keptDir: String,
+                                  cardDir: String,
+                                  batches: Seq[Long]): Unit = {
+    healSwaps(spark, cardDir)
+    val keptB = StreamingBatchDirs.list(spark, keptDir).toSet
+    val cardB = StreamingBatchDirs.list(spark, cardDir).toSet
+    if (keptB != cardB || !batches.forall(keptB.contains))
+      rebuildCardTree(spark, keptDir, cardDir)
+    else batches.foreach { b =>
+      swapInPartition(spark, cardDir, b) { staging =>
+        StreamingCardStats.partials(
+            spark.read.parquet(s"$keptDir/batch=$b"))
+          .write.mode("overwrite").parquet(staging)
+      }
+    }
+  }
+
   /** Rebuild the card tree from the post-delete kept store in ONE job
     * (plus renames): partials grouped by the kept batch id, written
     * `partitionBy("batch")` to a staging tree, swapped in atomically —
     * not one write job per kept batch. A kept partition emptied by the
     * delete produces no card group, so its empty partial is written
     * after the swap (O(emptied) tiny jobs) to keep the card tree
-    * mirroring the kept tree partition-for-partition.
+    * mirroring the kept tree partition-for-partition. The RECOVERY
+    * path since the O(affected) refresh landed — torn/diverged trees
+    * only, no longer every takedown.
     */
   private def rebuildCardTree(spark: SparkSession, keptDir: String,
                               cardDir: String): Unit = {

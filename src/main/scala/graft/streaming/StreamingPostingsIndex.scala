@@ -120,6 +120,7 @@ object StreamingPostingsIndex {
     val out = Retrieval.writeBm25IndexFromPostings(kept, idCol, newPrefix,
       buckets)
     Tombstones.carryForward(spark, basePrefix, newPrefix, snap)
+    snap.foreach(graft.operators.Checkpoints.release)
     out
   }
 }

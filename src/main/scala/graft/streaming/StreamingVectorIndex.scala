@@ -143,6 +143,7 @@ object StreamingVectorIndex {
         val out = Similarity.writeIvfIndex(kept, newCentroids, prefix,
           buckets)
         Tombstones.carryForward(spark, bp, prefix, snap)
+        snap.foreach(graft.operators.Checkpoints.release)
         out
     }
 

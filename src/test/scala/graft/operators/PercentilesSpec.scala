@@ -82,4 +82,33 @@ class PercentilesSpec extends SparkSpec {
       check(rows)
     }
   }
+
+  test("thresholds seam: ExactThresholds == exactCont row-for-row; " +
+    "SketchThresholds == percentile_approx at the same accuracy, " +
+    "same relation shape, nulls skipped") {
+    val rows = (0 until 500).map(i =>
+      (if (i % 3 == 0) "a" else "b",
+        if (i % 97 == 0) Option.empty[Double] else Some((i % 50).toDouble))) ++
+      Seq(("nullonly", Option.empty[Double]))
+    val df = rows.toDF("g", "v")
+    val qs = Seq(0.25, 0.5, 0.75)
+    def collect(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val exact = collect(
+      Percentiles.thresholds(df, Seq("g"), "v", qs, Percentiles.ExactThresholds))
+    assert(exact == collect(Percentiles.exactCont(df, Seq("g"), "v", qs)),
+      "ExactThresholds must dispatch to exactCont unchanged")
+    val sketch = collect(Percentiles.thresholds(df, Seq("g"), "v", qs,
+      Percentiles.SketchThresholds(1000)))
+    val want = df.filter($"v".isNotNull).groupBy($"g")
+      .agg(percentile_approx($"v", array(qs.map(lit): _*), lit(1000)).as("q"))
+      .collect()
+      .flatMap(r => qs.zipWithIndex.map { case (p, i) =>
+        (r.getString(0), p) -> r.getSeq[Double](1)(i) })
+      .toMap
+    assert(sketch == want,
+      "SketchThresholds must equal the raw percentile_approx aggregate")
+    assert(!sketch.keySet.exists(_._1 == "nullonly"),
+      "all-null groups produce no rows under both sources")
+  }
 }

@@ -128,6 +128,140 @@ class TombstonesSpec extends SparkSpec {
     assert(Tombstones.read(spark, prefix).isEmpty)
   }
 
+  test("mass-purge guard: an over-threshold tombstone set drops the " +
+    "broadcast hint (planner's choice) and probes stay correct") {
+    val prefix = "graft_spec_ts_guard"
+    val data = (0L until 40L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    Tombstones.write(spark, prefix, (0L until 20L).toDF("doc_id"), "doc_id")
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("strategy=broadcast")
+    try {
+      // small set (threshold above it): the hint is present — bucketed
+      // index scans keep their partitioning under the broadcast
+      spark.conf.set("graft.tombstones.broadcastMaxIds", "100")
+      val small = Tombstones.filter(spark, prefix, data, "doc_id")
+      assert(hinted(small), "small delete sets must broadcast")
+      assert(small.select("doc_id").as[Long].collect().toSet ==
+        (20L until 40L).toSet)
+      // mass purge (threshold below the set): the hint must be DROPPED —
+      // the planner picks, degrading to a shuffled anti-join instead of
+      // materializing the wave on every executor (the GDPR-batch case)
+      spark.conf.set("graft.tombstones.broadcastMaxIds", "10")
+      val big = Tombstones.filter(spark, prefix, data, "doc_id")
+      assert(!hinted(big),
+        "an over-threshold tombstone set must not carry a broadcast hint")
+      assert(big.select("doc_id").as[Long].collect().toSet ==
+        (20L until 40L).toSet, "probes stay correct on the unhinted path")
+      // the snapshot path takes the same guard
+      val snap = Tombstones.snapshot(spark, prefix)
+      assert(!hinted(Tombstones.filterWith(data, snap, "doc_id")))
+    } finally spark.conf.unset("graft.tombstones.broadcastMaxIds")
+  }
+
+  test("adopt heals every crash window of the aside-swap protocol — the " +
+    "durable copy is never lost before the table write commits") {
+    def loc(prefix: String) = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          Tombstones.tableName(prefix))))
+    def aside(prefix: String) = {
+      val l = loc(prefix)
+      new org.apache.hadoop.fs.Path(l.getParent, s"${l.getName}__swap")
+    }
+    val fs = loc("x").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ids(prefix: String): Set[Long] = Tombstones.read(spark, prefix)
+      .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
+
+    // crash after the rename, before the table write: aside alone
+    val p1 = "graft_spec_ts_heal1"
+    Seq(7L).toDF("id").write.parquet(aside(p1).toString)
+    assert(ids(p1) == Set(7L), "aside alone must re-register whole")
+    assert(!fs.exists(aside(p1)), "the healed aside is dropped")
+
+    // crash DURING the table write: aside (whole) + location (torn —
+    // here a subset); the aside is authoritative, the location drops
+    val p2 = "graft_spec_ts_heal2"
+    Seq(7L, 8L).toDF("id").write.parquet(aside(p2).toString)
+    Seq(7L).toDF("id").write.parquet(loc(p2).toString)
+    assert(ids(p2) == Set(7L, 8L),
+      "the committed aside must win over a torn location")
+
+    // crash after the commit, before the aside delete, with the table
+    // REGISTERED: folding the aside back in is the always-safe resolution
+    val p3 = "graft_spec_ts_heal3"
+    Tombstones.write(spark, p3, Seq(1L).toDF("id"), "id")
+    Seq(9L).toDF("id").write.parquet(aside(p3).toString)
+    assert(ids(p3) == Set(1L, 9L))
+    assert(!fs.exists(aside(p3)))
+  }
+
+  test("deferred retire: stageRetire keeps markers live for the staging " +
+    "batch; retirePending applies them only from a strictly later batch") {
+    val prefix = "graft_spec_ts_defer"
+    Tombstones.write(spark, prefix, Seq(1L, 2L).toDF("id"), "id")
+    val snap = Tombstones.snapshot(spark, prefix)
+    Tombstones.stageRetire(spark, prefix, snap, batchId = 5L)
+    def ids(): Set[Long] = Tombstones.read(spark, prefix)
+      .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
+    assert(ids() == Set(1L, 2L),
+      "staging must not retire — a replay of batch 5 still needs the markers")
+    assert(Tombstones.hasPending(spark, prefix, 6L))
+    assert(!Tombstones.hasPending(spark, prefix, 5L),
+      "nothing is due before the staging batch itself")
+    // a replayed stage 5 re-stages idempotently
+    Tombstones.stageRetire(spark, prefix, snap, batchId = 5L)
+    // batch 5's entry: nothing due (only a LATER batch proves commit)
+    Tombstones.retirePending(spark, prefix, beforeBatch = 5L)
+    assert(ids() == Set(1L, 2L))
+    // a marker written after the snapshot survives the deferred retire
+    Tombstones.write(spark, prefix, Seq(3L).toDF("id"), "id")
+    Tombstones.retirePending(spark, prefix, beforeBatch = 6L)
+    assert(ids() == Set(3L), "only the staged snapshot retires")
+    assert(!Tombstones.hasPending(spark, prefix, Long.MaxValue))
+    // idempotent re-run (the crash-between-retire-and-delete window)
+    Tombstones.retirePending(spark, prefix, beforeBatch = 6L)
+    assert(ids() == Set(3L))
+  }
+
+  test("single-writer contract: a second concurrent maintenance call " +
+    "fails fast with a named error; a stale lock clears explicitly") {
+    val prefix = "graft_spec_ts_lock"
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      MaintenanceLock.withLock(spark, prefix) {
+        entered.countDown(); release.await()
+      })
+    holder.start(); entered.await()
+    try {
+      // writes, retires and a second lock all fail fast while held
+      intercept[MaintenanceLock.ConcurrentMaintenanceException] {
+        Tombstones.write(spark, prefix, Seq(1L).toDF("id"), "id")
+      }
+      intercept[MaintenanceLock.ConcurrentMaintenanceException] {
+        MaintenanceLock.withLock(spark, prefix) { fail("must not enter") }
+      }
+    } finally { release.countDown(); holder.join() }
+    // released: the same calls now succeed (protocols unchanged)
+    Tombstones.write(spark, prefix, Seq(1L).toDF("id"), "id")
+    assert(Tombstones.read(spark, prefix).isDefined)
+    // reentrancy: nested protocols under one driver thread are fine
+    MaintenanceLock.withLock(spark, prefix) {
+      Tombstones.retire(spark, prefix, Tombstones.snapshot(spark, prefix))
+    }
+    assert(Tombstones.read(spark, prefix).isEmpty)
+    // a lock file left by a CRASHED driver (no live holder in this JVM)
+    // also fails fast — and clears only via the explicit recovery call
+    val path = MaintenanceLock.lockPath(spark, prefix)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .createNewFile(path)
+    intercept[MaintenanceLock.ConcurrentMaintenanceException] {
+      MaintenanceLock.withLock(spark, prefix) { fail("must not enter") }
+    }
+    MaintenanceLock.forceRelease(spark, prefix)
+    MaintenanceLock.withLock(spark, prefix) { /* lock again: healed */ }
+  }
+
   test("winnow index: delete -> probe miss, compact -> physically gone") {
     val prefix = "graft_spec_ts_winnow"
     Dedup.writeWinnowIndex(docs, "doc_id", "text", k = 3, w = 4, seed = 7,
