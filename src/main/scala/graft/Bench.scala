@@ -96,11 +96,28 @@ object Bench {
     // after q35's 120M-row range exchange in the same JVM, 87 s deep
     // into the full 162-query 100x session. Dropping every persistent
     // RDD plus one GC nudge removes the residue deterministically.
+    // The nudge is CONDITIONAL (round-14 adjudication of the round-13
+    // whole-run +20%): an unconditional System.gc() between queries
+    // taxes every subsequent small query ~0.1-0.3 s (G1 full GC
+    // uncommits heap it must re-fault in, and the ContextCleaner's
+    // GC-triggered cleanup spills into the next timed pass) — measured
+    // 23.0 s vs 21.3 s on a 14-query A/B subset, concentrated on
+    // sub-2 s queries. Only queries that actually leave pinned frames
+    // (Checkpoints.pin final frames, LSH persist residue — the q36
+    // 15.9 s -> 87 s class) need the reclaim, and those are exactly
+    // the ones still registered in getPersistentRDDs. An RDD that was
+    // already collected does not need the GC (the ContextCleaner's
+    // reference queue cleans its blocks without one).
+    // SPARK_GRAFT_BENCH_GC=0 disables the nudge outright — the A/B
+    // dial for adjudicating whole-run shifts.
+    val gcNudge = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0"
     def clearCache(): Unit = {
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
+      val persisted = spark.sparkContext.getPersistentRDDs.values
+      if (gcNudge && persisted.nonEmpty) {
+        persisted.foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
     }
     // warmup: untimed for reporting, but each query's cold wall time is
     // kept as the contention yardstick (see scaladoc)

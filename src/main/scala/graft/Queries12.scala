@@ -219,10 +219,16 @@ object Queries12 {
     * robust z-score `0.6745·|v − med| / mad` exceeds 3.5 — the
     * Iglewicz–Hoaglin rule every length filter should use instead of
     * mean±kσ (one 10 MB page drags a mean, not a median). Two
-    * [[graft.operators.Percentiles.exactCont]] rank-selection passes
-    * (median, then MAD over deviations) — each a single range shuffle
-    * with partition-bounded memory, the q35 100 TB property; the gate
-    * itself is a broadcast threshold compare, one map pass.
+    * [[graft.operators.Percentiles.thresholds]] rank-selection passes
+    * (median, then MAD over deviations), pinned to
+    * [[graft.operators.Percentiles.ExactThresholds]] because med/mad
+    * are the DELIVERABLE here (hash-matched against the oracle's
+    * `quantile_cont`), not an internal cut-point — the
+    * [[graft.operators.Percentiles.SketchThresholds]] swap is for
+    * consumers whose thresholds only feed a bucketing (q161). Each
+    * pass is a single range shuffle with partition-bounded memory, the
+    * q35 100 TB property; the gate itself is a broadcast threshold
+    * compare, one map pass.
     */
   val q122MadOutliers = QueryDef(
     "q122_mad_outliers",
@@ -231,11 +237,13 @@ object Queries12 {
       import graft.operators.Percentiles
       val v = t(s, dir, "documents")
         .select($"lang", $"n_chars".cast("double").as("v"))
-      val med = Percentiles.exactCont(v, Seq("lang"), "v", Seq(0.5))
+      val med = Percentiles.thresholds(v, Seq("lang"), "v", Seq(0.5),
+          Percentiles.ExactThresholds)
         .select($"lang", round($"value", 6).as("med"))
       val dev = v.join(broadcast(med), "lang")
         .select($"lang", $"med", abs($"v" - $"med").as("dev"))
-      val mad = Percentiles.exactCont(dev, Seq("lang"), "dev", Seq(0.5))
+      val mad = Percentiles.thresholds(dev, Seq("lang"), "dev", Seq(0.5),
+          Percentiles.ExactThresholds)
         .select($"lang", round($"value", 6).as("mad"))
       dev.join(broadcast(mad), "lang")
         .groupBy($"lang")
