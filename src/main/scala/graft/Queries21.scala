@@ -4,11 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-13 query surface: the GK-sketch threshold form the q94/q140
-  * scaladocs promised as the 100 TB swap for `exactCont` consumers
-  * (q161), and the union-of-blockings entity-resolution selectivity
-  * dial q112 documented (q162). Oracle-parity rules as in
-  * [[Queries]]/[[Queries2]].
+/** Round-13/14 query surface: the GK-sketch threshold form the
+  * q94/q140 scaladocs promised as the 100 TB swap for `exactCont`
+  * consumers (q161), the union-of-blockings entity-resolution
+  * selectivity dial q112 documented (q162), and fuzzy benchmark
+  * decontamination — cross-relation MinHash-LSH near-dup cut (q163).
+  * Oracle-parity rules as in [[Queries]]/[[Queries2]].
   */
 object Queries21 {
 
@@ -261,5 +262,79 @@ object Queries21 {
              CAST(n_b2 AS BIGINT) AS n_b2, CAST(n_b3 AS BIGINT) AS n_b3
       FROM rk WHERE rn = 1 ORDER BY probe_key"""))
 
-  def all: Seq[QueryDef] = Seq(q161CurriculumSketch, q162EntityUnionBlocking)
+  // --------------------------------------------------- q163_fuzzy_decontaminate
+  /** FUZZY benchmark decontamination — the near-duplicate leakage the
+    * exact-shingle probe (q47/q64) undercounts. A held-out document
+    * that reached the training corpus lightly edited (re-crawl,
+    * re-punctuation, template paraphrase) no longer overlaps the test
+    * set's shingle pool verbatim, but its MinHash signature still
+    * collides: this query runs the banded-LSH near-dup test ACROSS the
+    * two relations ([[graft.operators.Contamination.fuzzyScores]], the
+    * [[graft.operators.Dedup.lshCrossPairs]] shape pointed at a
+    * benchmark) and emits every verified (train doc, test doc) pair at
+    * Jaccard ≥ 0.5. The held-out set is the `doc_id % 7 = 0` slice —
+    * disjoint ids, so every emitted pair is real cross-relation
+    * leakage, and the near-dup clusters the corpus already carries
+    * stand in for the paraphrased-benchmark case.
+    *
+    * Scale shape: the test set is benchmark-sized, so BOTH of its probe
+    * structures broadcast (bands into the candidate join, shingles into
+    * the verify join); the corpus never shuffles — two narrow map
+    * passes, candidates only past the band agreement, never corpus ×
+    * corpus (plan-pinned in PlanAuditSpec). Same (8 seeds, 4×2 bands)
+    * arithmetic as q11, replayed hash-for-hash by the oracle.
+    */
+  val q163FuzzyDecontaminate = QueryDef(
+    "q163_fuzzy_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Contamination
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      Contamination.fuzzyScores(
+          docs.filter($"doc_id" % 7 =!= 0),
+          docs.filter($"doc_id" % 7 === 0),
+          "doc_id", "text", minJaccard = 0.5)
+        .orderBy($"doc_id", $"test_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               list_transform(string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+        FROM documents),
+      shf AS (
+        SELECT doc_id,
+               list_transform(range(0, len(w) - 2), i ->
+                 ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                   * 41 + (wh[i+3] % 1073741824)) AS sh0
+        FROM toks WHERE len(w) >= 3),
+      shx AS (SELECT doc_id, list_transform(sh0, v -> v % 1073741789) AS sh FROM shf),
+      mh AS (
+        SELECT doc_id,
+               list_transform([31, 37, 41, 43, 47, 53, 59, 61], a ->
+                 list_min(list_transform(sh,
+                   h -> (a * (h % 1073741824) + a*7 + 3) % 1073741789))) AS sig
+        FROM shx),
+      bands AS (
+        SELECT doc_id, b,
+               md5(b || ':' || sig[2*b+1] || ',' || sig[2*b+2]) AS band_key
+        FROM mh, unnest(range(0, 4)) AS tt(b)),
+      cand AS (
+        SELECT DISTINCT c.doc_id AS doc_id, t.doc_id AS test_id
+        FROM bands c JOIN bands t USING (band_key)
+        WHERE c.doc_id % 7 <> 0 AND t.doc_id % 7 = 0),
+      scored AS (
+        SELECT cand.doc_id, cand.test_id,
+               round(CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+                     / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+        FROM cand
+        JOIN shx sa ON sa.doc_id = cand.doc_id
+        JOIN shx sb ON sb.doc_id = cand.test_id)
+      SELECT doc_id, test_id, jaccard FROM scored
+      WHERE jaccard >= 0.5 ORDER BY doc_id, test_id"""),
+    notes = "fuzzy (MinHash-LSH) train-vs-test decontamination; exact " +
+      "leakage is q47/q64's probe")
+
+  def all: Seq[QueryDef] = Seq(q161CurriculumSketch, q162EntityUnionBlocking,
+    q163FuzzyDecontaminate)
 }

@@ -67,4 +67,76 @@ object Contamination {
       .select(col(idCol))
     corpus.join(broadcast(bad), Seq(idCol), "left_anti")
   }
+
+  /** FUZZY contamination: near-duplicate matches between `corpus` and
+    * `testSet` — the case [[scores]]' exact-shingle overlap undercounts.
+    * A test document that reached the corpus lightly edited (re-crawled
+    * with different boilerplate, re-punctuated, template-paraphrased)
+    * shares a high Jaccard of shingles but a LOW per-doc overlap_frac
+    * against the whole test set's shingle pool once the corpus copy has
+    * drifted; what decontamination actually needs there is the
+    * MinHash-LSH near-dup test applied ACROSS the two relations. This is
+    * [[Dedup.lshCrossPairs]]'s shape pointed at a benchmark: candidates
+    * come from banded-signature agreement, verification is exact Jaccard
+    * on the candidates only.
+    *
+    * Returns `(idCol, test_id, jaccard)` — one row per verified
+    * (corpus doc, test doc) pair with Jaccard ≥ `minJaccard`. Pairs,
+    * not a per-doc best: a doc near-dup to several test items is
+    * evidence per item (and the cut dedups ids anyway).
+    *
+    * Scale shape: the test set is small by construction, so BOTH probe
+    * structures broadcast — its band table into the candidate join and
+    * its shingle table into the verify join. The corpus is touched in
+    * exactly two narrow map passes (shingle+sign, then verify on
+    * candidates); it never shuffles, and nothing is ever corpus ×
+    * corpus. Same (seeds, bands, rowsPerBand) = (8, 4, 2) defaults as
+    * q11's within-corpus form; both engines replay the identical
+    * hash/signature arithmetic, so the pair list is deterministic.
+    */
+  def fuzzyScores(corpus: DataFrame, testSet: DataFrame, idCol: String,
+                  textCol: String, minJaccard: Double, seeds: Int = 8,
+                  bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      "minJaccard must be in (0, 1]")
+    require(seeds >= bands * rowsPerBand,
+      "signature must cover bands * rowsPerBand entries")
+    val id = col(idCol)
+    def shingled(df: DataFrame, as: String): DataFrame = df
+      .select(col(idCol).as(as),
+        Dedup.shingleHashes3(Dedup.wordHashes(words(col(textCol)))).as(s"_sh_$as"))
+      .filter(size(col(s"_sh_$as")) > 0)
+    val cSh = shingled(corpus, idCol)
+    val tSh = shingled(testSet, "test_id")
+    def banded(sh: DataFrame, as: String): DataFrame = Dedup.lshBands(
+      sh.select(col(as), Dedup.minhashSig(col(s"_sh_$as"), seeds).as("sig")),
+      as, "sig", bands, rowsPerBand)
+    val cand = banded(cSh, idCol).select(col("band_key"), id)
+      .join(broadcast(banded(tSh, "test_id")
+        .select(col("band_key"), col("test_id"))), Seq("band_key"))
+      .select(id, col("test_id")).distinct()
+    // verify pass: the candidate list is contamination-sized, so it
+    // broadcasts back onto the corpus — the corpus-side attach is
+    // map-side too, never a corpus shuffle on the id
+    cSh
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(tSh), Seq("test_id"))
+      .select(id, col("test_id"),
+        round(Dedup.jaccard(col(s"_sh_$idCol"), col("_sh_test_id")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Remove from `corpus` every document with a [[fuzzyScores]] match —
+    * the fuzzy decontamination cut. Composes with [[cut]]: run the exact
+    * cut for verbatim leakage, this one for near-duplicate leakage. The
+    * matched-id list is tiny (actual contamination), so the anti join
+    * broadcasts and the corpus still never shuffles.
+    */
+  def fuzzyCut(corpus: DataFrame, testSet: DataFrame, idCol: String,
+               textCol: String, minJaccard: Double): DataFrame = {
+    val bad = fuzzyScores(corpus, testSet, idCol, textCol, minJaccard)
+      .select(col(idCol)).distinct()
+    corpus.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
 }

@@ -1051,6 +1051,25 @@ class PlanAuditSpec extends SparkSpec {
       s"edit distance must be a post-join filter, not a join predicate:\n$p")
   }
 
+  test("q163_fuzzy_decontaminate: test set broadcasts into band AND " +
+    "verify joins; the corpus never hash-shuffles") {
+    val p = plan("q163_fuzzy_decontaminate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy decontamination must never be all-pairs:\n$p")
+    // three broadcasts: test bands, the candidate list back onto the
+    // corpus, and test shingles into the verify join
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      s"test-side structures and the candidate list must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no join may shuffle the corpus side:\n$p")
+    // the only hash exchange is the candidate-pair distinct (rows ∝
+    // band agreements, contamination-sized) — a corpus-wide shuffle
+    // would add more
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"corpus-scale shuffle crept in:\n$p")
+  }
+
   /** Companion sweep: no query may plan a CartesianProduct, ever — the
     * per-query pins assert this for the shapes where an all-pairs bug
     * is plausible, but a new query with a missed join key (or a typo

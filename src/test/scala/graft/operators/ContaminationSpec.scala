@@ -47,4 +47,48 @@ class ContaminationSpec extends SparkSpec {
     val kept = Contamination.cut(corpus, bench, "doc_id", "text", 0.5)
     assert(kept.schema == corpus.schema)
   }
+
+  // ---- fuzzy (MinHash-LSH cross-relation) form ------------------------
+
+  // the benchmark doc, verbatim in the corpus (jaccard 1.0) and lightly
+  // edited (last token changed: most shingles shared — the paraphrased-
+  // leak case the exact probe misses once thresholds tighten)
+  private val longText =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val fuzzyBench = Seq((100L, longText)).toDF("doc_id", "text")
+  private val fuzzyCorpus = Seq(
+    (1L, longText),                                                   // copy
+    (2L, longText.replace("upsilon", "phi")),                         // near-dup
+    (3L, "totally unrelated words nothing shared here at all now"),   // clean
+    (4L, "too short")                                                 // < 3 tokens
+  ).toDF("doc_id", "text")
+
+  test("fuzzyScores finds verbatim AND near-dup cross-relation leaks") {
+    val s = Contamination.fuzzyScores(fuzzyCorpus, fuzzyBench, "doc_id",
+        "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(s.get((1L, 100L)).contains(1.0), s"verbatim copy at 1.0: $s")
+    // near-dup: 18 tokens of 20 unchanged -> 15 of 18 shingles shared,
+    // jaccard 15/21 ~ 0.714 — found by banding, verified above 0.5
+    assert(s.get((2L, 100L)).exists(j => j > 0.5 && j < 1.0),
+      s"edited copy must verify between 0.5 and 1.0: $s")
+    assert(!s.keySet.exists { case (c, _) => c == 3L || c == 4L },
+      s"clean/short docs must not match: $s")
+  }
+
+  test("fuzzyScores honors the jaccard threshold boundary") {
+    val strict = Contamination.fuzzyScores(fuzzyCorpus, fuzzyBench,
+        "doc_id", "text", minJaccard = 0.99)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(strict == Set(1L),
+      s"at 0.99 only the verbatim copy survives the filter: $strict")
+  }
+
+  test("fuzzyCut removes matched docs, keeps clean and short, schema intact") {
+    val kept = Contamination.fuzzyCut(fuzzyCorpus, fuzzyBench, "doc_id",
+      "text", minJaccard = 0.5)
+    assert(kept.schema == fuzzyCorpus.schema)
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+  }
 }
