@@ -335,6 +335,66 @@ object Queries21 {
     notes = "fuzzy (MinHash-LSH) train-vs-test decontamination; exact " +
       "leakage is q47/q64's probe")
 
+  // ------------------------------------------------- q164_semantic_decontaminate
+  /** SEMANTIC benchmark decontamination — the third rung of the leakage
+    * ladder (q47/q64 verbatim, q163 lightly-edited, here fully
+    * rephrased): a test item rewritten heavily enough shares no shingle
+    * with its leaked copy, but their embeddings still sit next to each
+    * other. [[graft.operators.Contamination.semanticScores]] runs the
+    * hyperplane-bucket embedding near-dup test (q26's family,
+    * plane count auto-sized to the CORPUS side) across the train/test
+    * relations and emits every same-bucket pair at cosine ≥ 0.35. The
+    * held-out set is the `vec_id % 7 = 0` slice of the embeddings
+    * table.
+    *
+    * Scale shape: ONE broadcast hash join, no other exchange — each
+    * side buckets in a narrow map pass, the benchmark side broadcasts,
+    * the cosine verify runs inside the join projection; the corpus
+    * never shuffles (plan-pinned). The oracle replays the identical
+    * hyperplane arithmetic (the q26 md5-derived components) with the
+    * plane count derived from the same corpus-side count.
+    */
+  val q164SemanticDecontaminate = {
+    import KmeansSql.sqlCos
+    val sqlPlanes =
+      """(SELECT CAST(coalesce(min(p), 16) AS INT) FROM range(1, 17) t(p)
+          WHERE 64 * (1 << p) >= (SELECT count(*) FROM embeddings
+                                  WHERE vec_id % 7 <> 0))"""
+    def sqlBucket(vec: String) =
+      s"""list_sum(list_transform(range(0, $sqlPlanes), p ->
+         CASE WHEN round(list_reduce(list_transform(range(0, 64),
+           d -> $vec[d+1]::DOUBLE * (CAST(('0x' || substr(md5('0:' || p || ':' || d), 1, 15)) AS BIGINT) % 1000 / 1000.0 - 0.5)),
+           (x, y) -> x + y), 6) > 0 THEN (1 << p) ELSE 0 END))"""
+    QueryDef(
+      "q164_semantic_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.{Contamination, Similarity}
+        val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val corpus = e.filter($"vec_id" % 7 =!= 0)
+        val test = e.filter($"vec_id" % 7 === 0)
+        val planes = Similarity.autoPlanes(corpus.count(), targetBucket = 64)
+        Contamination.semanticScores(corpus, test, "vec_id", "embedding",
+            dims = 64, planes = planes, minCos = 0.35)
+          .orderBy($"vec_id", $"test_id")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+          FROM embeddings WHERE vec_id % 7 <> 0),
+        tst AS (
+          SELECT vec_id AS test_id, embedding, ${sqlBucket("embedding")} AS bucket
+          FROM embeddings WHERE vec_id % 7 = 0),
+        p AS (
+          SELECT c.vec_id, tst.test_id,
+                 ${sqlCos("c.embedding", "tst.embedding")} AS cos
+          FROM c JOIN tst USING (bucket))
+        SELECT vec_id, test_id, cos FROM p
+        WHERE cos >= 0.35 ORDER BY vec_id, test_id"""),
+      notes = "semantic (embedding-cosine) train-vs-test decontamination; " +
+        "q163 is the shingle-level fuzzy form, q47/q64 the exact form")
+  }
+
   def all: Seq[QueryDef] = Seq(q161CurriculumSketch, q162EntityUnionBlocking,
-    q163FuzzyDecontaminate)
+    q163FuzzyDecontaminate, q164SemanticDecontaminate)
 }

@@ -139,4 +139,57 @@ object Contamination {
       .select(col(idCol)).distinct()
     corpus.join(broadcast(bad), Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC contamination — the third rung of the leakage ladder
+    * (verbatim → [[scores]]; lightly edited → [[fuzzyScores]]; fully
+    * rephrased → here). A test item rewritten heavily enough breaks
+    * every shingle, but its embedding still sits next to the leaked
+    * copy's: this is the embedding-cosine near-dup test
+    * ([[Similarity.embeddingNearDupPairs]]'s hyperplane-bucket family)
+    * run ACROSS the corpus/test relations over a `vecCol`
+    * (`Array` of floats/doubles) both sides carry.
+    *
+    * Returns `(idCol, test_id, cos)` — one row per same-bucket pair
+    * with cosine ≥ `minCos`.
+    *
+    * Scale shape: ONE broadcast hash join and nothing else — each side
+    * computes its bucket in a narrow map pass, the benchmark-sized test
+    * side broadcasts, and the cosine verify runs inside the join
+    * projection. The corpus never shuffles at all. `planes` must grow
+    * with the corpus ([[Similarity.autoPlanes]]) to keep buckets
+    * bounded; as with the within-corpus form, bucket agreement is the
+    * recall dial (identical vectors always agree; a heavily-rephrased
+    * leak's vector may land one plane away — raise recall by probing
+    * neighbor buckets as in the multi-probe kNN, at candidate-count
+    * cost).
+    */
+  def semanticScores(corpus: DataFrame, testSet: DataFrame, idCol: String,
+                     vecCol: String, dims: Int, planes: Int,
+                     minCos: Double): DataFrame = {
+    require(minCos > 0.0 && minCos <= 1.0, "minCos must be in (0, 1]")
+    val id = col(idCol)
+    val c = corpus.select(id, col(vecCol).as("_v"),
+      Similarity.hyperplaneBucket(col(vecCol), dims, planes).as("_bkt"))
+    val probe = testSet.select(col(idCol).as("test_id"),
+      col(vecCol).as("_tv"),
+      Similarity.hyperplaneBucket(col(vecCol), dims, planes).as("_bkt"))
+    c.join(broadcast(probe), Seq("_bkt"))
+      .select(id, col("test_id"),
+        round(dot(col("_v"), col("_tv")) /
+          (l2norm(col("_v")) * l2norm(col("_tv"))), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Remove from `corpus` every row with a [[semanticScores]] match —
+    * the semantic decontamination cut. Same broadcast-anti-join shape
+    * as [[cut]]/[[fuzzyCut]]; the three compose into the full
+    * decontamination pass (verbatim + near-dup + rephrased).
+    */
+  def semanticCut(corpus: DataFrame, testSet: DataFrame, idCol: String,
+                  vecCol: String, dims: Int, planes: Int,
+                  minCos: Double): DataFrame = {
+    val bad = semanticScores(corpus, testSet, idCol, vecCol, dims, planes,
+      minCos).select(col(idCol)).distinct()
+    corpus.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
 }

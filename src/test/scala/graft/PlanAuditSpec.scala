@@ -1070,6 +1070,21 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-scale shuffle crept in:\n$p")
   }
 
+  test("q164_semantic_decontaminate: one broadcast bucket join; the " +
+    "corpus never shuffles at all") {
+    val p = plan("q164_semantic_decontaminate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic decontamination must never be all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the test side must broadcast into the bucket join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffled join:\n$p")
+    // zero hash exchanges anywhere: bucket + cosine are map work, the
+    // test side broadcasts, and the only exchange is the final ORDER BY
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the corpus side must not shuffle:\n$p")
+  }
+
   /** Companion sweep: no query may plan a CartesianProduct, ever — the
     * per-query pins assert this for the shapes where an all-pairs bug
     * is plausible, but a new query with a missed join key (or a typo

@@ -91,4 +91,35 @@ class ContaminationSpec extends SparkSpec {
     assert(kept.schema == fuzzyCorpus.schema)
     assert(kept.collect().map(_.getLong(0)).toSet == Set(3L, 4L))
   }
+
+  // ---- semantic (embedding hyperplane-bucket) form ---------------------
+
+  // 4-dim toy space: the benchmark vector, its exact copy, a tiny
+  // perturbation (same bucket at any plane count, cosine ~1), and an
+  // antipodal vector (opposite side of every hyperplane when the copy
+  // is on one — cosine -1, bucket differs unless all projections flip
+  // to the same side, which the exact-negation rules out)
+  private val semBench = Seq((100L, Seq(1.0, 2.0, 3.0, 4.0)))
+    .toDF("vec_id", "embedding")
+  private val semCorpus = Seq(
+    (1L, Seq(1.0, 2.0, 3.0, 4.0)),      // copy
+    (2L, Seq(1.01, 2.0, 3.0, 4.0)),     // near-identical
+    (3L, Seq(-1.0, -2.0, -3.0, -4.0))   // antipodal
+  ).toDF("vec_id", "embedding")
+
+  test("semanticScores finds the copy and the perturbed copy, not the antipode") {
+    val s = Contamination.semanticScores(semCorpus, semBench, "vec_id",
+        "embedding", dims = 4, planes = 4, minCos = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s.get(1L).contains(1.0), s"exact copy at cos 1.0: $s")
+    assert(s.get(2L).exists(c => c > 0.9 && c <= 1.0), s"perturbed copy: $s")
+    assert(!s.contains(3L), s"antipodal vector must not match: $s")
+  }
+
+  test("semanticCut removes matched vectors, schema intact") {
+    val kept = Contamination.semanticCut(semCorpus, semBench, "vec_id",
+      "embedding", dims = 4, planes = 4, minCos = 0.9)
+    assert(kept.schema == semCorpus.schema)
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(3L))
+  }
 }
