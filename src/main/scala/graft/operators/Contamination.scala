@@ -5,18 +5,27 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
 
-/** Benchmark-decontamination for training corpora: q47 DETECTS overlap
-  * between training documents and a held-out test set; this operator
-  * also CUTS the contaminated documents, which is what a pipeline
-  * actually ships. (Reference N/A — north-star LLM-pipeline depth; the
-  * detection half is the q47 broadcast shingle probe.)
+/** Benchmark-decontamination for training corpora — the full leakage
+  * ladder, each rung a detect ([[scores]]/[[fuzzyScores]]/
+  * [[semanticScores]]) and a cut ([[cut]]/[[fuzzyCut]]/[[semanticCut]]):
   *
-  * Scale shape (unchanged from q47): the test set's shingle index is
-  * small by construction (benchmarks are), so it broadcasts; the corpus
-  * is probed map-side in one narrow pass, and only actual matches reach
-  * the per-doc aggregation. The cut itself is a broadcast ANTI join
-  * against the (tiny) contaminated-id list — the 100 TB side never
-  * shuffles anywhere in the operator.
+  *  1. VERBATIM — exact shingle overlap (q47 detects, q64 cuts): the
+  *     test set's shingle pool broadcasts, the corpus is probed
+  *     map-side;
+  *  2. LIGHTLY EDITED — MinHash-LSH near-dup across the two relations
+  *     (q163): banded-signature agreement generates candidates, exact
+  *     Jaccard verifies them;
+  *  3. FULLY REPHRASED — embedding-cosine hyperplane-bucket near-dup
+  *     across the two relations (q164): no shingle survives a rewrite,
+  *     the embedding neighborhood does.
+  *
+  * (Reference N/A — north-star LLM-pipeline depth.)
+  *
+  * Scale shape, every rung: the test set is small by construction
+  * (benchmarks are), so its probe structures broadcast; the corpus is
+  * touched only in narrow map passes, and each cut is a broadcast ANTI
+  * join against the (tiny) matched-id list — the 100 TB side never
+  * shuffles anywhere in this object.
   */
 object Contamination {
 
