@@ -166,22 +166,26 @@ object Contamination {
     * side broadcasts, and the cosine verify runs inside the join
     * projection. The corpus never shuffles at all. `planes` must grow
     * with the corpus ([[Similarity.autoPlanes]]) to keep buckets
-    * bounded; as with the within-corpus form, bucket agreement is the
-    * recall dial (identical vectors always agree; a heavily-rephrased
-    * leak's vector may land one plane away — raise recall by probing
-    * neighbor buckets as in the multi-probe kNN, at candidate-count
-    * cost).
+    * bounded; bucket agreement is the recall dial — `nprobe` > 1 makes
+    * the TEST side also search the buckets reached by flipping its
+    * nprobe−1 least-confident plane bits
+    * ([[Similarity.explodeProbeBuckets]], the multi-probe kNN's
+    * machinery): a rephrased leak whose vector drifted across one
+    * hyperplane is recovered at test-side-fan-out cost only (the
+    * corpus keeps one bucket per vector, so a pair can still match in
+    * at most one probed bucket and the output carries no duplicates —
+    * at nprobe = planes+1 every Hamming-1 bucket neighbor is reached).
     */
   def semanticScores(corpus: DataFrame, testSet: DataFrame, idCol: String,
                      vecCol: String, dims: Int, planes: Int,
-                     minCos: Double): DataFrame = {
+                     minCos: Double, nprobe: Int = 1): DataFrame = {
     require(minCos > 0.0 && minCos <= 1.0, "minCos must be in (0, 1]")
     val id = col(idCol)
     val c = corpus.select(id, col(vecCol).as("_v"),
       Similarity.hyperplaneBucket(col(vecCol), dims, planes).as("_bkt"))
-    val probe = testSet.select(col(idCol).as("test_id"),
-      col(vecCol).as("_tv"),
-      Similarity.hyperplaneBucket(col(vecCol), dims, planes).as("_bkt"))
+    val probe = Similarity.explodeProbeBuckets(
+      testSet.select(col(idCol).as("test_id"), col(vecCol).as("_tv")),
+      "_tv", dims, planes, nprobe, "_bkt")
     c.join(broadcast(probe), Seq("_bkt"))
       .select(id, col("test_id"),
         round(dot(col("_v"), col("_tv")) /
@@ -196,9 +200,9 @@ object Contamination {
     */
   def semanticCut(corpus: DataFrame, testSet: DataFrame, idCol: String,
                   vecCol: String, dims: Int, planes: Int,
-                  minCos: Double): DataFrame = {
+                  minCos: Double, nprobe: Int = 1): DataFrame = {
     val bad = semanticScores(corpus, testSet, idCol, vecCol, dims, planes,
-      minCos).select(col(idCol)).distinct()
+      minCos, nprobe).select(col(idCol)).distinct()
     corpus.join(broadcast(bad), Seq(idCol), "left_anti")
   }
 }

@@ -277,16 +277,18 @@ object Similarity {
       .select("probe_id", "bucket", "rn", "cand_id", "cos")
   }
 
-  /** LSH top-k with multi-probe: like [[knnLsh]], but each probe also
-    * searches the buckets reached by flipping its `nprobe−1`
+  /** One row per (probe row, probed bucket): the base hyperplane
+    * bucket plus the buckets reached by flipping the `nprobe−1`
     * least-confident plane bits (smallest |rounded projection| — the
     * boundaries a true neighbor is most likely to have crossed). The
-    * standard LSH recall dial: probe-side fan-out only, the corpus
-    * keeps exactly one bucket per vector, so candidates never
-    * duplicate (the IVF twin is [[knnIvf]]'s nprobe). Ties in
-    * |projection| break by plane index — the struct sort is (|proj|,
-    * plane, bit) lexicographic — keeping the probed set deterministic
-    * and oracle-reproducible.
+    * standard LSH recall dial, shared by [[knnLshMultiprobe]] and
+    * [[Contamination.semanticScores]]: probe-side fan-out only, the
+    * corpus keeps exactly one bucket per vector, so candidates never
+    * duplicate. Ties in |projection| break by plane index — the struct
+    * sort is (|proj|, plane, bit) lexicographic — keeping the probed
+    * set deterministic and oracle-reproducible. With nprobe = 1 this
+    * is exactly `withColumn(out, hyperplaneBucket(...))` (no flips,
+    * same sign test).
     *
     * The per-plane projections are STAGED as a column and both the
     * base bucket and the flip set derive from that one evaluation —
@@ -294,26 +296,36 @@ object Similarity {
     * re-run every dot product per row (and a third time inside the
     * flip lambda, where subexpression elimination cannot reach).
     */
-  def knnLshMultiprobe(probes: DataFrame, corpus: DataFrame, dims: Int,
-                       planes: Int, k: Int, nprobe: Int = 2): DataFrame = {
+  private[operators] def explodeProbeBuckets(probes: DataFrame, vecCol: String,
+      dims: Int, planes: Int, nprobe: Int, out: String): DataFrame = {
     require(nprobe >= 1 && nprobe <= planes + 1, "nprobe must be in [1, planes+1]")
+    if (nprobe == 1)
+      return probes.withColumn(out, hyperplaneBucket(col(vecCol), dims, planes))
     val projs = (0 until planes).map { p =>
       val plane = array((0 until dims).map(d => lit(hpComponent(p, d))): _*)
-      val proj = round(dot(col("pv"), plane), 6)
+      val proj = round(dot(col(vecCol), plane), 6)
       struct(abs(proj).as("a"), lit(p).as("p"), lit(1 << p).as("b"),
         when(proj > 0, lit(1 << p)).otherwise(lit(0)).as("s"))
     }
-    val pb = probes
+    probes
       .withColumn("_pp", array(projs: _*))
       // base bucket = Σ sign bits — the same rounded sign test as
       // hyperplaneBucket, read from the staged projections
       .withColumn("_b0",
         aggregate(col("_pp"), lit(0), (acc, f) => acc + f.getField("s")))
-      .withColumn("bucket", explode(concat(
+      .withColumn(out, explode(concat(
         array(col("_b0")),
         transform(slice(array_sort(col("_pp")), 1, nprobe - 1),
           f => col("_b0").bitwiseXOR(f.getField("b"))))))
       .drop("_pp", "_b0")
+  }
+
+  /** LSH top-k with multi-probe ([[explodeProbeBuckets]] on the probe
+    * side; the IVF twin is [[knnIvf]]'s nprobe).
+    */
+  def knnLshMultiprobe(probes: DataFrame, corpus: DataFrame, dims: Int,
+                       planes: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    val pb = explodeProbeBuckets(probes, "pv", dims, planes, nprobe, "bucket")
       .withColumn("_pn", l2norm(col("pv")))
     val cb = corpus.withColumn("bucket", hyperplaneBucket(col("cv"), dims, planes))
       .withColumn("_cn", l2norm(col("cv")))

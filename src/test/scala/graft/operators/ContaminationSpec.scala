@@ -122,4 +122,34 @@ class ContaminationSpec extends SparkSpec {
     assert(kept.schema == semCorpus.schema)
     assert(kept.collect().map(_.getLong(0)).toSet == Set(3L))
   }
+
+  test("semanticScores nprobe recovers a leak one hyperplane away") {
+    import org.apache.spark.sql.functions.col
+    // fixture verified against the md5 hyperplane arithmetic: the
+    // benchmark vector buckets to 11 at (dims=4, planes=4); the
+    // corpus vector (a drifted copy, cos ~0.9726) buckets to 10 —
+    // Hamming distance exactly 1, so single-bucket agreement misses it
+    val drifted = Seq((5L, Seq(1.108, 1.597, 1.674, 4.022)))
+      .toDF("vec_id", "embedding")
+    // the premise itself, pinned: buckets differ (guards fixture rot
+    // against any future change to the hyperplane family)
+    val b = drifted.unionAll(semBench)
+      .select(Similarity.hyperplaneBucket(col("embedding"), 4, 4))
+      .collect().map(_.getInt(0))
+    assert(b(0) != b(1), s"fixture rotted: buckets now agree (${b.toSeq})")
+
+    val single = Contamination.semanticScores(drifted, semBench, "vec_id",
+      "embedding", dims = 4, planes = 4, minCos = 0.9).collect()
+    assert(single.isEmpty,
+      s"nprobe=1 must miss the cross-boundary leak: ${single.toSeq}")
+
+    // nprobe = planes+1 probes every Hamming-1 bucket neighbor — the
+    // leak is found by construction, at test-side fan-out cost only
+    val probed = Contamination.semanticScores(drifted, semBench, "vec_id",
+        "embedding", dims = 4, planes = 4, minCos = 0.9, nprobe = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    assert(probed.length == 1 && probed.head._1 == 5L &&
+      probed.head._2 > 0.97,
+      s"nprobe=5 must recover the leak exactly once: ${probed.toSeq}")
+  }
 }
