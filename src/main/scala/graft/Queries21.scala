@@ -283,6 +283,13 @@ object Queries21 {
     * passes, candidates only past the band agreement, never corpus ×
     * corpus (plan-pinned in PlanAuditSpec). Same (8 seeds, 4×2 bands)
     * arithmetic as q11, replayed hash-for-hash by the oracle.
+    *
+    * The `% 7` held-out slice is corpus-proportional — a stand-in that
+    * is benchmark-sized only at gate/bench scale. The operator refuses
+    * a test side past [[graft.operators.Contamination.DefaultMaxTestRows]]
+    * (the broadcast-budget guard), so this query shape would fail fast,
+    * not OOM, if pointed at a 100 TB corpus; production callers pass
+    * the actual (fixed-size) benchmark relation.
     */
   val q163FuzzyDecontaminate = QueryDef(
     "q163_fuzzy_decontaminate",
@@ -352,7 +359,10 @@ object Queries21 {
     * the cosine verify runs inside the join projection; the corpus
     * never shuffles (plan-pinned). The oracle replays the identical
     * hyperplane arithmetic (the q26 md5-derived components) with the
-    * plane count derived from the same corpus-side count.
+    * plane count derived from the same corpus-side count. As with
+    * q163, the `% 7` slice is a gate-scale stand-in for a fixed-size
+    * benchmark; the operator's test-side guard fails fast past its
+    * broadcast budget.
     */
   val q164SemanticDecontaminate = {
     import KmeansSql.sqlCos

@@ -26,8 +26,48 @@ import graft.functions.GraftFunctions._
   * touched only in narrow map passes, and each cut is a broadcast ANTI
   * join against the (tiny) matched-id list — the 100 TB side never
   * shuffles anywhere in this object.
+  *
+  * THE TEST SIDE MUST BE BOUNDED BY THE CALLER: every probe structure
+  * here (shingle pool, band table, exploded bucket table) grows with
+  * the test relation and broadcasts unconditionally — that is the
+  * whole design (it is what keeps the corpus shuffle-free), and it is
+  * only sound because benchmarks are orders of magnitude smaller than
+  * training corpora. A caller that passes a corpus-proportional slice
+  * as `testSet` would broadcast a corpus-sized structure; the
+  * [[boundTestSide]] guard fails fast at [[DefaultMaxTestRows]] rows
+  * (session-overridable via `graft.contamination.maxTestRows`) instead
+  * of letting that OOM an executor at scale. The check is a
+  * `limit(max+1).count()` — O(max) at any corpus size, never a full
+  * scan of an oversized side.
   */
 object Contamination {
+
+  /** Test relations above this many rows are refused by the probe
+    * builders. 100k rows is an order of magnitude above the large
+    * public eval suites and keeps every broadcast structure (≈50–100
+    * shingles or one 64-dim vector per row) in the tens of MB;
+    * genuinely larger test sets should be split and the cuts composed,
+    * or the within-corpus dedup operators used instead.
+    */
+  val DefaultMaxTestRows = 100000L
+
+  private def maxTestRows(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.contamination.maxTestRows")
+      .map(_.toLong).getOrElse(DefaultMaxTestRows)
+
+  /** Fail fast when `testSet` is not benchmark-sized (see the object
+    * scaladoc); returns `testSet` unchanged when it is.
+    */
+  private def boundTestSide(testSet: DataFrame, rung: String): DataFrame = {
+    val max = maxTestRows(testSet)
+    val capped = math.min(max, Int.MaxValue - 1L).toInt
+    require(testSet.limit(capped + 1).count() <= capped,
+      s"$rung: testSet exceeds $max rows — its probe structures " +
+        "broadcast, so the test side must be benchmark-sized; split the " +
+        "test relation and compose the cuts, or raise " +
+        "graft.contamination.maxTestRows if the broadcast budget allows")
+    testSet
+  }
 
   /** Distinct 3-gram shingle hashes of `textCol` (the q47 portable
     * formula — md5 word hashes folded mod-2³⁰/mod-p, replayable in
@@ -45,6 +85,7 @@ object Contamination {
   def scores(corpus: DataFrame, testSet: DataFrame, idCol: String,
              textCol: String): DataFrame = {
     val id = col(idCol)
+    boundTestSide(testSet, "scores")
     val testShingles = testSet
       .select(explode(shingleSet(col(textCol))).as("h")).distinct()
     corpus
@@ -110,6 +151,7 @@ object Contamination {
       "minJaccard must be in (0, 1]")
     require(seeds >= bands * rowsPerBand,
       "signature must cover bands * rowsPerBand entries")
+    boundTestSide(testSet, "fuzzyScores")
     val id = col(idCol)
     def shingled(df: DataFrame, as: String): DataFrame = df
       .select(col(idCol).as(as),
@@ -179,7 +221,13 @@ object Contamination {
   def semanticScores(corpus: DataFrame, testSet: DataFrame, idCol: String,
                      vecCol: String, dims: Int, planes: Int,
                      minCos: Double, nprobe: Int = 1): DataFrame = {
-    require(minCos > 0.0 && minCos <= 1.0, "minCos must be in (0, 1]")
+    // cosine ranges over [-1, 1]; only positive thresholds are
+    // meaningful for decontamination (a leak's embedding sits NEAR its
+    // source), but the full range is accepted — minCos = -1 turns the
+    // verify filter off, which is exactly how a recall harness counts
+    // the raw bucket-agreement candidates (the cost side of the dial)
+    require(minCos >= -1.0 && minCos <= 1.0, "minCos must be in [-1, 1]")
+    boundTestSide(testSet, "semanticScores")
     val id = col(idCol)
     val c = corpus.select(id, col(vecCol).as("_v"),
       Similarity.hyperplaneBucket(col(vecCol), dims, planes).as("_bkt"))

@@ -152,4 +152,46 @@ class ContaminationSpec extends SparkSpec {
       probed.head._2 > 0.97,
       s"nprobe=5 must recover the leak exactly once: ${probed.toSeq}")
   }
+
+  test("minCos accepts the full cosine range; -1 disables the verify filter") {
+    // minCos = -1 keeps every bucket-agreement pair — the raw candidate
+    // set a recall harness counts as the cost side of the dial
+    val cand = Contamination.semanticScores(semCorpus, semBench, "vec_id",
+        "embedding", dims = 4, planes = 4, minCos = -1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(cand.contains(1L) && cand.contains(2L),
+      s"same-bucket pairs must survive an always-true threshold: $cand")
+    intercept[IllegalArgumentException] {
+      Contamination.semanticScores(semCorpus, semBench, "vec_id",
+        "embedding", dims = 4, planes = 4, minCos = -1.5)
+    }
+  }
+
+  test("every rung refuses a test side past the broadcast budget") {
+    spark.conf.set("graft.contamination.maxTestRows", "2")
+    try {
+      val bigBench = Seq(
+        (101L, "alpha beta gamma delta epsilon zeta"),
+        (102L, "eta theta iota kappa lambda mu"),
+        (103L, "nu xi omicron pi rho sigma")).toDF("doc_id", "text")
+      val bigSem = Seq(
+        (101L, Seq(1.0, 0.0, 0.0, 0.0)), (102L, Seq(0.0, 1.0, 0.0, 0.0)),
+        (103L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+      val e1 = intercept[IllegalArgumentException] {
+        Contamination.scores(corpus, bigBench, "doc_id", "text")
+      }
+      assert(e1.getMessage.contains("benchmark-sized"), e1.getMessage)
+      intercept[IllegalArgumentException] {
+        Contamination.fuzzyScores(corpus, bigBench, "doc_id", "text", 0.5)
+      }
+      intercept[IllegalArgumentException] {
+        Contamination.semanticScores(semCorpus, bigSem, "vec_id",
+          "embedding", dims = 4, planes = 4, minCos = 0.9)
+      }
+      // at the threshold itself the guard admits: exactly max rows pass
+      spark.conf.set("graft.contamination.maxTestRows", "3")
+      assert(Contamination.scores(corpus, bigBench, "doc_id", "text")
+        .columns.nonEmpty)
+    } finally spark.conf.unset("graft.contamination.maxTestRows")
+  }
 }
