@@ -178,9 +178,15 @@ object StreamingCurationChain {
         val snap = Tombstones.snapshot(spark, prefix)
         snap.foreach { s =>
           val del = s.select(col("id").as("doc_id"))
+          // heartbeat between the corpus-touching stages: each purge is
+          // O(affected) but an affected partition rewrite can be long at
+          // scale, and the lock must keep reading as live meanwhile
           purgeTree(spark, indexDir, "cand_id", del)
+          MaintenanceLock.heartbeat(spark, prefix)
           purgeTree(spark, postingsDir, "doc_id", del)
+          MaintenanceLock.heartbeat(spark, prefix)
           purgeKeptAndCards(spark, keptDir, cardDir, del)
+          MaintenanceLock.heartbeat(spark, prefix)
         }
         Dedup.compactBandIndexWith(spark, prefix, buckets, snap)
         Tombstones.stageRetire(spark, prefix, snap, batchId)
@@ -249,10 +255,13 @@ object StreamingCurationChain {
     MaintenanceLock.withLock(spark, prefix) {
       val del = Checkpoints.pin(ids.select(col("doc_id")).distinct())
       Tombstones.write(spark, prefix, del, "doc_id")
+      // heartbeat between tree purges (see maintain): the takedown is
+      // the longest body that runs under this lock
+      def beat[A](a: A): A = { MaintenanceLock.heartbeat(spark, prefix); a }
       val affected = Map(
-        indexDir -> purgeTree(spark, indexDir, "cand_id", del),
-        postingsDir -> purgeTree(spark, postingsDir, "doc_id", del),
-        keptDir -> purgeKeptAndCards(spark, keptDir, cardDir, del))
+        indexDir -> beat(purgeTree(spark, indexDir, "cand_id", del)),
+        postingsDir -> beat(purgeTree(spark, postingsDir, "doc_id", del)),
+        keptDir -> beat(purgeKeptAndCards(spark, keptDir, cardDir, del)))
       Checkpoints.release(del)
       affected
     }

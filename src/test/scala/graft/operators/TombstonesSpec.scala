@@ -155,7 +155,61 @@ class TombstonesSpec extends SparkSpec {
       // the snapshot path takes the same guard
       val snap = Tombstones.snapshot(spark, prefix)
       assert(!hinted(Tombstones.filterWith(data, snap, "doc_id")))
+      snap.foreach(Checkpoints.release)
     } finally spark.conf.unset("graft.tombstones.broadcastMaxIds")
+  }
+
+  test("the probe-path guard is free: the counting job runs at mutation " +
+    "time, not per tombstone-filtered read") {
+    val prefix = "graft_spec_ts_guard_free"
+    val data = (0L until 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // the mutation (under its lock) pre-computes the guard verdict
+    Tombstones.write(spark, prefix, (0L until 5L).toDF("doc_id"), "doc_id")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // plan-construction of the probe path: previously paid one
+      // limit-count job per read; with the mutation-refreshed cache it
+      // must run ZERO jobs (and the snapshot cut is job-free too, bar
+      // its pin materialization)
+      val filtered = Tombstones.filter(spark, prefix, data, "doc_id")
+      // sentinel job: listener events process in order, so once it is
+      // observed, any job the probe path had started was counted first.
+      // An RDD count is exactly ONE job (a SQL count would be 2+ under
+      // AQE and muddy the arithmetic).
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(jobs.get() == 1,
+        s"probe-path construction must start no job (sentinel only), " +
+          s"saw ${jobs.get()}")
+      // guard verdict still applied: the small set carries the hint
+      assert(filtered.queryExecution.optimizedPlan.toString
+        .contains("strategy=broadcast"))
+      assert(filtered.select("doc_id").as[Long].collect().toSet ==
+        (5L until 20L).toSet)
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // a hinted snapshot must still release its pinned storage — the
+    // broadcast wrapper cannot hide the checkpoint leaf from release
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val snap = Tombstones.snapshot(spark, prefix)
+    assert(snap.isDefined)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "snapshot must pin")
+    snap.foreach(Checkpoints.release)
+    val deadline = System.currentTimeMillis() + 10000
+    while (spark.sparkContext.getPersistentRDDs.size > before &&
+      System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "release must free a broadcast-hinted snapshot's pinned blocks")
   }
 
   test("adopt heals every crash window of the aside-swap protocol — the " +
@@ -251,15 +305,68 @@ class TombstonesSpec extends SparkSpec {
     }
     assert(Tombstones.read(spark, prefix).isEmpty)
     // a lock file left by a CRASHED driver (no live holder in this JVM)
-    // also fails fast — and clears only via the explicit recovery call
+    // also fails fast — and clears only via the explicit recovery call.
+    // Its heartbeat (here: the bare file's mtime) is FRESH, so the
+    // recovery call refuses until the staleness window passes — forcing
+    // out a possibly-live owner is the corruption the lock prevents.
     val path = MaintenanceLock.lockPath(spark, prefix)
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .createNewFile(path)
     intercept[MaintenanceLock.ConcurrentMaintenanceException] {
       MaintenanceLock.withLock(spark, prefix) { fail("must not enter") }
     }
-    MaintenanceLock.forceRelease(spark, prefix)
+    intercept[IllegalStateException] {
+      MaintenanceLock.forceRelease(spark, prefix)
+    }
+    // past the staleness window the same lock reads as STALE: the
+    // fail-fast names it, and the recovery call now clears it
+    spark.conf.set("graft.maintenance.lockStaleMs", "0")
+    try {
+      val e = intercept[MaintenanceLock.ConcurrentMaintenanceException] {
+        MaintenanceLock.withLock(spark, prefix) { fail("must not enter") }
+      }
+      assert(e.getMessage.contains("STALE"), e.getMessage)
+      MaintenanceLock.forceRelease(spark, prefix)
+    } finally spark.conf.unset("graft.maintenance.lockStaleMs")
     MaintenanceLock.withLock(spark, prefix) { /* lock again: healed */ }
+  }
+
+  test("lock records its owner; heartbeat keeps it live; fresh refuses force") {
+    val prefix = "graft_spec_ts_lock_owner"
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val beaten = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      MaintenanceLock.withLock(spark, prefix) {
+        entered.countDown()
+        beaten.await()
+        MaintenanceLock.heartbeat(spark, prefix) // owner refresh: allowed
+        release.await()
+      }, "spec-lock-owner")
+    holder.start(); entered.await()
+    try {
+      val path = MaintenanceLock.lockPath(spark, prefix)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val before = MaintenanceLock.readOwner(fs, path)
+      assert(before.pid == ProcessHandle.current().pid(),
+        s"lock must record this JVM's pid: $before")
+      assert(before.thread == "spec-lock-owner", before.toString)
+      // a non-owner thread cannot heartbeat a lock it does not hold
+      intercept[IllegalArgumentException] {
+        MaintenanceLock.heartbeat(spark, prefix)
+      }
+      Thread.sleep(5)
+      beaten.countDown()
+      // wait until the owner's refresh lands, then compare timestamps
+      val deadline = System.currentTimeMillis() + 5000
+      var after = MaintenanceLock.readOwner(fs, path)
+      while (after.heartbeatMs <= before.heartbeatMs &&
+        System.currentTimeMillis() < deadline) {
+        Thread.sleep(10); after = MaintenanceLock.readOwner(fs, path)
+      }
+      assert(after.heartbeatMs > before.heartbeatMs,
+        s"heartbeat must advance: $before -> $after")
+    } finally { beaten.countDown(); release.countDown(); holder.join() }
   }
 
   test("winnow index: delete -> probe miss, compact -> physically gone") {
