@@ -18,10 +18,26 @@ object graftcolumn {
   * lifetime. Returns None for any plan that is not a checkpoint leaf.
   */
 object graftrdd {
+
+  /** Unwrap join-strategy hint nodes: a pinned frame may be returned
+    * with a `broadcast(...)` hint already applied (the tombstone
+    * snapshot path bakes the small-set verdict into the frame), and the
+    * hint must not hide the checkpoint leaf from [[backingRdd]] — a
+    * release that silently no-ops leaks one localCheckpoint per
+    * micro-batch (the round-13 storage-pressure class).
+    */
+  @annotation.tailrec
+  private def unwrapHints(p: catalyst.plans.logical.LogicalPlan):
+      catalyst.plans.logical.LogicalPlan = p match {
+    case h: catalyst.plans.logical.UnresolvedHint => unwrapHints(h.child)
+    case h: catalyst.plans.logical.ResolvedHint   => unwrapHints(h.child)
+    case other                                    => other
+  }
+
   def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df match {
       case d: classic.Dataset[_] =>
-        d.queryExecution.logical match {
+        unwrapHints(d.queryExecution.logical) match {
           case lr: execution.LogicalRDD => Some(lr.rdd)
           case _                        => None
         }

@@ -59,9 +59,78 @@ object Tombstones {
     spark.conf.getOption("graft.tombstones.broadcastMaxIds")
       .map(_.toLong).getOrElse(DefaultBroadcastMaxIds)
 
+  /** Cached guard verdicts live this long before a probe re-counts —
+    * the cross-driver drift bound: mutations in THIS JVM refresh the
+    * cache under the lock, but a mass purge written by ANOTHER driver
+    * is only noticed when the TTL lapses (session-overridable via
+    * `graft.tombstones.smallCacheTtlMs`). One counting job per prefix
+    * per TTL window, instead of one per probe read.
+    */
+  val DefaultSmallCacheTtlMs = 300000L
+
+  private def smallCacheTtlMs(spark: SparkSession): Long =
+    spark.conf.getOption("graft.tombstones.smallCacheTtlMs")
+      .map(_.toLong).getOrElse(DefaultSmallCacheTtlMs)
+
+  /** `tableName#max` → (verdict, computed-at epoch ms). Keyed by the
+    * session-resolved cap so a conf change cannot read a verdict
+    * computed against a different threshold.
+    */
+  private val smallCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long)]()
+
+  private def smallKey(spark: SparkSession, prefix: String): String =
+    s"${tableName(prefix)}#${broadcastMaxIds(spark)}"
+
+  private def computeSmall(ids: DataFrame): Boolean = {
+    val max = broadcastMaxIds(ids.sparkSession)
+    val capped = math.min(max, Int.MaxValue - 1L).toInt
+    ids.limit(capped + 1).count() <= capped
+  }
+
+  /** Refresh `prefix`'s cached guard verdict from the current table
+    * state — every mutation calls this while it still holds the
+    * [[MaintenanceLock]], so the guard is FREE on the probe path: the
+    * counting job runs once per mutation (which already pays
+    * table-sized jobs), not once per tombstone-filtered read.
+    */
+  private def refreshSmall(spark: SparkSession, prefix: String): Unit = {
+    val keyPrefix = s"${tableName(prefix)}#"
+    smallCache.keySet.removeIf(_.startsWith(keyPrefix))
+    if (spark.catalog.tableExists(tableName(prefix)))
+      smallCache.put(smallKey(spark, prefix),
+        (computeSmall(spark.table(tableName(prefix)).select(col("id"))
+          .distinct()), System.currentTimeMillis()))
+  }
+
+  /** The cached form of [[hintSmall]] for `prefix`'s own tombstone
+    * set: mutations pre-compute the verdict under the lock, a cache
+    * miss (fresh JVM, or TTL lapse against another driver's writes)
+    * computes it once — the probe path itself never pays the counting
+    * job.
+    */
+  private def hintSmallCached(spark: SparkSession, prefix: String,
+                              ids: DataFrame): DataFrame = {
+    val key = smallKey(spark, prefix)
+    val now = System.currentTimeMillis()
+    val cached = smallCache.get(key)
+    val small =
+      if (cached != null && now - cached._2 < smallCacheTtlMs(spark))
+        cached._1
+      else {
+        val s = computeSmall(ids)
+        smallCache.put(key, (s, now))
+        s
+      }
+    if (small) broadcast(ids) else ids
+  }
+
   /** `broadcast(ids)` while the set is small ([[broadcastMaxIds]]);
     * above it, the frame unhinted — the planner/AQE picks. The count is
     * capped at max+1 rows, so the check never scans a mass-purge set.
+    * Pays one counting job per call — for an arbitrary id frame that is
+    * the only safe form; the prefix-keyed probe paths ([[filter]],
+    * [[snapshot]]) ride the mutation-refreshed cache instead.
     */
   def hintSmall(ids: DataFrame): DataFrame = {
     val max = broadcastMaxIds(ids.sparkSession)
@@ -163,7 +232,10 @@ object Tombstones {
         if (fs.exists(aside)) fs.delete(loc, true) // torn write; aside is whole
         else require(fs.rename(loc, aside), s"rename $loc aside failed")
       }
-      if (fs.exists(aside)) registerFromAside(spark, table)
+      if (fs.exists(aside)) {
+        registerFromAside(spark, table)
+        refreshSmall(spark, prefix)
+      }
     }
   }
 
@@ -179,6 +251,7 @@ object Tombstones {
     ids.select(col(idCol).as("id")).distinct()
       .write.mode("append").format("parquet")
       .saveAsTable(tableName(prefix))
+    refreshSmall(spark, prefix)
   }
 
   /** The distinct tombstoned ids, if any delete was ever recorded —
@@ -206,7 +279,8 @@ object Tombstones {
              idCol: String): DataFrame =
     read(spark, prefix) match {
       case Some(ts) =>
-        df.join(hintSmall(ts.select(col("id").as("__ts_id"))),
+        df.join(hintSmallCached(spark, prefix,
+            ts.select(col("id").as("__ts_id"))),
           col(idCol) === col("__ts_id"), "left_anti")
       case None => df
     }
@@ -219,14 +293,19 @@ object Tombstones {
     * document (the lost-delete race).
     */
   def snapshot(spark: SparkSession, prefix: String): Option[DataFrame] =
-    read(spark, prefix).map(Checkpoints.pin)
+    read(spark, prefix).map(ts =>
+      hintSmallCached(spark, prefix, Checkpoints.pin(ts)))
 
-  /** [[filter]] against an explicit (snapshot) tombstone set. */
+  /** [[filter]] against an explicit (snapshot) tombstone set. The
+    * broadcast-vs-planner decision was already taken when the snapshot
+    * was cut ([[snapshot]] applies the cached [[hintSmall]] verdict),
+    * so this is a pure plan composition — no counting job per probe.
+    */
   def filterWith(df: DataFrame, snap: Option[DataFrame],
                  idCol: String): DataFrame =
     snap match {
       case Some(ts) =>
-        df.join(hintSmall(ts.select(col("id").as("__ts_id"))),
+        df.join(ts.select(col("id").as("__ts_id")),
           col(idCol) === col("__ts_id"), "left_anti")
       case None => df
     }
@@ -271,6 +350,7 @@ object Tombstones {
             if (fs.exists(loc)) fs.delete(loc, true)
             registerFromAside(spark, table)
           }
+          refreshSmall(spark, prefix)
         }
       }
     }
@@ -383,5 +463,6 @@ object Tombstones {
       Seq(loc, asideLocation(spark, tableName(prefix)),
           pendingRoot(spark, prefix))
         .foreach(p => if (fs.exists(p)) fs.delete(p, true))
+      refreshSmall(spark, prefix)
     }
 }
