@@ -102,6 +102,13 @@ object Similarity {
     * their previous centroid. Returns `(groupCol, centroid_id,
     * centroid_vec)` — Σ ⌈|group|/targetCell⌉ ≈ n/targetCell rows.
     *
+    * `maxCells` caps the per-group codebook (default: uncapped): past
+    * the cap, a group's cell count stops growing with the group, so
+    * assignment cost is bounded at |group| · maxCells dot products —
+    * and expected cell occupancy grows as |group| / maxCells instead
+    * of holding at targetCell (the documented trade; see
+    * [[semDedupHier]]'s kmax for who pays it and why).
+    *
     * Scale shape: each Lloyd iteration joins vectors to ONLY their own
     * group's centroids (equi-join on the group key — AQE broadcasts
     * while the codebook is small and shuffle-joins past that), so the
@@ -110,14 +117,17 @@ object Similarity {
     */
   def kmeansGrouped(vectors: DataFrame, vecCol: String, idCol: String,
                     groupCol: String, targetCell: Long, iters: Int,
-                    seed: Int): DataFrame = {
+                    seed: Int, maxCells: Int = Int.MaxValue): DataFrame = {
     require(targetCell >= 1, "targetCell must be >= 1")
     require(iters >= 0, "iters must be >= 0")
+    require(maxCells >= 1, "maxCells must be >= 1")
     val id = col(idCol); val g = col(groupCol)
     val h = hash64(id.cast("string"), seed)
     val mc = vectors.groupBy(g)
       .agg(count(lit(1)).as("_cnt"))
-      .select(g, expr(s"(_cnt + ${targetCell - 1}) DIV $targetCell").as("_mc"))
+      .select(g, least(
+        expr(s"(_cnt + ${targetCell - 1}) DIV $targetCell"),
+        lit(maxCells.toLong)).as("_mc"))
     val wInit = Window.partitionBy(g).orderBy(h, id)
     val init = vectors.join(mc, Seq(groupCol))
       .withColumn("_rn", row_number().over(wInit))
@@ -172,17 +182,38 @@ object Similarity {
     * `(coarse, cell, id, dup_of, cos)` — `dup_of` is the smallest
     * duplicate partner within the SAME (coarse, cell), with the
     * transitive-chain caveat documented on [[semDedup]].
+    *
+    * `kmax` (default: uncapped) bounds BOTH codebooks at `kmax`
+    * centroids — the at-scale escape from the n^1.5 growth law. The
+    * derived shape (⌈√(n/t)⌉ coarse cells, ~√(n/t) fine cells each)
+    * keeps fine-cell occupancy at ~targetCell for ANY n, but its
+    * assignment cost grows as n·√(n/t): sub-quadratic, receipted
+    * sub-linear in wall up to the 100× soak, yet still super-linear —
+    * at 10⁴× beyond it the √(n/t) factor is what breaks. With the cap,
+    * assignment is at most n · 2·kmax dot products (corpus-LINEAR,
+    * k_fixed), and the documented consequence lands on OCCUPANCY: past
+    * n = kmax²·targetCell, expected fine-cell size grows as
+    * n / kmax², so the within-cell pair pass — not assignment —
+    * inherits the super-linear growth (Σ|cell|² ≈ n²/kmax²). Pick
+    * kmax so kmax²·targetCell sits above the per-shard corpus size
+    * (e.g. kmax = 4096, t = 64 covers ~10⁹ vectors per shard at
+    * ~8k dots/vector) and the cap is the safety rail, not the
+    * operating point; at gate/bench scale it defaults off and the
+    * derived shape (and its oracle replay) is byte-identical.
     */
   def semDedupHier(vectors: DataFrame, vecCol: String, idCol: String,
                    targetCell: Long, tau: Double, iters: Int = 2,
-                   seedCoarse: Int = 31, seedFine: Int = 37): DataFrame = {
+                   seedCoarse: Int = 31, seedFine: Int = 37,
+                   kmax: Int = Int.MaxValue): DataFrame = {
+    require(kmax >= 1, "kmax must be >= 1")
     val n = vectors.count()
     val coarseCent = kmeans(vectors, vecCol, idCol,
-      k = coarseCells(n, targetCell), iters = iters, seed = seedCoarse)
+      k = math.min(coarseCells(n, targetCell), kmax), iters = iters,
+      seed = seedCoarse)
     val asg = ivfAssign(vectors, vecCol, idCol, coarseCent)
       .withColumnRenamed("cell", "_coarse")
     val fine = kmeansGrouped(asg, vecCol, idCol, "_coarse", targetCell,
-      iters = iters, seed = seedFine)
+      iters = iters, seed = seedFine, maxCells = kmax)
     val wAssign = Window.partitionBy(col(idCol))
       .orderBy(col("_ccos").desc, col("centroid_id"))
     // NOT pinned, on measurement: the pair join consumes the assignment

@@ -141,6 +141,64 @@ class SemDedupSpec extends SparkSpec {
     assert(out.contains((103L, 1L)), s"103 duplicates 1, 2 and 100+3; its smallest partner is 1: $out")
   }
 
+  test("kmeansGrouped maxCells caps the per-group codebook — the " +
+    "assignment cost class is |group| * maxCells past the cap") {
+    val gvecs = Seq(
+      ("A", 1L, Seq(1.0, 0.0)), ("A", 2L, Seq(0.9, 0.1)),
+      ("A", 3L, Seq(0.0, 1.0)), ("A", 4L, Seq(0.1, 0.9)),
+      ("A", 5L, Seq(0.7, 0.7)),
+      ("B", 11L, Seq(1.0, 0.2)), ("B", 12L, Seq(0.2, 1.0)),
+      ("B", 13L, Seq(0.6, 0.6))
+    ).toDF("g", "vec_id", "embedding")
+    // target 1: derived cells = |group| (5 and 3); the cap pins both at 2
+    val capped = Similarity.kmeansGrouped(gvecs, "embedding", "vec_id",
+        "g", targetCell = 1L, iters = 2, seed = 37, maxCells = 2)
+      .collect().map(r => r.getString(0)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(capped == Map("A" -> 2, "B" -> 2),
+      s"codebooks must stop at maxCells centroids per group: $capped")
+    // a cap above every derived count is byte-identical to the default
+    def flatten(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+      .toSet
+    assert(
+      flatten(Similarity.kmeansGrouped(gvecs, "embedding", "vec_id", "g",
+        targetCell = 2L, iters = 2, seed = 37, maxCells = 100)) ==
+      flatten(Similarity.kmeansGrouped(gvecs, "embedding", "vec_id", "g",
+        targetCell = 2L, iters = 2, seed = 37)),
+      "an unreached cap must not change the codebook")
+  }
+
+  test("semDedupHier kmax bounds BOTH codebooks (cell ids stay under the " +
+    "cap); defaults off — unreached cap is byte-identical") {
+    // 12 directions, one exact twin each: drops land all around the circle
+    val base = (0 until 12).map { i =>
+      val a = math.toRadians(i * 30.0)
+      (100L + i, Seq(math.cos(a), math.sin(a)))
+    }
+    val twins = base.map { case (id, v) => (id - 100L, v) }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    def run(kmax: Int) = Similarity.semDedupHier(df, "embedding", "vec_id",
+        targetCell = 1L, tau = 0.999999, kmax = kmax)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // uncapped derived shape: coarseCells(24, 1) = 5 coarse cells
+    val free = run(Int.MaxValue)
+    assert(free.exists(_._1 >= 2), s"fixture must spread past 2 coarse cells: $free")
+    // capped: every assignment is against <= 2 coarse and <= 2 fine
+    // centroids — ids are row_number-derived, so the bound is structural
+    val capped = run(2)
+    assert(capped.nonEmpty && capped.forall(r => r._1 < 2 && r._2 < 2),
+      s"kmax=2 must bound both codebook id spaces: $capped")
+    // exact twins still share a fine cell under any codebook (identical
+    // round-6 cosines tie-break together) and drop keep-smallest-id
+    for (i <- 0 until 12)
+      assert(capped.exists(r => r._3 == 100L + i && r._4 == i.toLong),
+        s"twin ${100 + i} must drop with partner $i under the cap: $capped")
+    // a cap above the derived counts changes nothing
+    assert(run(100) == free, "an unreached kmax must be byte-identical")
+  }
+
   test("semDedupHier: deterministic across reruns; nothing drops above every cosine") {
     val df = (0 until 20).map { i =>
       (i.toLong, Seq(math.cos(i * 0.3), math.sin(i * 0.3), 0.1 * (i % 3)))
