@@ -1,0 +1,343 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-15 query surface: the contamination recall harness — the
+  * q50/q95 "measure, don't guess" discipline applied to the leakage
+  * ladder (q47/q64 verbatim, q163 lightly-edited, q164 rephrased).
+  * Oracle-parity rules as in [[Queries]]/[[Queries2]].
+  */
+object Queries22 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // --------------------------------------------------- q165_decontam_recall
+  /** Contamination-recall harness: plant KNOWN leaks at every rung of
+    * the leakage ladder, run each rung's public operator against the
+    * planted corpus, and report per-rung candidates / hits / possible /
+    * recall — the numbers the bands/planes/nprobe dials are actually
+    * turned against at 100 TB (q50 measures the ANN dials this way,
+    * q95 the dedup banding dials; decontamination had correctness
+    * oracles but no catch-rate measurement until this query).
+    *
+    * The fixture generator is the harness's own (both engines replay it
+    * bit-for-bit — planted truth, not sampled truth):
+    *
+    *  - TEST SET: the 64 md5-smallest documents with ≥ 12 tokens (a
+    *    TakeOrdered, so the audit cost is bounded at ANY corpus size —
+    *    the q95 discipline; benchmarks are fixed-size, a fraction is
+    *    not), and the 64 md5-smallest embedding rows for the semantic
+    *    rung.
+    *  - VERBATIM plants (ids +1e9): exact copies of the test docs.
+    *  - EDITED plants (ids +2e9): every k-th token replaced by a junk
+    *    token, k = 3 + 3·(doc_id mod 6) ∈ {3..18} — a SPREAD of edit
+    *    intensities (k=3 destroys every shingle, k=18 keeps ~5/6), so
+    *    rung-2 recall is a real S-curve measurement, not 0 or 1.
+    *  - SEMANTIC plants (ids +1e9): the test vector plus md5-derived
+    *    noise at amplitude (5 + 10·(vec_id mod 6))/100 ∈ {0.05..0.55}
+    *    — light perturbations stay in the source's hyperplane bucket,
+    *    heavy ones cross one or more planes, so the nprobe dial has
+    *    misses to recover.
+    *  - CORPUS: the original table minus the test rows, plus the
+    *    plants — test ids and corpus ids stay disjoint, so every
+    *    planted pair is real cross-relation leakage.
+    *
+    * Each rung runs its SHIPPED operator end-to-end against the planted
+    * corpus ([[graft.operators.Contamination.scores]] /
+    * [[graft.operators.Contamination.fuzzyScores]] at the q163 dial /
+    * [[graft.operators.Contamination.semanticScores]] at nprobe = 1, 2
+    * and planes+1 — `minCos = -1` turns the verify filter off, so
+    * `candidates` is the raw probe-structure agreement count, the COST
+    * side of each dial). `hits` counts planted pairs recovered at the
+    * rung's operational threshold (overlap ≥ 0.8 / Jaccard ≥ 0.5 /
+    * cosine ≥ 0.5), `possible` is the planted count, recall the ratio.
+    * The three semantic rows exercise the multi-probe path green that
+    * was previously spec-only: recall rises monotonically with nprobe
+    * (np1 → np2 → Hamming-1-complete) at measured candidate cost.
+    *
+    * Scale shape: every rung is the operator's own corpus-shuffle-free
+    * broadcast shape (the test side is 64 rows by construction); the
+    * fixture adds two narrow map passes and broadcast anti joins. The
+    * harness reruns the corpus scan once per rung by design — it
+    * audits the PUBLIC operators end-to-end rather than hand-sharing
+    * their internals; at 100 TB this audit runs on a sampled corpus
+    * slice, not the full table.
+    */
+  val q165DecontamRecall = {
+    import KmeansSql.sqlCos
+    val TestN = 64
+    val sqlPlanes =
+      """(SELECT CAST(coalesce(min(p), 16) AS INT) FROM range(1, 17) tp(p)
+          WHERE 64 * (1 << p) >= (SELECT count(*) FROM embeddings))"""
+    QueryDef(
+      "q165_decontam_recall",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.{Contamination, Similarity}
+        import graft.functions.GraftFunctions.hash64
+
+        // ---- text fixture: test set, verbatim + edited plants --------
+        val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        val tsel = docs.filter(size(split($"text", " ")) >= 12)
+          .withColumn("_h", hash64($"doc_id".cast("string"), 165))
+          .orderBy($"_h", $"doc_id").limit(TestN).drop("_h")
+        val verb = tsel.select(($"doc_id" + 1000000000L).as("doc_id"), $"text")
+        // derive the edit FIRST, shift the id after: aliasing the new id
+        // to "doc_id" in the same select would capture the lambda's
+        // $"doc_id" (Spark resolves the reuse laterally, like DuckDB
+        // would NOT — verified divergence)
+        val edited = tsel
+          .select($"doc_id",
+            array_join(transform(split($"text", " "), (x, i) =>
+              when(i.cast("long") % (lit(3L) + ($"doc_id" % 6) * 3L) === 0L,
+                concat(lit("zq"), i.cast("string"))).otherwise(x)), " ")
+              .as("text"))
+          .select(($"doc_id" + 2000000000L).as("doc_id"), $"text")
+        val corp = docs
+          .join(broadcast(tsel.select($"doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(verb).unionByName(edited)
+
+        // ---- rung 1: verbatim (exact shingle-pool overlap, q47/q64) --
+        val r1 = Contamination.scores(corp, tsel, "doc_id", "text")
+          .agg(count(lit(1)).as("candidates"),
+            coalesce(sum(when($"overlap_frac" >= 0.8 &&
+              $"doc_id" >= 1000000000L && $"doc_id" < 2000000000L, 1L)
+              .otherwise(0L)), lit(0L)).as("hits"))
+          .select(lit("r1_verbatim").as("rung"), $"candidates", $"hits")
+
+        // ---- rung 2: lightly edited (MinHash-LSH cross near-dup, q163)
+        // minJaccard = 1e-6 keeps every band-agreement pair (any band
+        // agreement implies >= 1 shared shingle, so Jaccard >= ~5e-4):
+        // candidates = the banding's cost, hits at the q163 dial (0.5)
+        val r2 = Contamination.fuzzyScores(corp, tsel, "doc_id", "text",
+            minJaccard = 0.000001)
+          .agg(count(lit(1)).as("candidates"),
+            coalesce(sum(when($"jaccard" >= 0.5 &&
+              $"doc_id" === $"test_id" + 2000000000L, 1L).otherwise(0L)),
+              lit(0L)).as("hits"))
+          .select(lit("r2_edited").as("rung"), $"candidates", $"hits")
+
+        // ---- vector fixture: test vectors + perturbed plants ---------
+        val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val vsel = emb
+          .withColumn("_h", hash64($"vec_id".cast("string"), 166))
+          .orderBy($"_h", $"vec_id").limit(TestN).drop("_h")
+        // amplitude via integer-then-one-divide so both engines produce
+        // the identical double (a decimal 0.1 multiply would not)
+        val amp = (lit(5L) + ($"vec_id" % 6) * 10L).cast("double") / 100.0
+        // same two-step shape as `edited`: perturb against the ORIGINAL
+        // vec_id, then shift the id
+        val vplant = vsel
+          .select($"vec_id",
+            transform($"embedding", (x, i) => x.cast("double") + amp *
+              ((hash64(concat($"vec_id".cast("string"), lit(":"),
+                i.cast("string")), 7) % 1000L).cast("double") / 1000.0 - 0.5))
+              .as("embedding"))
+          .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+        val vcorp = emb
+          .join(broadcast(vsel.select($"vec_id")), Seq("vec_id"), "left_anti")
+          .select($"vec_id",
+            transform($"embedding", _.cast("double")).as("embedding"))
+          .unionByName(vplant)
+        val planes = Similarity.autoPlanes(emb.count(), targetBucket = 64)
+
+        // ---- rung 3: rephrased (hyperplane-bucket cosine, q164) at
+        // three points of the nprobe recall dial ----------------------
+        def r3(np: Int, label: String): DataFrame =
+          Contamination.semanticScores(vcorp, vsel, "vec_id", "embedding",
+              dims = 64, planes = planes, minCos = -1.0, nprobe = np)
+            .agg(count(lit(1)).as("candidates"),
+              coalesce(sum(when($"cos" >= 0.5 &&
+                $"vec_id" === $"test_id" + 1000000000L, 1L).otherwise(0L)),
+                lit(0L)).as("hits"))
+            .select(lit(label).as("rung"), $"candidates", $"hits")
+
+        r1.unionByName(r2)
+          .unionByName(r3(1, "r3_semantic_np1"))
+          .unionByName(r3(2, "r3_semantic_np2"))
+          .unionByName(r3(planes + 1, "r3_semantic_npfull"))
+          .select($"rung", $"candidates", $"hits",
+            lit(TestN.toLong).as("possible"),
+            round($"hits".cast("double") / TestN, 6).as("recall"))
+          .orderBy($"rung")
+      },
+      Some(s"""
+        WITH
+        tsel AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text, row_number() OVER (ORDER BY
+              CAST(('0x' || substr(md5('165:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+              doc_id) AS rn
+            FROM documents WHERE len(string_split(text, ' ')) >= 12)
+          WHERE rn <= $TestN),
+        tedit AS (
+          SELECT doc_id + 2000000000 AS doc_id,
+                 array_to_string(list_transform(range(1, len(w) + 1), i ->
+                   CASE WHEN (i - 1) % (3 + (doc_id % 6) * 3) = 0
+                        THEN 'zq' || (i - 1) ELSE w[i] END), ' ') AS text
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tsel)),
+        corp AS (
+          SELECT d.doc_id, d.text FROM documents d
+          LEFT JOIN tsel USING (doc_id) WHERE tsel.doc_id IS NULL
+          UNION ALL
+          SELECT doc_id + 1000000000, text FROM tsel
+          UNION ALL
+          SELECT doc_id, text FROM tedit),
+        alltexts AS (
+          SELECT doc_id, text, true AS is_corpus FROM corp
+          UNION ALL
+          SELECT doc_id, text, false FROM tsel),
+        toks AS (
+          SELECT doc_id, is_corpus, string_split(text, ' ') AS w,
+                 list_transform(string_split(text, ' '),
+                   x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+          FROM alltexts),
+        shx AS (
+          SELECT doc_id, is_corpus,
+                 list_transform(
+                   list_transform(range(0, len(w) - 2), i ->
+                     ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                       * 41 + (wh[i+3] % 1073741824)),
+                   v -> v % 1073741789) AS sh
+          FROM toks WHERE len(w) >= 3),
+        tpool AS (
+          SELECT DISTINCT unnest(list_distinct(sh)) AS h FROM shx WHERE NOT is_corpus),
+        r1score AS (
+          SELECT c.doc_id,
+                 CAST(count(*) AS DOUBLE) / max(len(list_distinct(c.sh))) AS frac
+          FROM (SELECT doc_id, sh FROM shx WHERE is_corpus) c,
+               unnest(list_distinct(c.sh)) AS u(h)
+          JOIN tpool USING (h)
+          GROUP BY c.doc_id),
+        r1 AS (
+          SELECT 'r1_verbatim' AS rung,
+                 CAST(count(*) AS BIGINT) AS candidates,
+                 CAST(coalesce(sum(CASE WHEN round(frac, 6) >= 0.8
+                       AND doc_id >= 1000000000 AND doc_id < 2000000000
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+          FROM r1score),
+        mh AS (
+          SELECT doc_id, is_corpus,
+                 list_transform([31, 37, 41, 43, 47, 53, 59, 61], a ->
+                   list_min(list_transform(sh,
+                     h -> (a * (h % 1073741824) + a*7 + 3) % 1073741789))) AS sig
+          FROM shx),
+        bands AS (
+          SELECT doc_id, is_corpus,
+                 md5(b || ':' || sig[2*b+1] || ',' || sig[2*b+2]) AS band_key
+          FROM mh, unnest(range(0, 4)) AS tb(b)),
+        cand2 AS (
+          SELECT DISTINCT c.doc_id AS doc_id, t.doc_id AS test_id
+          FROM (SELECT doc_id, band_key FROM bands WHERE is_corpus) c
+          JOIN (SELECT doc_id, band_key FROM bands WHERE NOT is_corpus) t
+            USING (band_key)),
+        r2pairs AS (
+          SELECT cand2.doc_id, cand2.test_id,
+                 round(CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+                       / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jac
+          FROM cand2
+          JOIN (SELECT doc_id, sh FROM shx WHERE is_corpus) sa
+            ON sa.doc_id = cand2.doc_id
+          JOIN (SELECT doc_id, sh FROM shx WHERE NOT is_corpus) sb
+            ON sb.doc_id = cand2.test_id),
+        r2 AS (
+          SELECT 'r2_edited' AS rung,
+                 CAST(coalesce(sum(CASE WHEN jac >= 0.000001 THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS candidates,
+                 CAST(coalesce(sum(CASE WHEN jac >= 0.5
+                       AND doc_id = test_id + 2000000000
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+          FROM r2pairs),
+        vsel AS (
+          SELECT vec_id, embedding FROM (
+            SELECT vec_id, embedding, row_number() OVER (ORDER BY
+              CAST(('0x' || substr(md5('166:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+              vec_id) AS rn
+            FROM embeddings) WHERE rn <= $TestN),
+        vplant AS (
+          SELECT vec_id + 1000000000 AS vec_id,
+                 list_transform(range(0, 64), d ->
+                   embedding[d+1]::DOUBLE + ((5 + (vec_id % 6) * 10) / 100.0) *
+                     (CAST(('0x' || substr(md5('7:' || vec_id || ':' || d), 1, 15)) AS BIGINT)
+                        % 1000 / 1000.0 - 0.5)) AS v
+          FROM vsel),
+        vcorp AS (
+          SELECT e.vec_id, list_transform(e.embedding, x -> x::DOUBLE) AS v
+          FROM embeddings e LEFT JOIN vsel USING (vec_id) WHERE vsel.vec_id IS NULL
+          UNION ALL
+          SELECT vec_id, v FROM vplant),
+        cproj AS (
+          SELECT vec_id, v,
+                 list_transform(range(0, $sqlPlanes), p ->
+                   round(list_reduce(list_transform(range(0, 64),
+                     d -> v[d+1] * (CAST(('0x' || substr(md5('0:' || p || ':' || d), 1, 15)) AS BIGINT)
+                            % 1000 / 1000.0 - 0.5)),
+                     (x, y) -> x + y), 6)) AS pr
+          FROM vcorp),
+        cbkt AS (
+          SELECT vec_id, v,
+                 list_sum(list_transform(range(1, len(pr) + 1),
+                   i -> CASE WHEN pr[i] > 0 THEN (1 << (i - 1)) ELSE 0 END)) AS bucket
+          FROM cproj),
+        tproj AS (
+          SELECT vec_id AS test_id, list_transform(embedding, x -> x::DOUBLE) AS tv,
+                 list_transform(range(0, $sqlPlanes), p ->
+                   round(list_reduce(list_transform(range(0, 64),
+                     d -> embedding[d+1]::DOUBLE *
+                       (CAST(('0x' || substr(md5('0:' || p || ':' || d), 1, 15)) AS BIGINT)
+                          % 1000 / 1000.0 - 0.5)),
+                     (x, y) -> x + y), 6)) AS pr
+          FROM vsel),
+        tbkt AS (
+          SELECT test_id, tv,
+                 list_sum(list_transform(range(1, len(pr) + 1),
+                   i -> CASE WHEN pr[i] > 0 THEN (1 << (i - 1)) ELSE 0 END)) AS b0,
+                 CAST(list_sort(list_transform(range(1, len(pr) + 1),
+                   i -> [abs(pr[i]), CAST(i - 1 AS DOUBLE)]))[1][2] AS INT) AS pmin
+          FROM tproj),
+        vpairs AS (
+          SELECT c.vec_id, t.test_id, c.bucket, t.b0, t.pmin,
+                 ${sqlCos("c.v", "t.tv")} AS cos
+          FROM cbkt c, tbkt t
+          WHERE xor(c.bucket::BIGINT, t.b0::BIGINT) = 0
+             OR (xor(c.bucket::BIGINT, t.b0::BIGINT)
+                 & (xor(c.bucket::BIGINT, t.b0::BIGINT) - 1)) = 0),
+        r3 AS (
+          SELECT 'r3_semantic_np1' AS rung,
+                 CAST(coalesce(sum(CASE WHEN bucket = b0 THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS candidates,
+                 CAST(coalesce(sum(CASE WHEN bucket = b0 AND cos >= 0.5
+                       AND vec_id = test_id + 1000000000
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+          FROM vpairs
+          UNION ALL
+          SELECT 'r3_semantic_np2',
+                 CAST(coalesce(sum(CASE WHEN bucket = b0
+                       OR bucket = xor(b0::BIGINT, (1 << pmin)::BIGINT)
+                       THEN 1 ELSE 0 END), 0) AS BIGINT),
+                 CAST(coalesce(sum(CASE WHEN (bucket = b0
+                       OR bucket = xor(b0::BIGINT, (1 << pmin)::BIGINT))
+                       AND cos >= 0.5 AND vec_id = test_id + 1000000000
+                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM vpairs
+          UNION ALL
+          SELECT 'r3_semantic_npfull',
+                 CAST(count(*) AS BIGINT),
+                 CAST(coalesce(sum(CASE WHEN cos >= 0.5
+                       AND vec_id = test_id + 1000000000
+                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM vpairs),
+        unioned AS (
+          SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+        SELECT rung, candidates, hits, CAST($TestN AS BIGINT) AS possible,
+               round(CAST(hits AS DOUBLE) / $TestN, 6) AS recall
+        FROM unioned ORDER BY rung"""),
+      notes = "planted-leak recall harness over the full leakage " +
+        "ladder; candidates = raw probe-agreement cost, hits at each " +
+        "rung's operational threshold, semantic rung at nprobe 1/2/full")
+  }
+
+  def all: Seq[QueryDef] = Seq(q165DecontamRecall)
+}
