@@ -253,4 +253,133 @@ object Contamination {
       minCos, nprobe).select(col(idCol)).distinct()
     corpus.join(broadcast(bad), Seq(idCol), "left_anti")
   }
+
+  // ---- frozen-benchmark gate (streaming entry / repeated batch cuts) ------
+
+  /** The benchmark's probe structures, built ONCE and pinned
+    * (materialized): the shingle pool (rung 1), the banded-signature
+    * and shingle tables (rung 2), and the hyperplane bucket table with
+    * the `nprobe` fan-out baked in (rung 3). All four are
+    * benchmark-sized, so [[gateBatch]] broadcasts them against every
+    * micro-batch with zero per-batch benchmark work — the frozen
+    * contract [[graft.streaming.StreamingVectorIndex]] set for its
+    * quantizer, applied to decontamination: the structures never move
+    * under a replayed batch, so gating is replay-deterministic.
+    * Release with [[releaseProbes]] when the stream stops.
+    */
+  final case class BenchmarkProbes(
+      shinglePool: DataFrame, bandTable: DataFrame, shingleTable: DataFrame,
+      bucketTable: DataFrame, dims: Int, planes: Int, seeds: Int,
+      bands: Int, rowsPerBand: Int)
+
+  /** Gate thresholds + the batch-side embedding expression, bundled so
+    * the streaming chain can thread one optional value.
+    */
+  final case class BenchmarkGate(probes: BenchmarkProbes, vec: Column,
+      minOverlapFrac: Double = 0.8, minJaccard: Double = 0.5,
+      minCos: Double = 0.9)
+
+  /** Build [[BenchmarkProbes]] from a benchmark relation carrying
+    * `idCol` + `textCol`; `vec` is the embedding EXPRESSION over the
+    * benchmark's columns (a real embedding column, or a deterministic
+    * stand-in like [[graft.streaming.StreamingCurationChain.textEmbedding]]
+    * — the gate only needs batch and benchmark to agree on it). The
+    * test side is bounded exactly like the one-shot operators;
+    * `planes` is the caller's FROZEN plane count (never derived per
+    * batch — a growing corpus must not re-bucket the benchmark under a
+    * replay).
+    */
+  def buildProbes(testSet: DataFrame, idCol: String, textCol: String,
+                  vec: Column, dims: Int, planes: Int, nprobe: Int = 1,
+                  seeds: Int = 8, bands: Int = 4,
+                  rowsPerBand: Int = 2): BenchmarkProbes = {
+    require(seeds >= bands * rowsPerBand,
+      "signature must cover bands * rowsPerBand entries")
+    boundTestSide(testSet, "buildProbes")
+    val base = testSet.select(col(idCol).as("test_id"),
+      Dedup.shingleHashes3(Dedup.wordHashes(words(col(textCol)))).as("_tsh"),
+      vec.as("_tv"))
+    val sh = base.filter(size(col("_tsh")) > 0)
+    BenchmarkProbes(
+      shinglePool = Checkpoints.pin(
+        sh.select(explode(array_distinct(col("_tsh"))).as("h")).distinct()),
+      bandTable = Checkpoints.pin(Dedup.lshBands(
+          sh.select(col("test_id"), Dedup.minhashSig(col("_tsh"), seeds).as("sig")),
+          "test_id", "sig", bands, rowsPerBand)
+        .select(col("band_key"), col("test_id"))),
+      shingleTable = Checkpoints.pin(sh.select(col("test_id"), col("_tsh"))),
+      bucketTable = Checkpoints.pin(Similarity.explodeProbeBuckets(
+          base.select(col("test_id"), col("_tv")), "_tv", dims, planes,
+          nprobe, "_bkt")
+        .select(col("_bkt"), col("test_id"), col("_tv"))),
+      dims = dims, planes = planes, seeds = seeds, bands = bands,
+      rowsPerBand = rowsPerBand)
+  }
+
+  /** Release the pinned probe structures (stream shutdown). */
+  def releaseProbes(p: BenchmarkProbes): Unit =
+    Seq(p.shinglePool, p.bandTable, p.shingleTable, p.bucketTable)
+      .foreach(Checkpoints.release)
+
+  /** Remove from `batch` every document any rung of the leakage ladder
+    * matches against the frozen benchmark — the per-micro-batch form of
+    * `cut ∘ fuzzyCut ∘ semanticCut` (survivor-identical: each rung's
+    * bad set is per-document, so the union of bads equals the
+    * composition of cuts — spec-pinned). The batch side is touched in
+    * narrow map passes plus broadcast joins against the four pinned
+    * probe tables; only matches (contamination-sized) reach the rung-1
+    * count shuffle, and the benchmark side costs nothing per batch.
+    * `vec` is the batch-side embedding expression and must agree with
+    * the one [[buildProbes]] froze.
+    */
+  def gateBatch(batch: DataFrame, probes: BenchmarkProbes, idCol: String,
+                textCol: String, vec: Column, minOverlapFrac: Double = 0.8,
+                minJaccard: Double = 0.5, minCos: Double = 0.9): DataFrame = {
+    require(minOverlapFrac > 0.0 && minOverlapFrac <= 1.0,
+      "minOverlapFrac must be in (0, 1]")
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      "minJaccard must be in (0, 1]")
+    require(minCos >= -1.0 && minCos <= 1.0, "minCos must be in [-1, 1]")
+    val id = col(idCol)
+    val sh = batch.select(id,
+      Dedup.shingleHashes3(Dedup.wordHashes(words(col(textCol)))).as("_sh"),
+      vec.as("_v"))
+    val shNonEmpty = sh.filter(size(col("_sh")) > 0)
+    // rung 1: exact shingle-pool overlap (the scores()/cut() arithmetic)
+    val r1 = shNonEmpty
+      .select(id, array_distinct(col("_sh")).as("_dsh"))
+      .select(id, size(col("_dsh")).cast("long").as("_n"),
+        explode(col("_dsh")).as("h"))
+      .join(broadcast(probes.shinglePool), "h")
+      .groupBy(id, col("_n"))
+      .agg(count(lit(1)).as("_shared"))
+      .filter(round(col("_shared").cast("double") / col("_n"), 6)
+        >= minOverlapFrac)
+      .select(id)
+    // rung 2: banded-signature candidates, exact-Jaccard verify (the
+    // fuzzyScores() arithmetic against the frozen band/shingle tables)
+    val cand = Dedup.lshBands(
+        shNonEmpty.select(id, Dedup.minhashSig(col("_sh"), probes.seeds).as("sig")),
+        idCol, "sig", probes.bands, probes.rowsPerBand)
+      .select(col("band_key"), id)
+      .join(broadcast(probes.bandTable), Seq("band_key"))
+      .select(id, col("test_id")).distinct()
+    val r2 = shNonEmpty
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(probes.shingleTable), Seq("test_id"))
+      .filter(round(Dedup.jaccard(col("_sh"), col("_tsh")), 6) >= minJaccard)
+      .select(id)
+    // rung 3: one bucket per batch doc against the (nprobe-expanded)
+    // frozen bucket table (the semanticScores() arithmetic)
+    val r3 = sh
+      .select(id, col("_v"),
+        Similarity.hyperplaneBucket(col("_v"), probes.dims, probes.planes)
+          .as("_bkt"))
+      .join(broadcast(probes.bucketTable), Seq("_bkt"))
+      .filter(round(dot(col("_v"), col("_tv")) /
+        (l2norm(col("_v")) * l2norm(col("_tv"))), 6) >= minCos)
+      .select(id)
+    val bad = r1.unionByName(r2).unionByName(r3).distinct()
+    batch.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
 }

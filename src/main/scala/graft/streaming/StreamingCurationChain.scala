@@ -12,6 +12,10 @@ import graft.functions.GraftFunctions.hash64
   * pieces composed into ONE per-batch pipeline, the continuous form of
   * the batch curation funnel:
   *
+  *  0. (when a `gate` is configured) the DECONTAMINATION gate refuses
+  *     documents matching the frozen benchmark at any rung of the
+  *     leakage ladder ([[graft.operators.Contamination.gateBatch]]) —
+  *     a leaked test item never enters any artifact;
   *  1. [[StreamingContentDedup]] gates the batch (intra-batch + against
   *     the on-disk band index) and lands the admitted documents under
   *     `keptDir/batch=<id>`;
@@ -76,8 +80,9 @@ object StreamingCurationChain {
                    postingsDir: String, centroids: DataFrame, batchId: Long,
                    jaccardMin: Double = 0.5, buckets: Int = 8,
                    dims: Int = 8, maxSegments: Int = 0,
+                   gate: Option[graft.operators.Contamination.BenchmarkGate] = None,
                    onStage: (Long, Int) => Unit = (_, _) => ()): Unit = {
-    import graft.operators.{Checkpoints, Tombstones}
+    import graft.operators.{Checkpoints, Contamination, Tombstones}
     // Deferred-retire epilogue for an EARLIER batch's stage-5
     // compaction: markers staged at batch b retire only here, at a
     // batch > b — b's checkpoint has committed, so b can never replay
@@ -96,7 +101,18 @@ object StreamingCurationChain {
     // the next deleteDocs re-run or stage-5 maintenance purges it — the
     // residual race is one batch wide, not "quiesce the stream".
     val entrySnap = Tombstones.snapshot(spark, prefix)
-    val live = Tombstones.filterWith(batch, entrySnap, "doc_id")
+    val tombFree = Tombstones.filterWith(batch, entrySnap, "doc_id")
+    // optional DECONTAMINATION gate before any artifact sees the batch:
+    // every rung of the leakage ladder probes the FROZEN benchmark
+    // structures ([[graft.operators.Contamination.gateBatch]] — pinned
+    // at stream start, broadcast per batch, never rebuilt), so a leaked
+    // test item arriving on the stream is refused at the door instead
+    // of being admitted and needing a takedown later. Deterministic
+    // against frozen probes, hence replay-safe like the tombstone
+    // filter above it.
+    val live = gate.fold(tombFree)(g => Contamination.gateBatch(
+      tombFree, g.probes, "doc_id", "text", g.vec, g.minOverlapFrac,
+      g.minJaccard, g.minCos))
     var kept: DataFrame = null
     try {
       StreamingContentDedup.processBatch(spark,
@@ -535,13 +551,14 @@ object StreamingCurationChain {
             centroids: DataFrame,
             checkpoint: String, jaccardMin: Double = 0.5, buckets: Int = 8,
             dims: Int = 8, maxSegments: Int = 0,
+            gate: Option[graft.operators.Contamination.BenchmarkGate] = None,
             onStage: (Long, Int) => Unit = (_, _) => ()): StreamingQuery = {
     StreamingContentDedup.bootstrapIndex(source.sparkSession, prefix, buckets)
     source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, prefix, keptDir, cardDir,
           indexDir, postingsDir, centroids, batchId, jaccardMin, buckets,
-          dims, maxSegments, onStage)
+          dims, maxSegments, gate, onStage)
       }
       .option("checkpointLocation", checkpoint)
       .start()

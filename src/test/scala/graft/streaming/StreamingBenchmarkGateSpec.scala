@@ -1,0 +1,148 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Contamination
+
+/** The frozen-benchmark decontamination gate: all three rungs fire,
+  * union-of-bads parity with the composed one-shot cuts, and the
+  * streaming chain refuses planted leaks at the door (replay-safe —
+  * the admitted set is identical after a checkpoint replay).
+  */
+class StreamingBenchmarkGateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // the embedding expression both sides agree on: embed the FIRST token
+  // only, so a fully-rephrased doc that keeps its key token is
+  // embedding-identical to the benchmark while sharing no shingle
+  private def keyVec = StreamingCurationChain.textEmbedding(
+    element_at(split(col("text"), " "), 1), dims = 8)
+
+  private val benchText =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private def bench = Seq((100L, benchText)).toDF("doc_id", "text")
+
+  // P1 verbatim; P2 lightly edited (tokens 1 and 11 swapped — token 1
+  // dodges rung 3, and the swaps kill shingles {1, 9, 10} of 10:
+  // overlap 7/10 < 0.8 dodges rung 1, Jaccard 7/13 >= 0.5 trips
+  // rung 2); P3 rephrased (same first token, all other vocab disjoint —
+  // only rung 3 can see it); P4 clean
+  private val p1 = (1L, benchText)
+  private val p2 = (2L,
+    "omega beta gamma delta epsilon zeta eta theta iota kappa nu mu")
+  private val p3 = (3L,
+    "alpha completely different words that share nothing with the benchmark text")
+  private val p4 = (4L,
+    "clean unrelated document with its very own fresh vocabulary here")
+
+  private def probes(nprobe: Int = 1) = Contamination.buildProbes(
+    bench, "doc_id", "text", keyVec, dims = 8, planes = 4, nprobe = nprobe)
+
+  test("each rung catches its own plant; the clean doc survives") {
+    val p = probes()
+    try {
+      val batch = Seq(p1, p2, p3, p4).toDF("doc_id", "text")
+      val kept = Contamination.gateBatch(batch, p, "doc_id", "text", keyVec)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(4L), s"operational thresholds: $kept")
+      // strict thresholds disable rung 2's near-dup tolerance: P2 is the
+      // only plant that needed it (P1 exact at every rung, P3 cos = 1.0)
+      val strict = Contamination.gateBatch(batch, p, "doc_id", "text",
+          keyVec, minOverlapFrac = 1.0, minJaccard = 1.0, minCos = 1.0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(strict == Set(2L, 4L), s"strict thresholds: $strict")
+    } finally Contamination.releaseProbes(p)
+  }
+
+  test("gateBatch is survivor-identical to cut . fuzzyCut . semanticCut") {
+    val p = probes()
+    try {
+      val batch = Seq(p1, p2, p3, p4,
+        (5L, "more clean words sharing beta gamma delta with the benchmark"),
+        (6L, "alpha zz")). // 2 tokens: unshingleable, rung 3 still applies
+        toDF("doc_id", "text")
+      val viaGate = Contamination.gateBatch(batch, p, "doc_id", "text",
+          keyVec).select("doc_id").collect().map(_.getLong(0)).toSet
+      val benchV = bench.withColumn("v", keyVec)
+      val batchV = batch.withColumn("v", keyVec)
+      val composed = Contamination.semanticCut(
+          Contamination.fuzzyCut(
+            Contamination.cut(batchV, benchV, "doc_id", "text", 0.8),
+            benchV, "doc_id", "text", 0.5),
+          benchV, "doc_id", "v", dims = 8, planes = 4, minCos = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(viaGate == composed, s"gate $viaGate != composed $composed")
+    } finally Contamination.releaseProbes(p)
+  }
+
+  test("nprobe fan-out widens only the bucket table, never duplicates") {
+    val p1probe = probes(nprobe = 1)
+    val p5probe = probes(nprobe = 5) // planes + 1: all Hamming-1 buckets
+    try {
+      assert(p5probe.bucketTable.count() == 5 * p1probe.bucketTable.count())
+      val batch = Seq(p1, p3, p4).toDF("doc_id", "text")
+      // wider probing may only shrink the admitted set — and each bad id
+      // is emitted once (the anti join dedups; no duplicate survivors)
+      val k1 = Contamination.gateBatch(batch, p1probe, "doc_id", "text", keyVec)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val k5 = Contamination.gateBatch(batch, p5probe, "doc_id", "text", keyVec)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(k1.distinct == k1 && k5.distinct == k5, "duplicated survivors")
+      assert(k5.toSet.subsetOf(k1.toSet), s"nprobe=5 $k5 vs nprobe=1 $k1")
+    } finally {
+      Contamination.releaseProbes(p1probe)
+      Contamination.releaseProbes(p5probe)
+    }
+  }
+
+  test("chain refuses planted leaks at the door; replay admits the same set") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("gatechain").toString
+    val prefix = "graft_spec_gatechain"
+    val p = probes()
+    val centroids = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    ).toDF("centroid_id", "centroid_vec")
+    val gate = Contamination.BenchmarkGate(p, keyVec)
+    try {
+      lazy val in = MemoryStream[ChainDoc]
+      def chain(onStage: (Long, Int) => Unit) = StreamingCurationChain.start(
+        in.toDF(), prefix, keptDir = s"$dir/kept", cardDir = s"$dir/card",
+        indexDir = s"$dir/ivf", postingsDir = s"$dir/post",
+        centroids = centroids, checkpoint = s"$dir/ckpt",
+        gate = Some(gate), onStage = onStage)
+      in.addData(
+        ChainDoc(p1._1, p1._2, "en", "web"),   // verbatim leak
+        ChainDoc(p2._1, p2._2, "en", "web"),   // edited leak
+        ChainDoc(p3._1, p3._2, "en", "web"),   // rephrased leak
+        ChainDoc(p4._1, p4._2, "en", "books")) // clean
+      // crash AFTER stage 3 of batch 0: the replay must re-gate
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val q1 = chain((id, st) =>
+        if (id == 0L && st == 3 && armed.getAndSet(false))
+          throw new RuntimeException("injected crash after index append"))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      val q2 = chain((_, _) => ())
+      q2.processAllAvailable()
+      in.addData(ChainDoc(7L, "a later batch with novel admissible words",
+        "de", "web"))
+      q2.processAllAvailable()
+      q2.stop()
+      val kept = spark.read.parquet(s"$dir/kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(4L, 7L), s"kept after replay: $kept")
+      // the leaks never reached the downstream artifacts either
+      val indexed = spark.read.parquet(s"$dir/ivf")
+        .select("cand_id").collect().map(_.getLong(0)).toSet
+      assert(indexed == Set(4L, 7L), s"indexed: $indexed")
+    } finally Contamination.releaseProbes(p)
+  }
+}
