@@ -111,4 +111,23 @@ class PercentilesSpec extends SparkSpec {
     assert(!sketch.keySet.exists(_._1 == "nullonly"),
       "all-null groups produce no rows under both sources")
   }
+
+  test("the thresholds seam is free: ExactThresholds plan == exactCont plan") {
+    // the round-14 seam routed q94/q122/q140 through thresholds(...,
+    // ExactThresholds); this pins that the dispatch adds NOTHING to the
+    // physical plan, so any bench movement on those queries cannot be
+    // the seam's (the round-15 uptick adjudication)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("g", "v")
+    val qs = Seq(0.25, 0.5, 0.75)
+    // expression/plan ids are fresh per instantiation — normalize them
+    // away; everything else (operators, exchanges, expressions) must be
+    // byte-identical
+    def norm(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
+    val viaSeam = norm(Percentiles
+      .thresholds(df, Seq("g"), "v", qs, Percentiles.ExactThresholds))
+    val direct = norm(Percentiles.exactCont(df, Seq("g"), "v", qs))
+    assert(viaSeam == direct, s"plans differ:\n$viaSeam\nvs\n$direct")
+  }
 }
