@@ -339,5 +339,102 @@ object Queries22 {
         "rung's operational threshold, semantic rung at nprobe 1/2/full")
   }
 
-  def all: Seq[QueryDef] = Seq(q165DecontamRecall)
+  // ------------------------------------------------- q166_span_contamination
+  /** SPAN contamination — the fourth practical leakage mode, and the
+    * one rung 1 structurally CANNOT see: a benchmark item quoted
+    * verbatim inside a longer host document shares every one of its
+    * shingles, but the host's per-corpus-doc overlap fraction (q47's
+    * metric) is t/|host| — diluted below any sane threshold as the
+    * host grows. [[graft.operators.Contamination.spanScores]] measures
+    * from the TEST side instead: coverage = shared / test-item
+    * shingles, 1.0 for an embedded copy regardless of host length.
+    *
+    * The query plants the leakage mode it detects: each `% 97` test
+    * item is embedded into a host built from its corpus neighbor
+    * (filler + test + filler, id +3e9), and the output carries BOTH
+    * fractions — planted hosts read coverage = 1.0 with dilution ≈
+    * 0.3, the dilution gap that defeats rung 1, in the relation
+    * itself. Organic ≥ 0.9-coverage pairs (near-verbatim corpus copies
+    * of test items) surface alongside.
+    *
+    * Scale shape: the host build joins the BROADCAST test slice into
+    * one corpus map pass; spanScores explodes the broadcast test pool
+    * and probes the corpus in one narrow pass — only shingle matches
+    * reach the pair-grouped count. Same corpus-proportional-slice
+    * caveat as q163/q164: the `% 97` stand-in is benchmark-sized at
+    * gate scale and the operator's test-side bound fails fast past
+    * its broadcast budget.
+    */
+  val q166SpanContamination = QueryDef(
+    "q166_span_contamination",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Contamination
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val test = docs.filter($"doc_id" % 97 === 0)
+      val nonTest = docs.filter($"doc_id" % 97 =!= 0)
+      val hosts = nonTest
+        .select($"doc_id".as("_fid"), $"text".as("_ftext"))
+        .join(broadcast(test), $"_fid" === $"doc_id" + 1)
+        .select($"doc_id",
+          concat($"_ftext", lit(" "), $"text", lit(" "), $"_ftext")
+            .as("text"))
+        .select(($"doc_id" + 3000000000L).as("doc_id"), $"text")
+      Contamination.spanScores(nonTest.unionByName(hosts), test,
+          "doc_id", "text")
+        .filter($"coverage" >= 0.9)
+        .orderBy($"doc_id", $"test_id")
+    },
+    Some("""
+      WITH tsel AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      hosts AS (
+        SELECT t.doc_id + 3000000000 AS doc_id,
+               f.text || ' ' || t.text || ' ' || f.text AS text
+        FROM tsel t
+        JOIN documents f ON f.doc_id = t.doc_id + 1 AND f.doc_id % 97 <> 0),
+      corp AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id, text FROM hosts),
+      allt AS (
+        SELECT doc_id, text, true AS is_corpus FROM corp
+        UNION ALL
+        SELECT doc_id, text, false FROM tsel),
+      toks AS (
+        SELECT doc_id, is_corpus, string_split(text, ' ') AS w,
+               list_transform(string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+        FROM allt),
+      shx AS (
+        SELECT doc_id, is_corpus,
+               list_distinct(list_transform(
+                 list_transform(range(0, len(w) - 2), i ->
+                   ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                     * 41 + (wh[i+3] % 1073741824)),
+                 v -> v % 1073741789)) AS sh
+        FROM toks WHERE len(w) >= 3),
+      tex AS (
+        SELECT doc_id AS test_id, len(sh) AS t_n, unnest(sh) AS h
+        FROM shx WHERE NOT is_corpus),
+      p AS (
+        SELECT c.doc_id, test_id, max(c.c_n) AS c_n, max(t_n) AS t_n,
+               count(*) AS n_shared
+        FROM (SELECT doc_id, len(sh) AS c_n, unnest(sh) AS h
+              FROM shx WHERE is_corpus) c
+        JOIN tex USING (h)
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT doc_id, test_id, CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(t_n AS BIGINT) AS t_shingles,
+               round(CAST(n_shared AS DOUBLE) / t_n, 6) AS coverage,
+               round(CAST(n_shared AS DOUBLE) / c_n, 6) AS dilution
+        FROM p)
+      SELECT * FROM scored WHERE coverage >= 0.9
+      ORDER BY doc_id, test_id"""),
+    notes = "test-side coverage catches benchmark-in-long-doc embedding " +
+      "that the rung-1 corpus-side fraction dilutes away; dilution " +
+      "column shows the gap")
+
+  def all: Seq[QueryDef] = Seq(q165DecontamRecall, q166SpanContamination)
 }

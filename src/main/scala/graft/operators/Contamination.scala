@@ -254,6 +254,67 @@ object Contamination {
     corpus.join(broadcast(bad), Seq(idCol), "left_anti")
   }
 
+  /** SPAN contamination — the leakage mode the per-corpus-doc fraction
+    * DILUTES away: a benchmark item quoted verbatim inside a long host
+    * document (the dominant real-world form — answer keys embedded in
+    * web pages, test passages inside aggregator dumps) shares ALL of
+    * its shingles with the host, but the host's [[scores]] overlap_frac
+    * is t/|host| — arbitrarily small as the host grows, so rung 1
+    * never fires. What decontamination actually needs is the fraction
+    * measured from the TEST side: coverage = |shared| / |test item's
+    * shingles| — 1.0 for an embedded verbatim copy regardless of host
+    * length. Returns `(idCol, test_id, n_shared, t_shingles, coverage,
+    * dilution)` per shingle-sharing pair, where `dilution` is the
+    * corpus-side fraction rung 1 would have seen (emitted so the gap
+    * between the two numbers is visible in the relation itself).
+    *
+    * Scale shape: the test side explodes to (test_id, t_n, h) and
+    * broadcasts (benchmark-sized × shingles-per-item — still
+    * broadcast-bounded, and [[boundTestSide]] guards the relation);
+    * the corpus is one narrow explode-probe pass, and only MATCHES
+    * reach the pair-grouped count — contamination-sized, never corpus-
+    * sized.
+    */
+  def spanScores(corpus: DataFrame, testSet: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val id = col(idCol)
+    boundTestSide(testSet, "spanScores")
+    val tex = testSet
+      .select(col(idCol).as("test_id"), shingleSet(col(textCol)).as("_tsh"))
+      .filter(size(col("_tsh")) > 0)
+      .select(col("test_id"), size(col("_tsh")).cast("long").as("t_shingles"),
+        explode(col("_tsh")).as("h"))
+    corpus
+      .select(id, shingleSet(col(textCol)).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(id, size(col("_sh")).cast("long").as("_cn"),
+        explode(col("_sh")).as("h"))
+      .join(broadcast(tex), "h")
+      .groupBy(id, col("test_id"), col("_cn"), col("t_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(id, col("test_id"), col("n_shared"), col("t_shingles"),
+        round(col("n_shared").cast("double") / col("t_shingles"), 6)
+          .as("coverage"),
+        round(col("n_shared").cast("double") / col("_cn"), 6)
+          .as("dilution"))
+  }
+
+  /** Remove from `corpus` every document that CONTAINS a test item at
+    * `minCoverage` of its shingles ([[spanScores]]) — the embedded-leak
+    * cut. Composes with the other three: [[cut]] catches the verbatim
+    * whole-doc copy, this one the verbatim copy hiding inside a longer
+    * host.
+    */
+  def spanCut(corpus: DataFrame, testSet: DataFrame, idCol: String,
+              textCol: String, minCoverage: Double): DataFrame = {
+    require(minCoverage > 0.0 && minCoverage <= 1.0,
+      "minCoverage must be in (0, 1]")
+    val bad = spanScores(corpus, testSet, idCol, textCol)
+      .filter(col("coverage") >= minCoverage)
+      .select(col(idCol)).distinct()
+    corpus.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+
   // ---- frozen-benchmark gate (streaming entry / repeated batch cuts) ------
 
   /** The benchmark's probe structures, built ONCE and pinned

@@ -1085,6 +1085,27 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus side must not shuffle:\n$p")
   }
 
+  test("q166_span_contamination: broadcast-only probe; the single hash " +
+    "exchange is the match-sized pair aggregate") {
+    val p = plan("q166_span_contamination")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"span contamination must never be all-pairs:\n$p")
+    // two broadcasts: the test slice into the host build, the exploded
+    // test shingles into the probe join
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"test-side structures must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no join may shuffle the corpus side:\n$p")
+    // exactly one hash exchange — the (doc, test) pair count, which is
+    // match-sized (only shingle agreements reach it) and map-side
+    // combined; a corpus-wide shuffle would add more
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"corpus-scale shuffle crept in:\n$p")
+    assert(p.contains("partial_count"),
+      s"the pair count must combine map-side before the exchange:\n$p")
+  }
+
   /** Companion sweep: no query may plan a CartesianProduct, ever — the
     * per-query pins assert this for the shapes where an all-pairs bug
     * is plausible, but a new query with a missed join key (or a typo

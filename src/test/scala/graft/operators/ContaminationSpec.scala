@@ -167,6 +167,59 @@ class ContaminationSpec extends SparkSpec {
     }
   }
 
+  // ---- span (benchmark-embedded-in-host) form --------------------------
+
+  // the benchmark item (10 tokens -> 8 shingles), quoted verbatim inside
+  // a 22-token host (20 shingles): every test shingle appears in the
+  // host, so test-side coverage is 1.0 while the corpus-side fraction
+  // rung 1 measures is 8/20 = 0.4 — the dilution gap spanScores exists
+  // to close
+  private val spanBench =
+    Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+  private val spanCorpus = Seq(
+    (1L, "one two three four five six alpha beta gamma delta epsilon " +
+      "zeta eta theta iota kappa seven eight nine ten eleven twelve"), // host
+    (2L, "one two three alpha beta gamma four five six seven"), // 1 shingle
+    (3L, "totally unrelated words nothing shared here at all now"),
+    (4L, "too short")
+  ).toDF("doc_id", "text")
+
+  test("spanScores measures coverage from the test side") {
+    val s = Contamination.spanScores(spanCorpus, spanBench, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(4), r.getDouble(5))).toMap
+    assert(s(1L) == ((1.0, 0.4)),
+      s"embedded copy: coverage 1.0, dilution 8/20: $s")
+    assert(s(2L) == ((0.125, 0.125)), s"one shared shingle of 8: $s")
+    assert(!s.contains(3L) && !s.contains(4L),
+      s"clean/short docs produce no row: $s")
+  }
+
+  test("spanScores catches the embedded leak rung 1 dilutes away") {
+    // the premise, pinned on rung 1 itself: the host's corpus-side
+    // fraction reads 0.4 — below any sane decontamination threshold —
+    // while the test-side coverage is exactly 1.0
+    val rung1 = Contamination.scores(spanCorpus, spanBench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rung1(1L) == 0.4, s"rung 1 sees the diluted fraction: $rung1")
+    val span = Contamination.spanScores(spanCorpus, spanBench,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(span(1L) == 1.0, s"span coverage is host-length-invariant: $span")
+  }
+
+  test("spanCut removes embedding hosts, keeps the rest, schema intact") {
+    val kept = Contamination.spanCut(spanCorpus, spanBench, "doc_id",
+      "text", minCoverage = 0.9)
+    assert(kept.schema == spanCorpus.schema)
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    // a 0.1 threshold cuts the single-shingle doc (0.125) too
+    val strict = Contamination.spanCut(spanCorpus, spanBench, "doc_id",
+      "text", minCoverage = 0.1).collect().map(_.getLong(0)).toSet
+    assert(strict == Set(3L, 4L), strict)
+  }
+
   test("every rung refuses a test side past the broadcast budget") {
     spark.conf.set("graft.contamination.maxTestRows", "2")
     try {
@@ -183,6 +236,9 @@ class ContaminationSpec extends SparkSpec {
       assert(e1.getMessage.contains("benchmark-sized"), e1.getMessage)
       intercept[IllegalArgumentException] {
         Contamination.fuzzyScores(corpus, bigBench, "doc_id", "text", 0.5)
+      }
+      intercept[IllegalArgumentException] {
+        Contamination.spanScores(corpus, bigBench, "doc_id", "text")
       }
       intercept[IllegalArgumentException] {
         Contamination.semanticScores(semCorpus, bigSem, "vec_id",
