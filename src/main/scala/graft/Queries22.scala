@@ -40,6 +40,11 @@ object Queries22 {
     *    — light perturbations stay in the source's hyperplane bucket,
     *    heavy ones cross one or more planes, so the nprobe dial has
     *    misses to recover.
+    *  - SPAN plants (ids +3e9): the test doc embedded verbatim inside
+    *    junk filler of 1–4× its own length on each side — rung 1's
+    *    corpus-side fraction dilutes to 1/3..1/9 (guaranteed misses),
+    *    while rung 4's test-side coverage reads 1.0 at every filler
+    *    ratio.
     *  - CORPUS: the original table minus the test rows, plus the
     *    plants — test ids and corpus ids stay disjoint, so every
     *    planted pair is real cross-relation leakage.
@@ -119,6 +124,31 @@ object Queries22 {
               lit(0L)).as("hits"))
           .select(lit("r2_edited").as("rung"), $"candidates", $"hits")
 
+        // ---- rung 4: embedded (span coverage, q166) ------------------
+        // hosts: unique junk filler on both sides, length 1–4× the test
+        // doc — never pairs with anything except via its embedded test
+        // text, and guarantees rung-1 dilution at every ratio
+        val hostLen = (size(split($"text", " ")) *
+          (lit(1) + ($"doc_id" % 4))).cast("int")
+        val hosts = tsel
+          .select($"doc_id",
+            array_join(flatten(array(
+              transform(sequence(lit(0), hostLen - 1), i =>
+                concat(lit("fa"), $"doc_id".cast("string"), lit("x"),
+                  i.cast("string"))),
+              split($"text", " "),
+              transform(sequence(lit(0), hostLen - 1), i =>
+                concat(lit("fb"), $"doc_id".cast("string"), lit("x"),
+                  i.cast("string"))))), " ").as("text"))
+          .select(($"doc_id" + 3000000000L).as("doc_id"), $"text")
+        val r4 = Contamination.spanScores(corp.unionByName(hosts), tsel,
+            "doc_id", "text")
+          .agg(count(lit(1)).as("candidates"),
+            coalesce(sum(when($"coverage" >= 0.9 &&
+              $"doc_id" === $"test_id" + 3000000000L, 1L).otherwise(0L)),
+              lit(0L)).as("hits"))
+          .select(lit("r4_span_embedded").as("rung"), $"candidates", $"hits")
+
         // ---- vector fixture: test vectors + perturbed plants ---------
         val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
         val vsel = emb
@@ -158,6 +188,7 @@ object Queries22 {
           .unionByName(r3(1, "r3_semantic_np1"))
           .unionByName(r3(2, "r3_semantic_np2"))
           .unionByName(r3(planes + 1, "r3_semantic_npfull"))
+          .unionByName(r4)
           .select($"rung", $"candidates", $"hits",
             lit(TestN.toLong).as("possible"),
             round($"hits".cast("double") / TestN, 6).as("recall"))
@@ -250,6 +281,49 @@ object Queries22 {
                        AND doc_id = test_id + 2000000000
                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
           FROM r2pairs),
+        hosts AS (
+          SELECT doc_id + 3000000000 AS doc_id,
+                 array_to_string(list_concat(list_concat(
+                   list_transform(range(0, len(w) * (1 + doc_id % 4)),
+                     i -> 'fa' || doc_id || 'x' || i),
+                   w),
+                   list_transform(range(0, len(w) * (1 + doc_id % 4)),
+                     i -> 'fb' || doc_id || 'x' || i)), ' ') AS text
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tsel)),
+        htoks AS (
+          SELECT doc_id, string_split(text, ' ') AS w,
+                 list_transform(string_split(text, ' '),
+                   x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+          FROM hosts),
+        hshx AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_transform(range(0, len(w) - 2), i ->
+                     ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                       * 41 + (wh[i+3] % 1073741824)),
+                   v -> v % 1073741789) AS sh
+          FROM htoks WHERE len(w) >= 3),
+        spanx AS (
+          SELECT doc_id, list_distinct(sh) AS dsh FROM shx WHERE is_corpus
+          UNION ALL
+          SELECT doc_id, list_distinct(sh) FROM hshx),
+        texu AS (
+          SELECT doc_id AS test_id, len(list_distinct(sh)) AS t_n,
+                 unnest(list_distinct(sh)) AS h
+          FROM shx WHERE NOT is_corpus),
+        spanpairs AS (
+          SELECT c.doc_id, test_id, max(t_n) AS t_n, count(*) AS n_shared
+          FROM (SELECT doc_id, unnest(dsh) AS h FROM spanx) c
+          JOIN texu USING (h)
+          GROUP BY 1, 2),
+        r4 AS (
+          SELECT 'r4_span_embedded' AS rung,
+                 CAST(count(*) AS BIGINT) AS candidates,
+                 CAST(coalesce(sum(CASE WHEN
+                       round(CAST(n_shared AS DOUBLE) / t_n, 6) >= 0.9
+                       AND doc_id = test_id + 3000000000
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+          FROM spanpairs),
         vsel AS (
           SELECT vec_id, embedding FROM (
             SELECT vec_id, embedding, row_number() OVER (ORDER BY
@@ -330,13 +404,15 @@ object Queries22 {
                        THEN 1 ELSE 0 END), 0) AS BIGINT)
           FROM vpairs),
         unioned AS (
-          SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+          SELECT * FROM r1 UNION ALL SELECT * FROM r2
+          UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
         SELECT rung, candidates, hits, CAST($TestN AS BIGINT) AS possible,
                round(CAST(hits AS DOUBLE) / $TestN, 6) AS recall
         FROM unioned ORDER BY rung"""),
       notes = "planted-leak recall harness over the full leakage " +
         "ladder; candidates = raw probe-agreement cost, hits at each " +
-        "rung's operational threshold, semantic rung at nprobe 1/2/full")
+        "rung's operational threshold, semantic rung at nprobe 1/2/full, " +
+        "span rung on junk-filler hosts at 1-4x dilution")
   }
 
   // ------------------------------------------------- q166_span_contamination

@@ -18,6 +18,10 @@ import graft.functions.GraftFunctions._
   *  3. FULLY REPHRASED — embedding-cosine hyperplane-bucket near-dup
   *     across the two relations (q164): no shingle survives a rewrite,
   *     the embedding neighborhood does.
+  *  4. EMBEDDED (span) — the test item quoted verbatim INSIDE a longer
+  *     host document (q166): rung 1's corpus-side fraction dilutes to
+  *     t/|host|, so [[spanScores]] measures test-side coverage instead,
+  *     which is host-length-invariant.
   *
   * (Reference N/A — north-star LLM-pipeline depth.)
   *
@@ -319,8 +323,9 @@ object Contamination {
 
   /** The benchmark's probe structures, built ONCE and pinned
     * (materialized): the shingle pool (rung 1), the banded-signature
-    * and shingle tables (rung 2), and the hyperplane bucket table with
-    * the `nprobe` fan-out baked in (rung 3). All four are
+    * and shingle tables (rung 2), the hyperplane bucket table with
+    * the `nprobe` fan-out baked in (rung 3), and the per-test-item
+    * shingle table with counts (rung 4's span probe). All five are
     * benchmark-sized, so [[gateBatch]] broadcasts them against every
     * micro-batch with zero per-batch benchmark work — the frozen
     * contract [[graft.streaming.StreamingVectorIndex]] set for its
@@ -330,15 +335,15 @@ object Contamination {
     */
   final case class BenchmarkProbes(
       shinglePool: DataFrame, bandTable: DataFrame, shingleTable: DataFrame,
-      bucketTable: DataFrame, dims: Int, planes: Int, seeds: Int,
-      bands: Int, rowsPerBand: Int)
+      bucketTable: DataFrame, spanTable: DataFrame, dims: Int, planes: Int,
+      seeds: Int, bands: Int, rowsPerBand: Int)
 
   /** Gate thresholds + the batch-side embedding expression, bundled so
     * the streaming chain can thread one optional value.
     */
   final case class BenchmarkGate(probes: BenchmarkProbes, vec: Column,
       minOverlapFrac: Double = 0.8, minJaccard: Double = 0.5,
-      minCos: Double = 0.9)
+      minCos: Double = 0.9, minCoverage: Double = 0.9)
 
   /** Build [[BenchmarkProbes]] from a benchmark relation carrying
     * `idCol` + `textCol`; `vec` is the embedding EXPRESSION over the
@@ -373,21 +378,26 @@ object Contamination {
           base.select(col("test_id"), col("_tv")), "_tv", dims, planes,
           nprobe, "_bkt")
         .select(col("_bkt"), col("test_id"), col("_tv"))),
+      spanTable = Checkpoints.pin(sh
+        .select(col("test_id"), array_distinct(col("_tsh")).as("_d"))
+        .select(col("test_id"), size(col("_d")).cast("long").as("t_n"),
+          explode(col("_d")).as("h"))),
       dims = dims, planes = planes, seeds = seeds, bands = bands,
       rowsPerBand = rowsPerBand)
   }
 
   /** Release the pinned probe structures (stream shutdown). */
   def releaseProbes(p: BenchmarkProbes): Unit =
-    Seq(p.shinglePool, p.bandTable, p.shingleTable, p.bucketTable)
+    Seq(p.shinglePool, p.bandTable, p.shingleTable, p.bucketTable,
+        p.spanTable)
       .foreach(Checkpoints.release)
 
   /** Remove from `batch` every document any rung of the leakage ladder
     * matches against the frozen benchmark — the per-micro-batch form of
-    * `cut ∘ fuzzyCut ∘ semanticCut` (survivor-identical: each rung's
-    * bad set is per-document, so the union of bads equals the
+    * `cut ∘ fuzzyCut ∘ semanticCut ∘ spanCut` (survivor-identical: each
+    * rung's bad set is per-document, so the union of bads equals the
     * composition of cuts — spec-pinned). The batch side is touched in
-    * narrow map passes plus broadcast joins against the four pinned
+    * narrow map passes plus broadcast joins against the five pinned
     * probe tables; only matches (contamination-sized) reach the rung-1
     * count shuffle, and the benchmark side costs nothing per batch.
     * `vec` is the batch-side embedding expression and must agree with
@@ -395,27 +405,43 @@ object Contamination {
     */
   def gateBatch(batch: DataFrame, probes: BenchmarkProbes, idCol: String,
                 textCol: String, vec: Column, minOverlapFrac: Double = 0.8,
-                minJaccard: Double = 0.5, minCos: Double = 0.9): DataFrame = {
+                minJaccard: Double = 0.5, minCos: Double = 0.9,
+                minCoverage: Double = 0.9): DataFrame = {
     require(minOverlapFrac > 0.0 && minOverlapFrac <= 1.0,
       "minOverlapFrac must be in (0, 1]")
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       "minJaccard must be in (0, 1]")
     require(minCos >= -1.0 && minCos <= 1.0, "minCos must be in [-1, 1]")
+    require(minCoverage > 0.0 && minCoverage <= 1.0,
+      "minCoverage must be in (0, 1]")
     val id = col(idCol)
     val sh = batch.select(id,
       Dedup.shingleHashes3(Dedup.wordHashes(words(col(textCol)))).as("_sh"),
       vec.as("_v"))
     val shNonEmpty = sh.filter(size(col("_sh")) > 0)
-    // rung 1: exact shingle-pool overlap (the scores()/cut() arithmetic)
-    val r1 = shNonEmpty
+    // one distinct-shingle explode feeds BOTH direction-of-measurement
+    // rungs (1 and 4)
+    val exploded = shNonEmpty
       .select(id, array_distinct(col("_sh")).as("_dsh"))
       .select(id, size(col("_dsh")).cast("long").as("_n"),
         explode(col("_dsh")).as("h"))
+    // rung 1: exact shingle-pool overlap (the scores()/cut() arithmetic)
+    val r1 = exploded
       .join(broadcast(probes.shinglePool), "h")
       .groupBy(id, col("_n"))
       .agg(count(lit(1)).as("_shared"))
       .filter(round(col("_shared").cast("double") / col("_n"), 6)
         >= minOverlapFrac)
+      .select(id)
+    // rung 4: test-side coverage (the spanScores()/spanCut() arithmetic)
+    // — catches the benchmark embedded inside a long streamed host that
+    // rung 1's batch-side fraction dilutes away
+    val r4 = exploded
+      .join(broadcast(probes.spanTable), "h")
+      .groupBy(id, col("test_id"), col("t_n"))
+      .agg(count(lit(1)).as("_shared"))
+      .filter(round(col("_shared").cast("double") / col("t_n"), 6)
+        >= minCoverage)
       .select(id)
     // rung 2: banded-signature candidates, exact-Jaccard verify (the
     // fuzzyScores() arithmetic against the frozen band/shingle tables)
@@ -440,7 +466,7 @@ object Contamination {
       .filter(round(dot(col("_v"), col("_tv")) /
         (l2norm(col("_v")) * l2norm(col("_tv"))), 6) >= minCos)
       .select(id)
-    val bad = r1.unionByName(r2).unionByName(r3).distinct()
+    val bad = r1.unionByName(r2).unionByName(r3).unionByName(r4).distinct()
     batch.join(broadcast(bad), Seq(idCol), "left_anti")
   }
 }

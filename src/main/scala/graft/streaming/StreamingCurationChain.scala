@@ -112,7 +112,7 @@ object StreamingCurationChain {
     // filter above it.
     val live = gate.fold(tombFree)(g => Contamination.gateBatch(
       tombFree, g.probes, "doc_id", "text", g.vec, g.minOverlapFrac,
-      g.minJaccard, g.minCos))
+      g.minJaccard, g.minCos, g.minCoverage))
     var kept: DataFrame = null
     try {
       StreamingContentDedup.processBatch(spark,

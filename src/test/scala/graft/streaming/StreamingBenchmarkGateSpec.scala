@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.operators.Contamination
 
-/** The frozen-benchmark decontamination gate: all three rungs fire,
+/** The frozen-benchmark decontamination gate: all four rungs fire,
   * union-of-bads parity with the composed one-shot cuts, and the
   * streaming chain refuses planted leaks at the door (replay-safe —
   * the admitted set is identical after a checkpoint replay).
@@ -39,6 +39,15 @@ class StreamingBenchmarkGateSpec extends SparkSpec {
     "alpha completely different words that share nothing with the benchmark text")
   private val p4 = (4L,
     "clean unrelated document with its very own fresh vocabulary here")
+  // P5 embedded (span): the benchmark quoted verbatim inside a 60-token
+  // host. Coverage is 1.0 (every benchmark shingle appears), but the
+  // host-side fraction is 10/58 — far under rung 1's 0.8; Jaccard is
+  // the same 10/58 < 0.5 so rung 2's verify rejects any band hit; and
+  // the host's FIRST token is filler, so keyVec dodges rung 3. Only
+  // the span rung can see it.
+  private val p5 = (9L,
+    (0 until 24).map(i => s"f$i").mkString(" ") + " " + benchText + " " +
+      (0 until 24).map(i => s"g$i").mkString(" "))
 
   private def probes(nprobe: Int = 1) = Contamination.buildProbes(
     bench, "doc_id", "text", keyVec, dims = 8, planes = 4, nprobe = nprobe)
@@ -59,10 +68,11 @@ class StreamingBenchmarkGateSpec extends SparkSpec {
     } finally Contamination.releaseProbes(p)
   }
 
-  test("gateBatch is survivor-identical to cut . fuzzyCut . semanticCut") {
+  test("gateBatch is survivor-identical to cut . fuzzyCut . semanticCut " +
+    ". spanCut") {
     val p = probes()
     try {
-      val batch = Seq(p1, p2, p3, p4,
+      val batch = Seq(p1, p2, p3, p4, p5,
         (5L, "more clean words sharing beta gamma delta with the benchmark"),
         (6L, "alpha zz")). // 2 tokens: unshingleable, rung 3 still applies
         toDF("doc_id", "text")
@@ -70,13 +80,39 @@ class StreamingBenchmarkGateSpec extends SparkSpec {
           keyVec).select("doc_id").collect().map(_.getLong(0)).toSet
       val benchV = bench.withColumn("v", keyVec)
       val batchV = batch.withColumn("v", keyVec)
-      val composed = Contamination.semanticCut(
+      val composed = Contamination.spanCut(
+          Contamination.semanticCut(
+            Contamination.fuzzyCut(
+              Contamination.cut(batchV, benchV, "doc_id", "text", 0.8),
+              benchV, "doc_id", "text", 0.5),
+            benchV, "doc_id", "v", dims = 8, planes = 4, minCos = 0.9),
+          benchV, "doc_id", "text", minCoverage = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(viaGate == composed, s"gate $viaGate != composed $composed")
+    } finally Contamination.releaseProbes(p)
+  }
+
+  test("the span rung alone sees the embedded leak; the first three " +
+    "rungs dilute it away") {
+    val p = probes()
+    try {
+      val batch = Seq(p4, p5).toDF("doc_id", "text")
+      // premise, pinned on the one-shot rungs themselves: without the
+      // span rung, P5 survives every cut
+      val benchV = bench.withColumn("v", keyVec)
+      val batchV = batch.withColumn("v", keyVec)
+      val threeRungs = Contamination.semanticCut(
           Contamination.fuzzyCut(
             Contamination.cut(batchV, benchV, "doc_id", "text", 0.8),
             benchV, "doc_id", "text", 0.5),
           benchV, "doc_id", "v", dims = 8, planes = 4, minCos = 0.9)
         .select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(viaGate == composed, s"gate $viaGate != composed $composed")
+      assert(threeRungs == Set(4L, 9L),
+        s"the embedded leak must dodge rungs 1-3: $threeRungs")
+      // the gate (with rung 4) refuses it
+      val kept = Contamination.gateBatch(batch, p, "doc_id", "text", keyVec)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(4L), s"rung 4 must gate the embedded leak: $kept")
     } finally Contamination.releaseProbes(p)
   }
 
