@@ -43,7 +43,8 @@ class Queries22Spec extends SparkSpec {
 
   test("one row per rung, hits bounded by possible and candidates") {
     assert(rows.keySet == Set("r1_verbatim", "r2_edited",
-      "r3_semantic_np1", "r3_semantic_np2", "r3_semantic_npfull"), rows.keySet)
+      "r3_semantic_np1", "r3_semantic_np2", "r3_semantic_npfull",
+      "r4_span_embedded"), rows.keySet)
     rows.foreach { case (rung, (cand, hits, possible, recall)) =>
       assert(hits <= possible, s"$rung: hits $hits > possible $possible")
       assert(hits <= cand, s"$rung: hits $hits > candidates $cand")
@@ -54,6 +55,11 @@ class Queries22Spec extends SparkSpec {
 
   test("verbatim plants are always caught — the harness's sanity anchor") {
     assert(rows("r1_verbatim")._4 == 1.0, rows("r1_verbatim"))
+  }
+
+  test("span plants are always caught — coverage is host-length-" +
+    "invariant, so the right detector needs no dial") {
+    assert(rows("r4_span_embedded")._4 == 1.0, rows("r4_span_embedded"))
   }
 
   test("the nprobe dial is monotone in both recall and candidate cost") {
