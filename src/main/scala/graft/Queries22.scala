@@ -512,5 +512,113 @@ object Queries22 {
       "that the rung-1 corpus-side fraction dilutes away; dilution " +
       "column shows the gap")
 
-  def all: Seq[QueryDef] = Seq(q165DecontamRecall, q166SpanContamination)
+  // ---------------------------------------------------- q167_span_excision
+  /** Surgical decontamination — EXCISE the quoted benchmark span,
+    * keep the host ([[graft.operators.Contamination.spanExcise]]): the
+    * alternative to q166's whole-doc cut when the host document is
+    * otherwise good training data (the usual real-world case — a long
+    * web page quoting one test item). A token goes when any 3-shingle
+    * covering it appears in the test pool; hosts keep their filler,
+    * organic partial overlaps get nibbled by exactly their shared
+    * span, and fully-covered documents (verbatim copies) drop to an
+    * empty residue and are removed outright.
+    *
+    * Fixture: the q166 planted hosts (filler + test + filler built
+    * from the corpus neighbor). The oracle hash-compares the ENTIRE
+    * cleaned text of every touched document, so the rewrite arithmetic
+    * — positional shingles, coverage window, token re-join — is pinned
+    * byte-exact cross-engine.
+    *
+    * Scale shape: pool broadcast; one narrow posexplode probe pass
+    * whose output is contamination-sized; the rewrite is a broadcast
+    * left join back onto the corpus. Same test-side bound as the other
+    * rungs.
+    */
+  val q167SpanExcision = QueryDef(
+    "q167_span_excision",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.Contamination
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val test = docs.filter($"doc_id" % 97 === 0)
+      val nonTest = docs.filter($"doc_id" % 97 =!= 0)
+      val hosts = nonTest
+        .select($"doc_id".as("_fid"), $"text".as("_ftext"))
+        .join(broadcast(test), $"_fid" === $"doc_id" + 1)
+        .select($"doc_id",
+          concat($"_ftext", lit(" "), $"text", lit(" "), $"_ftext")
+            .as("text"))
+        .select(($"doc_id" + 3000000000L).as("doc_id"), $"text")
+      Contamination.spanExcise(nonTest.unionByName(hosts), test,
+          "doc_id", "text")
+        .filter($"n_excised" > 0)
+        .select($"doc_id", $"n_excised",
+          length($"text").cast("long").as("clean_chars"),
+          $"text".as("clean_text"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH tsel AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      hosts AS (
+        SELECT t.doc_id + 3000000000 AS doc_id,
+               f.text || ' ' || t.text || ' ' || f.text AS text
+        FROM tsel t
+        JOIN documents f ON f.doc_id = t.doc_id + 1 AND f.doc_id % 97 <> 0),
+      corp AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id, text FROM hosts),
+      ctoks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               list_transform(string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+        FROM corp),
+      cshx AS (
+        SELECT doc_id, w,
+               list_transform(
+                 list_transform(range(0, len(w) - 2), i ->
+                   ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                     * 41 + (wh[i+3] % 1073741824)),
+                 v -> v % 1073741789) AS sh
+        FROM ctoks WHERE len(w) >= 3),
+      ttoks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               list_transform(string_split(text, ' '),
+                 x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
+        FROM tsel),
+      tpool AS (
+        SELECT DISTINCT unnest(list_transform(
+                 list_transform(range(0, len(w) - 2), i ->
+                   ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                     * 41 + (wh[i+3] % 1073741824)),
+                 v -> v % 1073741789)) AS h
+        FROM ttoks WHERE len(w) >= 3),
+      posx AS (
+        SELECT doc_id, j, sh[j+1] AS h
+        FROM cshx, unnest(range(0, len(sh))) AS tj(j)),
+      mj AS (
+        SELECT doc_id, list(DISTINCT j) AS mj
+        FROM posx JOIN tpool USING (h) GROUP BY doc_id),
+      rew AS (
+        SELECT c.doc_id,
+               list_transform(
+                 list_filter(range(0, len(w)), p ->
+                   NOT (list_contains(mj, p) OR list_contains(mj, p - 1)
+                        OR list_contains(mj, p - 2))),
+                 p -> w[p+1]) AS keptw,
+               len(w) AS n
+        FROM cshx c JOIN mj USING (doc_id))
+      SELECT doc_id,
+             CAST(n - len(keptw) AS BIGINT) AS n_excised,
+             CAST(len(array_to_string(keptw, ' ')) AS BIGINT) AS clean_chars,
+             array_to_string(keptw, ' ') AS clean_text
+      FROM rew
+      WHERE n - len(keptw) > 0 AND len(keptw) >= 1
+      ORDER BY doc_id"""),
+    notes = "PaLM-style dirty-span removal: excise the quoted benchmark " +
+      "tokens, keep the host; cleaned text hash-compared byte-exact")
+
+  def all: Seq[QueryDef] =
+    Seq(q165DecontamRecall, q166SpanContamination, q167SpanExcision)
 }

@@ -319,6 +319,79 @@ object Contamination {
     corpus.join(broadcast(bad), Seq(idCol), "left_anti")
   }
 
+  /** EXCISE benchmark spans instead of dropping the host — the
+    * surgical alternative to [[spanCut]] for the embedded-leak mode:
+    * a long, otherwise-good document that quotes a test item loses
+    * only the quoted tokens, not its training value. A token position
+    * is excised when ANY 3-shingle covering it (start j ∈ {p-2, p-1,
+    * p}, j valid) appears in the test set's shingle pool; surviving
+    * tokens are re-joined on single spaces. Documents sharing NO
+    * shingle with the pool pass through byte-identical with
+    * `n_excised = 0`; documents whose surviving token count falls
+    * below `minKeepTokens` are dropped outright (a residue of filler
+    * fragments is not a document). Returns `corpus` with `textCol`
+    * rewritten plus an `n_excised` long column.
+    *
+    * On re-application: shingles straddling an excision cut mix tokens
+    * from both sides of the cut, which in practice (junk/unrelated
+    * neighbors) cannot re-enter the benchmark pool, so a second pass
+    * excises nothing (spec-pinned on embedded-copy fixtures). Strict
+    * idempotence is NOT guaranteed in the adversarial case where a cut
+    * splices two fragments into a NEW pool shingle — callers needing a
+    * fixed point should iterate until `n_excised` sums to zero (each
+    * pass strictly shrinks token count, so it terminates).
+    *
+    * Scale shape: the pool broadcasts (benchmark-sized); the corpus is
+    * one narrow posexplode probe pass whose join output — and hence
+    * the per-doc matched-position aggregate and both rewrite joins
+    * (broadcast) — is contamination-sized, never corpus-sized, so the
+    * corpus itself never shuffles here. CAVEAT on that sizing: "shares
+    * ≥ 1 shingle" is a weaker bound than the other rungs' thresholds —
+    * a benchmark containing high-document-frequency trigrams pulls a
+    * corpus fraction into the matched set and with it the broadcasts.
+    * If the benchmark is not curated prose (boilerplate, code), drop
+    * its high-df shingles from `testSet`'s text or pre-screen with
+    * [[spanScores]] before excising — the df-cap discipline the
+    * winnowing postings use.
+    */
+  def spanExcise(corpus: DataFrame, testSet: DataFrame, idCol: String,
+                 textCol: String, minKeepTokens: Int = 1): DataFrame = {
+    require(minKeepTokens >= 0, "minKeepTokens must be >= 0")
+    val id = col(idCol)
+    boundTestSide(testSet, "spanExcise")
+    val pool = testSet
+      .select(explode(shingleSet(col(textCol))).as("h")).distinct()
+    val toks = corpus.select(id, words(col(textCol)).as("_w"))
+    // positional (NOT distinct) shingles: element j starts at token j
+    val matched = toks
+      .select(id, posexplode(
+        Dedup.shingleHashes3(Dedup.wordHashes(col("_w")))))
+      .withColumnRenamed("pos", "_j").withColumnRenamed("col", "h")
+      .join(broadcast(pool), "h")
+      .groupBy(id).agg(collect_set(col("_j")).as("_mj"))
+    val kept = filter(
+      transform(sequence(lit(0), size(col("_w")) - 1), p =>
+        when(exists(array(p - 2, p - 1, p), j =>
+          j >= 0 && j <= size(col("_w")) - 3 &&
+            array_contains(col("_mj"), j)),
+          lit(null).cast("string"))
+          .otherwise(element_at(col("_w"), p + 1))),
+      x => x.isNotNull)
+    // matched is contamination-sized (docs sharing >= 1 pool shingle),
+    // so the rewrite probe broadcasts it — the corpus side never
+    // shuffles anywhere in this operator
+    val rewritten = toks.join(broadcast(matched), Seq(idCol))
+      .select(id, kept.as("_kept"), size(col("_w")).as("_n"))
+      .select(id, array_join(col("_kept"), " ").as("_newtext"),
+        (col("_n") - size(col("_kept"))).cast("long").as("_nex"),
+        size(col("_kept")).as("_keptn"))
+    corpus.join(broadcast(rewritten), Seq(idCol), "left")
+      .filter(col("_keptn").isNull || col("_keptn") >= minKeepTokens)
+      .withColumn(textCol, coalesce(col("_newtext"), col(textCol)))
+      .withColumn("n_excised", coalesce(col("_nex"), lit(0L)))
+      .drop("_newtext", "_nex", "_keptn")
+  }
+
   // ---- frozen-benchmark gate (streaming entry / repeated batch cuts) ------
 
   /** The benchmark's probe structures, built ONCE and pinned

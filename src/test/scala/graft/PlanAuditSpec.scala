@@ -1106,6 +1106,29 @@ class PlanAuditSpec extends SparkSpec {
       s"the pair count must combine map-side before the exchange:\n$p")
   }
 
+  test("q167_span_excision: corpus never shuffles; probe and rewrite " +
+    "are broadcast joins") {
+    val p = plan("q167_span_excision")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"excision must never be all-pairs:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no join may shuffle the corpus side:\n$p")
+    // pool into the probe, matched positions into the rewrite, rewritten
+    // rows back onto the corpus: all broadcast
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      s"probe/rewrite sides must broadcast:\n$p")
+    // exactly two hash exchanges, both bounded: the test pool's
+    // distinct (benchmark-sized) and the matched-position collect_set
+    // (match-sized, partially aggregated) — a third would be the
+    // corpus shuffling
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"corpus-scale shuffle crept in:\n$p")
+    assert(p.contains("partial_collect_set") || p.contains("objHashAggregate")
+      || p.contains("ObjectHashAggregate"),
+      s"the matched-position aggregate must combine map-side:\n$p")
+  }
+
   /** Companion sweep: no query may plan a CartesianProduct, ever — the
     * per-query pins assert this for the shapes where an all-pairs bug
     * is plausible, but a new query with a missed join key (or a typo

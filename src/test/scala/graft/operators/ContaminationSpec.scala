@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, sum}
+
 import graft.SparkSpec
 
 /** [[Contamination.cut]]: contaminated documents removed at the
@@ -218,6 +220,45 @@ class ContaminationSpec extends SparkSpec {
     val strict = Contamination.spanCut(spanCorpus, spanBench, "doc_id",
       "text", minCoverage = 0.1).collect().map(_.getLong(0)).toSet
     assert(strict == Set(3L, 4L), strict)
+  }
+
+  test("spanExcise removes exactly the quoted span, keeps the host") {
+    val out = Contamination.spanExcise(spanCorpus, spanBench,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    // host: the 10 embedded benchmark tokens excised, filler intact
+    assert(out(1L) == (("one two three four five six seven eight nine " +
+      "ten eleven twelve", 10L)), out(1L))
+    // doc 2 shares ONE shingle ("alpha beta gamma"): its 3 covered
+    // tokens go, the rest stay
+    assert(out(2L) == (("one two three four five six seven", 3L)), out(2L))
+    // clean and unshingleable docs pass through byte-identical
+    assert(out(3L)._1.startsWith("totally unrelated") && out(3L)._2 == 0L)
+    assert(out(4L) == (("too short", 0L)), out(4L))
+  }
+
+  test("spanExcise drops residues below minKeepTokens; second pass " +
+    "excises nothing on embedded-copy fixtures") {
+    // a verbatim whole-doc copy is fully covered -> empty residue ->
+    // dropped at the default minKeepTokens = 1
+    val withCopy = spanCorpus.unionByName(
+      Seq((5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"))
+    val once = Contamination.spanExcise(withCopy, spanBench,
+      "doc_id", "text")
+    assert(!once.collect().map(_.getLong(0)).contains(5L),
+      "fully-excised doc must be dropped")
+    // re-applying to the cleaned corpus excises nothing more
+    val again = Contamination.spanExcise(once.drop("n_excised"),
+        spanBench, "doc_id", "text")
+      .agg(sum(col("n_excised"))).collect()(0).getLong(0)
+    assert(again == 0L, s"second pass excised $again tokens")
+    // post-excision coverage: no surviving doc reaches the cut bar
+    val resid = Contamination.spanScores(once.drop("n_excised"),
+        spanBench, "doc_id", "text")
+      .agg(coalesce(max(col("coverage")), lit(0.0))).collect()(0).getDouble(0)
+    assert(resid == 0.0, s"residual coverage $resid")
   }
 
   test("every rung refuses a test side past the broadcast budget") {
