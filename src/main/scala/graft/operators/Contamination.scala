@@ -356,11 +356,22 @@ object Contamination {
     */
   def spanExcise(corpus: DataFrame, testSet: DataFrame, idCol: String,
                  textCol: String, minKeepTokens: Int = 1): DataFrame = {
-    require(minKeepTokens >= 0, "minKeepTokens must be >= 0")
-    val id = col(idCol)
     boundTestSide(testSet, "spanExcise")
     val pool = testSet
       .select(explode(shingleSet(col(textCol))).as("h")).distinct()
+    exciseWithPool(corpus, pool, idCol, textCol, minKeepTokens)
+  }
+
+  /** [[spanExcise]] against a PRE-BUILT shingle pool carrying a single
+    * `h` column — the frozen-gate form ([[BenchmarkProbes.shinglePool]]
+    * is exactly this relation, pinned once at stream start), also the
+    * shape for reusing one pool across many corpus shards without
+    * re-deriving it.
+    */
+  def exciseWithPool(corpus: DataFrame, pool: DataFrame, idCol: String,
+                     textCol: String, minKeepTokens: Int = 1): DataFrame = {
+    require(minKeepTokens >= 0, "minKeepTokens must be >= 0")
+    val id = col(idCol)
     val toks = corpus.select(id, words(col(textCol)).as("_w"))
     // positional (NOT distinct) shingles: element j starts at token j
     val matched = toks
@@ -412,11 +423,21 @@ object Contamination {
       seeds: Int, bands: Int, rowsPerBand: Int)
 
   /** Gate thresholds + the batch-side embedding expression, bundled so
-    * the streaming chain can thread one optional value.
+    * the streaming chain can thread one optional value. With
+    * `excise = true` the gate runs GATE-THEN-EXCISE: rungs 1–3 refuse
+    * whole-document leaks first (an edited or rephrased copy must die,
+    * not shrink into a junk residue — the ordering a naive
+    * excise-first composition gets wrong), then survivors have
+    * embedded benchmark quotes removed against the frozen pool
+    * ([[exciseWithPool]]) in place of rung 4's whole-host drop. A host
+    * that merely QUOTES a test item is admitted cleaned rather than
+    * refused — still deterministic against the frozen probes, hence
+    * replay-safe.
     */
   final case class BenchmarkGate(probes: BenchmarkProbes, vec: Column,
       minOverlapFrac: Double = 0.8, minJaccard: Double = 0.5,
-      minCos: Double = 0.9, minCoverage: Double = 0.9)
+      minCos: Double = 0.9, minCoverage: Double = 0.9,
+      excise: Boolean = false, minKeepTokens: Int = 1)
 
   /** Build [[BenchmarkProbes]] from a benchmark relation carrying
     * `idCol` + `textCol`; `vec` is the embedding EXPRESSION over the
@@ -479,7 +500,8 @@ object Contamination {
   def gateBatch(batch: DataFrame, probes: BenchmarkProbes, idCol: String,
                 textCol: String, vec: Column, minOverlapFrac: Double = 0.8,
                 minJaccard: Double = 0.5, minCos: Double = 0.9,
-                minCoverage: Double = 0.9): DataFrame = {
+                minCoverage: Double = 0.9, excise: Boolean = false,
+                minKeepTokens: Int = 1): DataFrame = {
     require(minOverlapFrac > 0.0 && minOverlapFrac <= 1.0,
       "minOverlapFrac must be in (0, 1]")
     require(minJaccard > 0.0 && minJaccard <= 1.0,
@@ -539,7 +561,23 @@ object Contamination {
       .filter(round(dot(col("_v"), col("_tv")) /
         (l2norm(col("_v")) * l2norm(col("_tv"))), 6) >= minCos)
       .select(id)
-    val bad = r1.unionByName(r2).unionByName(r3).unionByName(r4).distinct()
-    batch.join(broadcast(bad), Seq(idCol), "left_anti")
+    if (!excise) {
+      val bad = r1.unionByName(r2).unionByName(r3).unionByName(r4)
+        .distinct()
+      batch.join(broadcast(bad), Seq(idCol), "left_anti")
+    } else {
+      // EXCISE mode: rungs 1-3 refuse whole-document leaks FIRST (an
+      // edited or rephrased copy must die, not shrink into a residue),
+      // then survivors have embedded benchmark quotes surgically
+      // removed against the same frozen pool — rung 4's drop is
+      // replaced by the excision (post-excision coverage is zero by
+      // construction), and a host that merely quotes a test item is
+      // admitted cleaned. minKeepTokens kills residues too short to be
+      // documents. Schema is preserved (n_excised is not emitted).
+      val bad = r1.unionByName(r2).unionByName(r3).distinct()
+      val survivors = batch.join(broadcast(bad), Seq(idCol), "left_anti")
+      exciseWithPool(survivors, probes.shinglePool, idCol, textCol,
+        minKeepTokens).drop("n_excised")
+    }
   }
 }

@@ -107,12 +107,16 @@ object StreamingCurationChain {
     // structures ([[graft.operators.Contamination.gateBatch]] — pinned
     // at stream start, broadcast per batch, never rebuilt), so a leaked
     // test item arriving on the stream is refused at the door instead
-    // of being admitted and needing a takedown later. Deterministic
+    // of being admitted and needing a takedown later. With
+    // `gate.excise` the gate runs GATE-THEN-EXCISE: rungs 1-3 refuse
+    // whole-document leaks, then embedded benchmark quotes are removed
+    // from the survivors' text (a quoting host is admitted cleaned
+    // instead of rung 4 dropping it). Both forms are deterministic
     // against frozen probes, hence replay-safe like the tombstone
-    // filter above it.
+    // filter above.
     val live = gate.fold(tombFree)(g => Contamination.gateBatch(
       tombFree, g.probes, "doc_id", "text", g.vec, g.minOverlapFrac,
-      g.minJaccard, g.minCos, g.minCoverage))
+      g.minJaccard, g.minCos, g.minCoverage, g.excise, g.minKeepTokens))
     var kept: DataFrame = null
     try {
       StreamingContentDedup.processBatch(spark,

@@ -136,6 +136,58 @@ class StreamingBenchmarkGateSpec extends SparkSpec {
     }
   }
 
+  test("gate-then-excise: the quoting host is admitted CLEANED, " +
+    "rungs 1-3 still refuse whole-document leaks") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("excisechain").toString
+    val prefix = "graft_spec_excisechain"
+    val p = probes()
+    val centroids = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    ).toDF("centroid_id", "centroid_vec")
+    val gate = Contamination.BenchmarkGate(p, keyVec, excise = true)
+    try {
+      lazy val in = MemoryStream[ChainDoc]
+      def chain(onStage: (Long, Int) => Unit) = StreamingCurationChain.start(
+        in.toDF(), prefix, keptDir = s"$dir/kept", cardDir = s"$dir/card",
+        indexDir = s"$dir/ivf", postingsDir = s"$dir/post",
+        centroids = centroids, checkpoint = s"$dir/ckpt",
+        gate = Some(gate), onStage = onStage)
+      in.addData(
+        ChainDoc(p1._1, p1._2, "en", "web"),   // verbatim -> rung 1 refuses
+        ChainDoc(p2._1, p2._2, "en", "web"),   // edited -> rung 2 refuses
+        ChainDoc(p3._1, p3._2, "en", "web"),   // rephrased -> rung 3 refuses
+        ChainDoc(p4._1, p4._2, "en", "books"), // clean -> untouched
+        ChainDoc(p5._1, p5._2, "en", "web"))   // quoting host -> cleaned
+      // crash AFTER stage 3: the replay must re-excise identically
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val q1 = chain((id, st) =>
+        if (id == 0L && st == 3 && armed.getAndSet(false))
+          throw new RuntimeException("injected crash after index append"))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      val q2 = chain((_, _) => ())
+      q2.processAllAvailable()
+      q2.stop()
+      val kept = spark.read.parquet(s"$dir/kept")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(kept.keySet == Set(4L, 9L), s"admitted: ${kept.keySet}")
+      // the clean doc byte-identical; the host reduced to EXACTLY its
+      // filler — the benchmark quote is gone from the stored text
+      assert(kept(4L) == p4._2, kept(4L))
+      val filler = (0 until 24).map(i => s"f$i").mkString(" ") + " " +
+        (0 until 24).map(i => s"g$i").mkString(" ")
+      assert(kept(9L) == filler, s"host not cleaned: ${kept(9L)}")
+      // and no leak reached the downstream artifacts
+      val indexed = spark.read.parquet(s"$dir/ivf")
+        .select("cand_id").collect().map(_.getLong(0)).toSet
+      assert(indexed == Set(4L, 9L), s"indexed: $indexed")
+    } finally Contamination.releaseProbes(p)
+  }
+
   test("chain refuses planted leaks at the door; replay admits the same set") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = Files.createTempDirectory("gatechain").toString
