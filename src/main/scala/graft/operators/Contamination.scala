@@ -258,6 +258,72 @@ object Contamination {
     corpus.join(broadcast(bad), Seq(idCol), "left_anti")
   }
 
+  /** MULTI-TABLE semantic contamination — the at-scale form of
+    * [[semanticScores]], fixing the recall erosion its own harness
+    * measured (q165 round-15: single-code recall on rephrased plants
+    * falls from 0.77 at sf0.1 to 0.36 at 100× even with complete
+    * Hamming-1 probing). Root cause is structural: a single code's
+    * plane count must GROW with the corpus ([[Similarity.autoPlanes]])
+    * to keep buckets bounded, so a FIXED rephrase perturbation crosses
+    * ever more planes as n grows. Here the rung-2 banding discipline is
+    * applied to bit codes instead ([[Similarity.multiTableBuckets]]):
+    * `tables` independent codes of `planesPerTable` bits each, a pair
+    * is a candidate on agreement in ANY table, and recall
+    * 1−(1−p^planesPerTable)^tables is INDEPENDENT of corpus size —
+    * raised by adding tables, never eroded by corpus growth.
+    *
+    * Returns `(idCol, test_id, n_tables, cos)` — one row per candidate
+    * pair with cosine ≥ `minCos`; `n_tables` is the number of agreeing
+    * tables (Σ n_tables over the relation is the raw candidate cost a
+    * recall harness charges the dial with, which is why the duplicate
+    * agreements are counted rather than silently dropped).
+    *
+    * Scale shape: the corpus side is ONE narrow map pass fanned out to
+    * `tables` (table, bucket) rows per vector — never a corpus shuffle;
+    * the benchmark-sized probe side broadcasts with its fan-out baked
+    * in; the only exchange is the match-sized pair-dedup aggregate.
+    * The cost dial: expected verify work per corpus row ≈
+    * tables · |testSet| / 2^planesPerTable at uniform occupancy — a
+    * CONSTANT per row at any corpus size, which is exactly what the
+    * single-code form cannot offer once autoPlanes ties its geometry
+    * to n. nprobe composes (Hamming fan-out within each table) but is
+    * rarely needed — add a table instead.
+    */
+  def semanticScoresMulti(corpus: DataFrame, testSet: DataFrame,
+                          idCol: String, vecCol: String, dims: Int,
+                          planesPerTable: Int, tables: Int, minCos: Double,
+                          nprobe: Int = 1): DataFrame = {
+    require(minCos >= -1.0 && minCos <= 1.0, "minCos must be in [-1, 1]")
+    boundTestSide(testSet, "semanticScoresMulti")
+    val id = col(idCol)
+    val c = Similarity.multiTableBuckets(
+      corpus.select(id, col(vecCol).as("_v")), "_v", dims, planesPerTable,
+      tables, "_tbl", "_bkt")
+    val probe = Similarity.explodeMultiTableProbes(
+      testSet.select(col(idCol).as("test_id"), col(vecCol).as("_tv")),
+      "_tv", dims, planesPerTable, tables, nprobe, "_tbl", "_bkt")
+    c.join(broadcast(probe), Seq("_tbl", "_bkt"))
+      .select(id, col("test_id"),
+        round(dot(col("_v"), col("_tv")) /
+          (l2norm(col("_v")) * l2norm(col("_tv"))), 6).as("cos"))
+      .groupBy(id, col("test_id"), col("cos"))
+      .agg(count(lit(1)).as("n_tables"))
+      .filter(col("cos") >= minCos)
+      .select(id, col("test_id"), col("n_tables"), col("cos"))
+  }
+
+  /** Remove from `corpus` every row with a [[semanticScoresMulti]]
+    * match — the multi-table semantic cut, the configuration that
+    * holds its recall at 100 TB.
+    */
+  def semanticCutMulti(corpus: DataFrame, testSet: DataFrame, idCol: String,
+                       vecCol: String, dims: Int, planesPerTable: Int,
+                       tables: Int, minCos: Double): DataFrame = {
+    val bad = semanticScoresMulti(corpus, testSet, idCol, vecCol, dims,
+      planesPerTable, tables, minCos).select(col(idCol)).distinct()
+    corpus.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+
   /** SPAN contamination — the leakage mode the per-corpus-doc fraction
     * DILUTES away: a benchmark item quoted verbatim inside a long host
     * document (the dominant real-world form — answer keys embedded in
@@ -338,8 +404,8 @@ object Contamination {
     * excises nothing (spec-pinned on embedded-copy fixtures). Strict
     * idempotence is NOT guaranteed in the adversarial case where a cut
     * splices two fragments into a NEW pool shingle — callers needing a
-    * fixed point should iterate until `n_excised` sums to zero (each
-    * pass strictly shrinks token count, so it terminates).
+    * fixed point use [[exciseToFixpoint]] (each pass strictly shrinks
+    * token count, so it terminates).
     *
     * Scale shape: the pool broadcasts (benchmark-sized); the corpus is
     * one narrow posexplode probe pass whose join output — and hence
@@ -349,17 +415,43 @@ object Contamination {
     * ≥ 1 shingle" is a weaker bound than the other rungs' thresholds —
     * a benchmark containing high-document-frequency trigrams pulls a
     * corpus fraction into the matched set and with it the broadcasts.
-    * If the benchmark is not curated prose (boilerplate, code), drop
-    * its high-df shingles from `testSet`'s text or pre-screen with
-    * [[spanScores]] before excising — the df-cap discipline the
-    * winnowing postings use.
+    * `maxDf` is that caveat's dial (the df-cap discipline the winnowing
+    * postings use): with it set, pool shingles whose CORPUS document
+    * frequency exceeds `maxDf` are dropped from the probe before any
+    * matching — one extra narrow corpus pass producing a pool-sized
+    * df relation, so the matched set stays bounded by genuinely
+    * distinctive benchmark content. Default: uncapped (curated-prose
+    * benchmarks need no screen).
     */
   def spanExcise(corpus: DataFrame, testSet: DataFrame, idCol: String,
-                 textCol: String, minKeepTokens: Int = 1): DataFrame = {
+                 textCol: String, minKeepTokens: Int = 1,
+                 maxDf: Long = Long.MaxValue): DataFrame = {
     boundTestSide(testSet, "spanExcise")
     val pool = testSet
       .select(explode(shingleSet(col(textCol))).as("h")).distinct()
-    exciseWithPool(corpus, pool, idCol, textCol, minKeepTokens)
+    exciseWithPool(corpus, dfCapPool(pool, corpus, textCol, maxDf),
+      idCol, textCol, minKeepTokens)
+  }
+
+  /** Drop from `pool` the shingles whose document frequency in
+    * `corpus` exceeds `maxDf` — the high-df pre-screen [[spanExcise]]
+    * and [[buildProbes]] expose as a parameter. One narrow corpus
+    * explode probed against the broadcast pool; the df aggregate's
+    * output (and its exchange) is pool-sized.
+    */
+  private def dfCapPool(pool: DataFrame, corpus: DataFrame,
+                        textCol: String, maxDf: Long): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    if (maxDf == Long.MaxValue) pool
+    else {
+      val df = corpus
+        .select(explode(shingleSet(col(textCol))).as("h"))
+        .join(broadcast(pool), "h")
+        .groupBy(col("h")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDf)
+        .select(col("h"))
+      pool.join(broadcast(df), Seq("h"), "left_anti")
+    }
   }
 
   /** [[spanExcise]] against a PRE-BUILT shingle pool carrying a single
@@ -380,14 +472,16 @@ object Contamination {
       .withColumnRenamed("pos", "_j").withColumnRenamed("col", "h")
       .join(broadcast(pool), "h")
       .groupBy(id).agg(collect_set(col("_j")).as("_mj"))
-    val kept = filter(
-      transform(sequence(lit(0), size(col("_w")) - 1), p =>
-        when(exists(array(p - 2, p - 1, p), j =>
-          j >= 0 && j <= size(col("_w")) - 3 &&
-            array_contains(col("_mj"), j)),
-          lit(null).cast("string"))
-          .otherwise(element_at(col("_w"), p + 1))),
-      x => x.isNotNull)
+    // LINEAR rewrite: a matched shingle starting at j covers tokens
+    // {j, j+1, j+2} (every start position is <= n-3, so the covered
+    // positions are always in range); the kept positions come from ONE
+    // array_except — a hash-set difference, O(tokens + matches) — so a
+    // heavily-quoted long host rewrites in O(tokens), not the
+    // O(tokens × matches) a per-token membership scan would pay.
+    val excised = flatten(transform(col("_mj"), j => array(j, j + 1, j + 2)))
+    val kept = transform(
+      array_except(sequence(lit(0), size(col("_w")) - 1), excised),
+      p => element_at(col("_w"), p + 1))
     // matched is contamination-sized (docs sharing >= 1 pool shingle),
     // so the rewrite probe broadcasts it — the corpus side never
     // shuffles anywhere in this operator
@@ -403,12 +497,70 @@ object Contamination {
       .drop("_newtext", "_nex", "_keptn")
   }
 
+  /** [[exciseWithPool]] iterated to the FIXED POINT — the adversarial-
+    * splice closure the single pass cannot promise: a cut can join two
+    * fragments into a NEW pool shingle ("p q [a b c] r" with both
+    * "a b c" AND "p q r" in the pool — one pass removes the quote and
+    * thereby ASSEMBLES a verbatim test item), so decontamination that
+    * must guarantee zero residual coverage re-excises until a pass
+    * removes nothing. Termination is structural — every pass strictly
+    * shrinks the total token count — and `maxPasses` is a safety valve
+    * only (returns the current state if hit; real corpora converge in
+    * 1–2 passes because splice shingles need exact token adjacency).
+    *
+    * Scale shape, and why this is NOT maxPasses × the single-pass
+    * cost: one narrow pre-screen pass splits the corpus into UNTOUCHED
+    * documents (share no pool shingle — they exit immediately with
+    * `n_excised = 0`, no rewrite work, and by the same token can never
+    * need a second pass) and the TOUCHED set, which is
+    * contamination-sized; every iteration — including the first actual
+    * excision — runs over that small set only, pinned per pass so the
+    * loop's lineage stays flat. The corpus is scanned a bounded number
+    * of times (pre-screen probe + the two split anti/semi joins, all
+    * narrow broadcast probes); passes 2+ never see it at all.
+    */
+  def exciseToFixpoint(corpus: DataFrame, pool: DataFrame, idCol: String,
+                       textCol: String, minKeepTokens: Int = 1,
+                       maxPasses: Int = 8): DataFrame = {
+    require(maxPasses >= 1, "maxPasses must be >= 1")
+    val id = col(idCol)
+    val touched = Checkpoints.pin(corpus
+      .select(id, explode(shingleSet(col(textCol))).as("h"))
+      .join(broadcast(pool), "h")
+      .select(id).distinct())
+    val clean = corpus.join(broadcast(touched), Seq(idCol), "left_anti")
+      .withColumn("n_excised", lit(0L))
+    var dirty = Checkpoints.pin(
+      corpus.join(broadcast(touched), Seq(idCol), "left_semi")
+        .withColumn("_acc", lit(0L)))
+    var pass = 0
+    var excised = 1L
+    while (excised > 0L && pass < maxPasses) {
+      // exciseWithPool preserves extra columns, so the running total
+      // rides through as _acc
+      val next = Checkpoints.pin(
+        exciseWithPool(dirty, pool, idCol, textCol, minKeepTokens)
+          .withColumn("_acc", col("_acc") + col("n_excised")))
+      excised = next.agg(coalesce(sum(col("n_excised")), lit(0L)))
+        .head().getLong(0)
+      Checkpoints.release(dirty)
+      dirty = next
+      pass += 1
+    }
+    // `touched` and the final `dirty` pin are read lazily by the
+    // returned frame — they cannot be released here (the Checkpoints
+    // final-pin contract; reference-tracking cleanup reclaims them)
+    clean.unionByName(
+      dirty.drop("n_excised").withColumnRenamed("_acc", "n_excised"))
+  }
+
   // ---- frozen-benchmark gate (streaming entry / repeated batch cuts) ------
 
   /** The benchmark's probe structures, built ONCE and pinned
     * (materialized): the shingle pool (rung 1), the banded-signature
-    * and shingle tables (rung 2), the hyperplane bucket table with
-    * the `nprobe` fan-out baked in (rung 3), and the per-test-item
+    * and shingle tables (rung 2), the hyperplane bucket table — one
+    * row per (table, probed bucket, test item), with the `tables` ×
+    * `nprobe` fan-out baked in (rung 3) — and the per-test-item
     * shingle table with counts (rung 4's span probe). All five are
     * benchmark-sized, so [[gateBatch]] broadcasts them against every
     * micro-batch with zero per-batch benchmark work — the frozen
@@ -420,7 +572,7 @@ object Contamination {
   final case class BenchmarkProbes(
       shinglePool: DataFrame, bandTable: DataFrame, shingleTable: DataFrame,
       bucketTable: DataFrame, spanTable: DataFrame, dims: Int, planes: Int,
-      seeds: Int, bands: Int, rowsPerBand: Int)
+      seeds: Int, bands: Int, rowsPerBand: Int, tables: Int = 1)
 
   /** Gate thresholds + the batch-side embedding expression, bundled so
     * the streaming chain can thread one optional value. With
@@ -429,15 +581,20 @@ object Contamination {
     * not shrink into a junk residue — the ordering a naive
     * excise-first composition gets wrong), then survivors have
     * embedded benchmark quotes removed against the frozen pool
-    * ([[exciseWithPool]]) in place of rung 4's whole-host drop. A host
-    * that merely QUOTES a test item is admitted cleaned rather than
-    * refused — still deterministic against the frozen probes, hence
-    * replay-safe.
+    * ([[exciseWithPool]]) in place of rung 4's whole-host drop — so
+    * `minCoverage` is INERT in excise mode (there is no rung-4 drop
+    * to threshold; post-excision coverage is zero by construction). A
+    * host that merely QUOTES a test item is admitted cleaned rather
+    * than refused — still deterministic against the frozen probes,
+    * hence replay-safe. `exciseFixpoint` upgrades the excision to
+    * [[exciseToFixpoint]] (the adversarial-splice closure — a cut that
+    * assembles a new benchmark shingle is re-excised).
     */
   final case class BenchmarkGate(probes: BenchmarkProbes, vec: Column,
       minOverlapFrac: Double = 0.8, minJaccard: Double = 0.5,
       minCos: Double = 0.9, minCoverage: Double = 0.9,
-      excise: Boolean = false, minKeepTokens: Int = 1)
+      excise: Boolean = false, minKeepTokens: Int = 1,
+      exciseFixpoint: Boolean = false)
 
   /** Build [[BenchmarkProbes]] from a benchmark relation carrying
     * `idCol` + `textCol`; `vec` is the embedding EXPRESSION over the
@@ -447,37 +604,58 @@ object Contamination {
     * test side is bounded exactly like the one-shot operators;
     * `planes` is the caller's FROZEN plane count (never derived per
     * batch — a growing corpus must not re-bucket the benchmark under a
-    * replay).
+    * replay), and `tables > 1` freezes a MULTI-TABLE rung-3 code
+    * instead ([[semanticScoresMulti]]'s structure: `tables` independent
+    * `planes`-bit codes, agreement in ANY table is a candidate — the
+    * configuration whose recall does not erode with corpus growth;
+    * `tables = 1` is the single-code gate, bit-identical to before).
+    * `maxDf` (with `dfCorpus`, a reference corpus or a sample of it)
+    * drops pool shingles whose corpus document frequency exceeds the
+    * cap — the [[spanExcise]] pre-screen frozen into the gate's pool,
+    * for benchmarks carrying boilerplate trigrams that would otherwise
+    * pull a corpus fraction into every batch's matched set. The capped
+    * pool feeds rung 1 AND the excise path (deliberately: a shingle
+    * thousands of documents contain is not leak evidence).
     */
   def buildProbes(testSet: DataFrame, idCol: String, textCol: String,
                   vec: Column, dims: Int, planes: Int, nprobe: Int = 1,
                   seeds: Int = 8, bands: Int = 4,
-                  rowsPerBand: Int = 2): BenchmarkProbes = {
+                  rowsPerBand: Int = 2, tables: Int = 1,
+                  maxDf: Long = Long.MaxValue,
+                  dfCorpus: Option[DataFrame] = None): BenchmarkProbes = {
     require(seeds >= bands * rowsPerBand,
       "signature must cover bands * rowsPerBand entries")
+    require(maxDf == Long.MaxValue || dfCorpus.nonEmpty,
+      "maxDf needs a dfCorpus to measure document frequency against")
     boundTestSide(testSet, "buildProbes")
     val base = testSet.select(col(idCol).as("test_id"),
       Dedup.shingleHashes3(Dedup.wordHashes(words(col(textCol)))).as("_tsh"),
       vec.as("_tv"))
     val sh = base.filter(size(col("_tsh")) > 0)
+    val rawPool =
+      sh.select(explode(array_distinct(col("_tsh"))).as("h")).distinct()
+    val pool = dfCorpus match {
+      case Some(c) if maxDf != Long.MaxValue =>
+        dfCapPool(rawPool, c, textCol, maxDf)
+      case _ => rawPool
+    }
     BenchmarkProbes(
-      shinglePool = Checkpoints.pin(
-        sh.select(explode(array_distinct(col("_tsh"))).as("h")).distinct()),
+      shinglePool = Checkpoints.pin(pool),
       bandTable = Checkpoints.pin(Dedup.lshBands(
           sh.select(col("test_id"), Dedup.minhashSig(col("_tsh"), seeds).as("sig")),
           "test_id", "sig", bands, rowsPerBand)
         .select(col("band_key"), col("test_id"))),
       shingleTable = Checkpoints.pin(sh.select(col("test_id"), col("_tsh"))),
-      bucketTable = Checkpoints.pin(Similarity.explodeProbeBuckets(
+      bucketTable = Checkpoints.pin(Similarity.explodeMultiTableProbes(
           base.select(col("test_id"), col("_tv")), "_tv", dims, planes,
-          nprobe, "_bkt")
-        .select(col("_bkt"), col("test_id"), col("_tv"))),
+          tables, nprobe, "_tbl", "_bkt")
+        .select(col("_tbl"), col("_bkt"), col("test_id"), col("_tv"))),
       spanTable = Checkpoints.pin(sh
         .select(col("test_id"), array_distinct(col("_tsh")).as("_d"))
         .select(col("test_id"), size(col("_d")).cast("long").as("t_n"),
           explode(col("_d")).as("h"))),
       dims = dims, planes = planes, seeds = seeds, bands = bands,
-      rowsPerBand = rowsPerBand)
+      rowsPerBand = rowsPerBand, tables = tables)
   }
 
   /** Release the pinned probe structures (stream shutdown). */
@@ -501,7 +679,8 @@ object Contamination {
                 textCol: String, vec: Column, minOverlapFrac: Double = 0.8,
                 minJaccard: Double = 0.5, minCos: Double = 0.9,
                 minCoverage: Double = 0.9, excise: Boolean = false,
-                minKeepTokens: Int = 1): DataFrame = {
+                minKeepTokens: Int = 1,
+                exciseFixpoint: Boolean = false): DataFrame = {
     require(minOverlapFrac > 0.0 && minOverlapFrac <= 1.0,
       "minOverlapFrac must be in (0, 1]")
     require(minJaccard > 0.0 && minJaccard <= 1.0,
@@ -528,16 +707,6 @@ object Contamination {
       .filter(round(col("_shared").cast("double") / col("_n"), 6)
         >= minOverlapFrac)
       .select(id)
-    // rung 4: test-side coverage (the spanScores()/spanCut() arithmetic)
-    // — catches the benchmark embedded inside a long streamed host that
-    // rung 1's batch-side fraction dilutes away
-    val r4 = exploded
-      .join(broadcast(probes.spanTable), "h")
-      .groupBy(id, col("test_id"), col("t_n"))
-      .agg(count(lit(1)).as("_shared"))
-      .filter(round(col("_shared").cast("double") / col("t_n"), 6)
-        >= minCoverage)
-      .select(id)
     // rung 2: banded-signature candidates, exact-Jaccard verify (the
     // fuzzyScores() arithmetic against the frozen band/shingle tables)
     val cand = Dedup.lshBands(
@@ -551,17 +720,31 @@ object Contamination {
       .join(broadcast(probes.shingleTable), Seq("test_id"))
       .filter(round(Dedup.jaccard(col("_sh"), col("_tsh")), 6) >= minJaccard)
       .select(id)
-    // rung 3: one bucket per batch doc against the (nprobe-expanded)
-    // frozen bucket table (the semanticScores() arithmetic)
-    val r3 = sh
-      .select(id, col("_v"),
-        Similarity.hyperplaneBucket(col("_v"), probes.dims, probes.planes)
-          .as("_bkt"))
-      .join(broadcast(probes.bucketTable), Seq("_bkt"))
+    // rung 3: `tables` bucket codes per batch doc (one narrow map
+    // pass) against the frozen (table, bucket) probe rows — the
+    // semanticScoresMulti() arithmetic; with probes.tables = 1 this is
+    // bit-identical to the single-code semanticScores() gate
+    val r3 = Similarity.multiTableBuckets(
+        sh.select(id, col("_v")), "_v", probes.dims, probes.planes,
+        probes.tables, "_tbl", "_bkt")
+      .join(broadcast(probes.bucketTable), Seq("_tbl", "_bkt"))
       .filter(round(dot(col("_v"), col("_tv")) /
         (l2norm(col("_v")) * l2norm(col("_tv"))), 6) >= minCos)
       .select(id)
     if (!excise) {
+      // rung 4: test-side coverage (the spanScores()/spanCut()
+      // arithmetic) — catches the benchmark embedded inside a long
+      // streamed host that rung 1's batch-side fraction dilutes away.
+      // Built ONLY here: in excise mode the rung-4 drop is replaced
+      // wholesale by the excision, so minCoverage is inert there and
+      // the probe pass would be dead work.
+      val r4 = exploded
+        .join(broadcast(probes.spanTable), "h")
+        .groupBy(id, col("test_id"), col("t_n"))
+        .agg(count(lit(1)).as("_shared"))
+        .filter(round(col("_shared").cast("double") / col("t_n"), 6)
+          >= minCoverage)
+        .select(id)
       val bad = r1.unionByName(r2).unionByName(r3).unionByName(r4)
         .distinct()
       batch.join(broadcast(bad), Seq(idCol), "left_anti")
@@ -571,13 +754,22 @@ object Contamination {
       // then survivors have embedded benchmark quotes surgically
       // removed against the same frozen pool — rung 4's drop is
       // replaced by the excision (post-excision coverage is zero by
-      // construction), and a host that merely quotes a test item is
-      // admitted cleaned. minKeepTokens kills residues too short to be
-      // documents. Schema is preserved (n_excised is not emitted).
+      // construction; minCoverage has NO effect in this mode), and a
+      // host that merely quotes a test item is admitted cleaned.
+      // minKeepTokens kills residues too short to be documents.
+      // exciseFixpoint closes the adversarial-splice case (a cut that
+      // assembles a new pool shingle is re-excised to the fixed
+      // point). Schema is preserved (n_excised is not emitted).
       val bad = r1.unionByName(r2).unionByName(r3).distinct()
       val survivors = batch.join(broadcast(bad), Seq(idCol), "left_anti")
-      exciseWithPool(survivors, probes.shinglePool, idCol, textCol,
-        minKeepTokens).drop("n_excised")
+      val cleaned =
+        if (exciseFixpoint)
+          exciseToFixpoint(survivors, probes.shinglePool, idCol, textCol,
+            minKeepTokens)
+        else
+          exciseWithPool(survivors, probes.shinglePool, idCol, textCol,
+            minKeepTokens)
+      cleaned.drop("n_excised")
     }
   }
 }

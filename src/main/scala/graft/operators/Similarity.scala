@@ -44,8 +44,11 @@ object Similarity {
     * could disagree with the SQL oracle's libm by one ulp at exact
     * powers of two and flip every bucket; a shift-compare cannot.
     * More planes trade recall for speed — callers wanting higher recall
-    * at the same cost should band multiple independent tables (as the
-    * MinHash path does) rather than lower the plane count.
+    * at the same cost should band multiple independent tables
+    * ([[multiTableBuckets]], the MinHash banding discipline) rather
+    * than lower the plane count: a corpus-derived plane count GROWS
+    * with n, so a fixed perturbation crosses ever more planes and
+    * single-code recall erodes with scale (the round-15 q165 measurement).
     */
   def autoPlanes(n: Long, targetBucket: Long = 64L, maxPlanes: Int = 16): Int = {
     require(targetBucket > 0 && maxPlanes >= 1)
@@ -247,13 +250,74 @@ object Similarity {
         col("id_b").as(idCol), col("id_a").as("dup_of"), col("cos"))
   }
 
+  /** SHARDED [[semDedupHier]] — the fully corpus-LINEAR regime for
+    * corpora so large that even a binding `kmax` leaves super-linear
+    * residue: with the cap binding, assignment is linear but the
+    * within-cell pair pass inherits Σ|cell|² ≈ n²/kmax² (the
+    * [[semDedupHier]] scaladoc's documented trade). Here the corpus is
+    * first split into `shards` DETERMINISTIC hash shards (the q48
+    * shard-assignment arithmetic: `hash64(id, seed) % shards`, so any
+    * engine or re-run replays the split bit-for-bit) and each shard
+    * runs its own INDEPENDENT [[semDedupHier]] — per-shard n drops by
+    * the shard factor, every per-shard cost term (assignment, pair
+    * pass, codebook size) is evaluated at n/shards, and the union of
+    * verdicts is the result. Pick shards so n/shards sits inside the
+    * regime kmax²·targetCell covers and BOTH passes are linear at any
+    * corpus size: the 100 TB shape is shards ≈ n / (per-shard budget),
+    * i.e. shards grows with the corpus and per-shard work is constant.
+    *
+    * SEMANTICS TRADE, accepted and explicit: duplicate pairs are only
+    * detected WITHIN a shard — a near-dup pair split across two shards
+    * is missed (probability (shards−1)/shards for a random pair, so
+    * this is a per-shard dedup, the published SemDeDup deployment shape
+    * where each training shard is deduped independently; global
+    * near-dup closure needs the unsharded form or a content-keyed
+    * pre-partition like [[Dedup]]'s LSH bands, which co-locate
+    * near-dups BY CONSTRUCTION — hash sharding by id deliberately does
+    * not). `shards = 1` is byte-identical to [[semDedupHier]] (same
+    * seeds; the shard filter keeps every row).
+    *
+    * Returns [[semDedupHier]]'s schema plus a leading `shard` column.
+    * The driver loop launches one independent job chain per shard —
+    * at 100 TB each shard is its own bounded unit of work (and the
+    * natural retry/checkpoint boundary).
+    */
+  def semDedupHierSharded(vectors: DataFrame, vecCol: String, idCol: String,
+                          targetCell: Long, tau: Double, shards: Int,
+                          iters: Int = 2, seedCoarse: Int = 31,
+                          seedFine: Int = 37, shardSeed: Int = 5,
+                          kmax: Int = Int.MaxValue): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val shardOf = graft.functions.GraftFunctions.hash64(
+      col(idCol).cast("string"), shardSeed) % shards
+    (0 until shards).map { s =>
+      semDedupHier(vectors.filter(shardOf === s.toLong), vecCol, idCol,
+        targetCell, tau, iters, seedCoarse, seedFine, kmax)
+        .select(lit(s.toLong).as("shard"), col("coarse"), col("cell"),
+          col(idCol), col("dup_of"), col("cos"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Sign-of-projection bucket code (0 .. 2^planes-1) for a vector
     * column: one zip_with dot product per plane against a literal
     * hyperplane array.
     */
-  def hyperplaneBucket(vec: Column, dims: Int, planes: Int): Column = {
+  def hyperplaneBucket(vec: Column, dims: Int, planes: Int): Column =
+    hyperplaneBucketAt(vec, dims, planes, 0)
+
+  /** [[hyperplaneBucket]] against the plane family starting at GLOBAL
+    * plane index `planeOffset` — table t of a multi-table code uses
+    * offset t·planes, so every table draws its hyperplanes from a
+    * disjoint slice of the same deterministic [[hpComponent]] family
+    * (offset 0 IS the single-table code, bit-identical). The bucket
+    * bits stay table-LOCAL (bit p, not bit offset+p): codes from
+    * different tables are only ever compared at equal table ids.
+    */
+  private[operators] def hyperplaneBucketAt(vec: Column, dims: Int,
+      planes: Int, planeOffset: Int): Column = {
     val bitVal = (0 until planes).map { p =>
-      val plane = array((0 until dims).map(d => lit(hpComponent(p, d))): _*)
+      val plane = array((0 until dims).map(d =>
+        lit(hpComponent(planeOffset + p, d))): _*)
       // native sequential dot — same order-sensitive double arithmetic as
       // the aggregate/zip_with composition the oracle mirrors
       val proj = dot(vec, plane)
@@ -263,6 +327,31 @@ object Similarity {
       when(round(proj, 6) > 0, lit(1 << p)).otherwise(lit(0))
     }
     bitVal.reduce(_ + _)
+  }
+
+  /** One row per (input row, table): `tables` INDEPENDENT hyperplane
+    * codes of `planes` bits each, table t drawn from the disjoint
+    * [[hpComponent]] slice [t·planes, (t+1)·planes) — the OR-of-tables
+    * recall structure (the MinHash banding discipline applied to bit
+    * codes: a pair is a candidate when its codes agree in ANY table).
+    * Why this beats one wide code at scale: a single code must GROW
+    * with the corpus ([[autoPlanes]]) to keep buckets bounded, so a
+    * fixed perturbation crosses ever more planes and recall erodes
+    * with n; here `planes` is fixed by the CANDIDATE BUDGET instead
+    * (expected verify work per corpus row against a b-bit, T-table
+    * code over m probes ≈ T·m/2^planes at uniform occupancy — a
+    * constant per row at any corpus size), and recall is
+    * 1−(1−p^planes)^tables for per-plane agreement p — raised by
+    * adding tables, never by coarsening buckets. One narrow map pass;
+    * the corpus-side fan-out is `tables` rows per vector, never a
+    * shuffle.
+    */
+  def multiTableBuckets(df: DataFrame, vecCol: String, dims: Int,
+      planes: Int, tables: Int, tblOut: String, bktOut: String): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    df.select(col("*"), posexplode(array((0 until tables).map(t =>
+      hyperplaneBucketAt(col(vecCol), dims, planes, t * planes)): _*))
+      .as(Seq(tblOut, bktOut)))
   }
 
   /** Brute-force cosine top-k: for each probe vector, the `k` nearest
@@ -328,12 +417,15 @@ object Similarity {
     * flip lambda, where subexpression elimination cannot reach).
     */
   private[operators] def explodeProbeBuckets(probes: DataFrame, vecCol: String,
-      dims: Int, planes: Int, nprobe: Int, out: String): DataFrame = {
+      dims: Int, planes: Int, nprobe: Int, out: String,
+      planeOffset: Int = 0): DataFrame = {
     require(nprobe >= 1 && nprobe <= planes + 1, "nprobe must be in [1, planes+1]")
     if (nprobe == 1)
-      return probes.withColumn(out, hyperplaneBucket(col(vecCol), dims, planes))
+      return probes.withColumn(out,
+        hyperplaneBucketAt(col(vecCol), dims, planes, planeOffset))
     val projs = (0 until planes).map { p =>
-      val plane = array((0 until dims).map(d => lit(hpComponent(p, d))): _*)
+      val plane = array((0 until dims).map(d =>
+        lit(hpComponent(planeOffset + p, d))): _*)
       val proj = round(dot(col(vecCol), plane), 6)
       struct(abs(proj).as("a"), lit(p).as("p"), lit(1 << p).as("b"),
         when(proj > 0, lit(1 << p)).otherwise(lit(0)).as("s"))
@@ -349,6 +441,23 @@ object Similarity {
         transform(slice(array_sort(col("_pp")), 1, nprobe - 1),
           f => col("_b0").bitwiseXOR(f.getField("b"))))))
       .drop("_pp", "_b0")
+  }
+
+  /** [[explodeProbeBuckets]] per table of a [[multiTableBuckets]] code:
+    * one row per (probe row, table, probed bucket) — table t's probes
+    * drawn from plane offset t·planes, with the nprobe Hamming fan-out
+    * applied WITHIN each table. The probe side is small by contract
+    * (this is the test/query relation), so the T-way union is a
+    * broadcast-sized structure, never a corpus cost.
+    */
+  private[operators] def explodeMultiTableProbes(probes: DataFrame,
+      vecCol: String, dims: Int, planes: Int, tables: Int, nprobe: Int,
+      tblOut: String, bktOut: String): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    (0 until tables).map { t =>
+      explodeProbeBuckets(probes, vecCol, dims, planes, nprobe, bktOut,
+        planeOffset = t * planes).withColumn(tblOut, lit(t))
+    }.reduce(_ unionByName _)
   }
 
   /** LSH top-k with multi-probe ([[explodeProbeBuckets]] on the probe

@@ -116,7 +116,8 @@ object StreamingCurationChain {
     // filter above.
     val live = gate.fold(tombFree)(g => Contamination.gateBatch(
       tombFree, g.probes, "doc_id", "text", g.vec, g.minOverlapFrac,
-      g.minJaccard, g.minCos, g.minCoverage, g.excise, g.minKeepTokens))
+      g.minJaccard, g.minCos, g.minCoverage, g.excise, g.minKeepTokens,
+      g.exciseFixpoint))
     var kept: DataFrame = null
     try {
       StreamingContentDedup.processBatch(spark,
