@@ -261,6 +261,120 @@ class ContaminationSpec extends SparkSpec {
     assert(resid == 0.0, s"residual coverage $resid")
   }
 
+  // ---- multi-table semantic form ---------------------------------------
+
+  test("semanticScoresMulti finds the copy and the perturbed copy in " +
+    "every table, never the antipode") {
+    val s = Contamination.semanticScoresMulti(semCorpus, semBench, "vec_id",
+        "embedding", dims = 4, planesPerTable = 2, tables = 3, minCos = -1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // the exact copy agrees in ALL tables (identical vector, identical
+    // codes) at cos 1.0
+    assert(s.get(1L).contains((3L, 1.0)), s"copy in all 3 tables: $s")
+    assert(s.contains(2L), s"perturbed copy must be a candidate: $s")
+    // the antipode flips every nonzero projection, so no table agrees —
+    // it is not even a CANDIDATE (minCos = -1 keeps all candidates)
+    assert(!s.contains(3L), s"antipodal vector must not match: $s")
+  }
+
+  test("semanticScoresMulti with one table == semanticScores at the " +
+    "same planes (plane family offset 0 is the single code)") {
+    val single = Contamination.semanticScores(semCorpus, semBench, "vec_id",
+        "embedding", dims = 4, planes = 3, minCos = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val multi = Contamination.semanticScoresMulti(semCorpus, semBench,
+        "vec_id", "embedding", dims = 4, planesPerTable = 3, tables = 1,
+        minCos = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(multi == single, s"multi(1 table) $multi != single $single")
+  }
+
+  test("adding tables only adds candidates — the OR-composition is " +
+    "monotone in recall and cost") {
+    def run(t: Int) = Contamination.semanticScoresMulti(semCorpus, semBench,
+        "vec_id", "embedding", dims = 4, planesPerTable = 2, tables = t,
+        minCos = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val t1 = run(1); val t4 = run(4)
+    assert(t1.keySet.subsetOf(t4.keySet),
+      s"tables=1 pairs ${t1.keySet} must survive at tables=4 ${t4.keySet}")
+    t1.foreach { case (pair, n) =>
+      assert(t4(pair) >= n, s"$pair: n_tables must not shrink with tables")
+    }
+  }
+
+  test("semanticCutMulti removes matched vectors, schema intact") {
+    val kept = Contamination.semanticCutMulti(semCorpus, semBench, "vec_id",
+      "embedding", dims = 4, planesPerTable = 2, tables = 3, minCos = 0.9)
+    assert(kept.schema == semCorpus.schema)
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  // ---- excise fixpoint + df-cap ----------------------------------------
+
+  test("exciseToFixpoint closes the adversarial splice a single pass " +
+    "leaves behind") {
+    // pool carries "a b c" AND "p q r"; the corpus doc interleaves
+    // them: excising the quoted "a b c" SPLICES the leftover fragments
+    // into a verbatim "p q r" — a benchmark item assembled BY the cut
+    val spliceBench = Seq(
+      (100L, "a b c"), (101L, "p q r")).toDF("doc_id", "text")
+    val spliceCorpus = Seq(
+      (1L, "p q a b c r"),
+      (2L, "x y z a b c w v u"), // plain embedded quote: 1 pass converges
+      (3L, "totally unrelated words here")).toDF("doc_id", "text")
+    val pool = spliceBench
+      .select(org.apache.spark.sql.functions.explode(
+        Contamination.shingleSet(col("text"))).as("h")).distinct()
+    // the premise, pinned: ONE pass leaves doc 1 as exactly the
+    // assembled benchmark item
+    val once = Contamination.exciseWithPool(spliceCorpus, pool,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(once(1L) == (("p q r", 3L)), s"single pass: ${once(1L)}")
+    // the fixpoint re-excises the splice: doc 1 empties and is dropped;
+    // doc 2 converges in one pass with its quote gone; doc 3 untouched
+    val fix = Contamination.exciseToFixpoint(spliceCorpus, pool,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(!fix.contains(1L),
+      s"fixpoint must remove the assembled benchmark item: $fix")
+    assert(fix(2L) == (("x y z w v u", 3L)), s"doc 2: ${fix(2L)}")
+    assert(fix(3L) == (("totally unrelated words here", 0L)), s"doc 3: ${fix(3L)}")
+    // and the result really is a fixed point: a further pass is a no-op
+    val again = Contamination.exciseWithPool(
+        fix.keys.toSeq.map(k => (k, fix(k)._1)).toDF("doc_id", "text"),
+        pool, "doc_id", "text")
+      .agg(sum(col("n_excised"))).collect()(0).getLong(0)
+    assert(again == 0L, s"fixpoint output re-excised $again tokens")
+  }
+
+  test("spanExcise maxDf drops high-document-frequency pool shingles " +
+    "from the probe") {
+    // the benchmark's first shingle ("a b c") is boilerplate — it
+    // appears in 3 corpus docs; its second ("b c d") is distinctive
+    val dfBench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val dfCorpus = Seq(
+      (1L, "a b c x1 y1 z1"),
+      (2L, "a b c x2 y2 z2"),
+      (3L, "a b c x3 y3 z3"),
+      (4L, "w1 b c d w2 w3")).toDF("doc_id", "text")
+    // uncapped: every doc sharing a shingle is rewritten
+    val free = Contamination.spanExcise(dfCorpus, dfBench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(free == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"$free")
+    // maxDf = 2: the df-3 boilerplate shingle leaves the pool, so only
+    // the distinctive quote is excised
+    val capped = Contamination.spanExcise(dfCorpus, dfBench, "doc_id",
+        "text", maxDf = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 3L),
+      s"only the df<=2 shingle may excise: $capped")
+  }
+
   test("every rung refuses a test side past the broadcast budget") {
     spark.conf.set("graft.contamination.maxTestRows", "2")
     try {
@@ -284,6 +398,10 @@ class ContaminationSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         Contamination.semanticScores(semCorpus, bigSem, "vec_id",
           "embedding", dims = 4, planes = 4, minCos = 0.9)
+      }
+      intercept[IllegalArgumentException] {
+        Contamination.semanticScoresMulti(semCorpus, bigSem, "vec_id",
+          "embedding", dims = 4, planesPerTable = 2, tables = 2, minCos = 0.9)
       }
       // at the threshold itself the guard admits: exactly max rows pass
       spark.conf.set("graft.contamination.maxTestRows", "3")

@@ -199,6 +199,53 @@ class SemDedupSpec extends SparkSpec {
     assert(run(100) == free, "an unreached kmax must be byte-identical")
   }
 
+  test("semDedupHierSharded: shards = 1 is semDedupHier plus the shard " +
+    "column; verdicts are shard-local (a cross-shard twin is missed by " +
+    "design)") {
+    // the kmax fixture: 12 directions, one exact twin each — a twin
+    // pair drops under ANY quantizer iff both land in the same shard
+    val base = (0 until 12).map { i =>
+      val a = math.toRadians(i * 30.0)
+      (100L + i, Seq(math.cos(a), math.sin(a)))
+    }
+    val twins = base.map { case (id, v) => (id - 100L, v) }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val one = Similarity.semDedupHierSharded(df, "embedding", "vec_id",
+        targetCell = 1L, tau = 0.999999, shards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val flat = Similarity.semDedupHier(df, "embedding", "vec_id",
+        targetCell = 1L, tau = 0.999999)
+      .collect().map(r => (0L, r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(one == flat, "shards = 1 must be the unsharded verdict set")
+
+    // the q48 shard arithmetic, recomputed here: hash64(id, seed=5) % 2
+    def shard(id: Long): Long =
+      graft.functions.Hash64Array.hashString(id.toString, 5) % 2
+    val sameShard = (0 until 12).map(_.toLong)
+      .filter(i => shard(i) == shard(100L + i)).toSet
+    // the fixture must actually exercise the documented miss (it does:
+    // the md5 split separates several twin pairs)
+    assert(sameShard.nonEmpty && sameShard.size < 12,
+      s"fixture must mix same- and cross-shard twin pairs: $sameShard")
+    val sharded = Similarity.semDedupHierSharded(df, "embedding", "vec_id",
+        targetCell = 1L, tau = 0.999999, shards = 2)
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(0))).toSet
+    for (i <- 0 until 12) {
+      val hit = sharded.exists(p => p._1 == 100L + i && p._2 == i.toLong)
+      assert(hit == sameShard.contains(i.toLong),
+        s"twin pair ($i, ${100 + i}): same-shard=${sameShard(i.toLong)} " +
+          s"but dropped=$hit — verdicts must be exactly shard-local")
+    }
+    // every verdict is internally shard-consistent: the dropped id and
+    // its partner hash to the reported shard
+    sharded.foreach { case (id, dupOf, s) =>
+      assert(shard(id) == s && shard(dupOf) == s,
+        s"pair ($dupOf, $id) reported in shard $s but hashes elsewhere")
+    }
+  }
+
   test("semDedupHier: deterministic across reruns; nothing drops above every cosine") {
     val df = (0 until 20).map { i =>
       (i.toLong, Seq(math.cos(i * 0.3), math.sin(i * 0.3), 0.1 * (i % 3)))
