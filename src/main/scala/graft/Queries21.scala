@@ -284,125 +284,233 @@ object Queries21 {
     * corpus (plan-pinned in PlanAuditSpec). Same (8 seeds, 4×2 bands)
     * arithmetic as q11, replayed hash-for-hash by the oracle.
     *
-    * The `% 7` held-out slice is corpus-proportional — a stand-in that
-    * is benchmark-sized only at gate/bench scale. The operator refuses
-    * a test side past [[graft.operators.Contamination.DefaultMaxTestRows]]
-    * (the broadcast-budget guard), so this query shape would fail fast,
-    * not OOM, if pointed at a 100 TB corpus; production callers pass
-    * the actual (fixed-size) benchmark relation.
+    * Fixture (the q165 discipline, replacing the round-13 corpus-
+    * proportional `% 7` stand-in whose 100× bench rows measured the
+    * fixture, not the operator): the test set is the 64 md5-smallest
+    * ≥12-token documents — a TakeOrdered, FIXED-size at any corpus
+    * scale, like real benchmarks — and the corpus is the table minus
+    * the test rows plus planted leaks at both covered intensities
+    * (verbatim copies at ids +1e9, every-k-th-token edits at ids +2e9
+    * with k ∈ {3..18}, q165's spread), so the output always carries
+    * known-leak pairs alongside any organic near-dups of the test
+    * slice.
     */
   val q163FuzzyDecontaminate = QueryDef(
     "q163_fuzzy_decontaminate",
     (s, dir) => {
       import s.implicits._
       import graft.operators.Contamination
+      import graft.functions.GraftFunctions.hash64
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
-      Contamination.fuzzyScores(
-          docs.filter($"doc_id" % 7 =!= 0),
-          docs.filter($"doc_id" % 7 === 0),
-          "doc_id", "text", minJaccard = 0.5)
+      // pinned: 64 rows, consumed by the bound guard + both probe
+      // structures — without the pin each consumer re-runs the corpus
+      // TakeOrdered
+      val tsel = docs.filter(size(split($"text", " ")) >= 12)
+        .withColumn("_h", hash64($"doc_id".cast("string"), 163))
+        .orderBy($"_h", $"doc_id").limit(64).drop("_h")
+        .localCheckpoint(true)
+      val verb = tsel.select(($"doc_id" + 1000000000L).as("doc_id"), $"text")
+      // derive the edit FIRST, shift the id after (the q165 lateral-
+      // alias note: DuckDB would not capture the shifted alias)
+      val edited = tsel
+        .select($"doc_id",
+          array_join(transform(split($"text", " "), (x, i) =>
+            when(i.cast("long") % (lit(3L) + ($"doc_id" % 6) * 3L) === 0L,
+              concat(lit("zq"), i.cast("string"))).otherwise(x)), " ")
+            .as("text"))
+        .select(($"doc_id" + 2000000000L).as("doc_id"), $"text")
+      val corp = docs
+        .join(broadcast(tsel.select($"doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(verb).unionByName(edited)
+      Contamination.fuzzyScores(corp, tsel, "doc_id", "text",
+          minJaccard = 0.5)
         .orderBy($"doc_id", $"test_id")
     },
     Some("""
-      WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS w,
+      WITH tsel AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text, row_number() OVER (ORDER BY
+            CAST(('0x' || substr(md5('163:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+            doc_id) AS rn
+          FROM documents WHERE len(string_split(text, ' ')) >= 12)
+        WHERE rn <= 64),
+      tedit AS (
+        SELECT doc_id + 2000000000 AS doc_id,
+               array_to_string(list_transform(range(1, len(w) + 1), i ->
+                 CASE WHEN (i - 1) % (3 + (doc_id % 6) * 3) = 0
+                      THEN 'zq' || (i - 1) ELSE w[i] END), ' ') AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tsel)),
+      corp AS (
+        SELECT d.doc_id, d.text FROM documents d
+        LEFT JOIN tsel USING (doc_id) WHERE tsel.doc_id IS NULL
+        UNION ALL
+        SELECT doc_id + 1000000000, text FROM tsel
+        UNION ALL
+        SELECT doc_id, text FROM tedit),
+      alltexts AS (
+        SELECT doc_id, text, true AS is_corpus FROM corp
+        UNION ALL
+        SELECT doc_id, text, false FROM tsel),
+      toks AS (
+        SELECT doc_id, is_corpus, string_split(text, ' ') AS w,
                list_transform(string_split(text, ' '),
                  x -> CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)) AS wh
-        FROM documents),
-      shf AS (
-        SELECT doc_id,
-               list_transform(range(0, len(w) - 2), i ->
-                 ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
-                   * 41 + (wh[i+3] % 1073741824)) AS sh0
+        FROM alltexts),
+      shx AS (
+        SELECT doc_id, is_corpus,
+               list_transform(
+                 list_transform(range(0, len(w) - 2), i ->
+                   ((wh[i+1] % 1073741824) * 37 + (wh[i+2] % 1073741824)) % 1073741789
+                     * 41 + (wh[i+3] % 1073741824)),
+                 v -> v % 1073741789) AS sh
         FROM toks WHERE len(w) >= 3),
-      shx AS (SELECT doc_id, list_transform(sh0, v -> v % 1073741789) AS sh FROM shf),
       mh AS (
-        SELECT doc_id,
+        SELECT doc_id, is_corpus,
                list_transform([31, 37, 41, 43, 47, 53, 59, 61], a ->
                  list_min(list_transform(sh,
                    h -> (a * (h % 1073741824) + a*7 + 3) % 1073741789))) AS sig
         FROM shx),
       bands AS (
-        SELECT doc_id, b,
+        SELECT doc_id, is_corpus,
                md5(b || ':' || sig[2*b+1] || ',' || sig[2*b+2]) AS band_key
         FROM mh, unnest(range(0, 4)) AS tt(b)),
       cand AS (
         SELECT DISTINCT c.doc_id AS doc_id, t.doc_id AS test_id
-        FROM bands c JOIN bands t USING (band_key)
-        WHERE c.doc_id % 7 <> 0 AND t.doc_id % 7 = 0),
+        FROM (SELECT doc_id, band_key FROM bands WHERE is_corpus) c
+        JOIN (SELECT doc_id, band_key FROM bands WHERE NOT is_corpus) t
+          USING (band_key)),
       scored AS (
         SELECT cand.doc_id, cand.test_id,
                round(CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
                      / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
         FROM cand
-        JOIN shx sa ON sa.doc_id = cand.doc_id
-        JOIN shx sb ON sb.doc_id = cand.test_id)
+        JOIN (SELECT doc_id, sh FROM shx WHERE is_corpus) sa
+          ON sa.doc_id = cand.doc_id
+        JOIN (SELECT doc_id, sh FROM shx WHERE NOT is_corpus) sb
+          ON sb.doc_id = cand.test_id)
       SELECT doc_id, test_id, jaccard FROM scored
       WHERE jaccard >= 0.5 ORDER BY doc_id, test_id"""),
-    notes = "fuzzy (MinHash-LSH) train-vs-test decontamination; exact " +
-      "leakage is q47/q64's probe")
+    notes = "fuzzy (MinHash-LSH) train-vs-test decontamination on the " +
+      "fixed-size planted fixture (q165 discipline); exact leakage is " +
+      "q47/q64's probe")
 
   // ------------------------------------------------- q164_semantic_decontaminate
   /** SEMANTIC benchmark decontamination — the third rung of the leakage
     * ladder (q47/q64 verbatim, q163 lightly-edited, here fully
     * rephrased): a test item rewritten heavily enough shares no shingle
     * with its leaked copy, but their embeddings still sit next to each
-    * other. [[graft.operators.Contamination.semanticScores]] runs the
-    * hyperplane-bucket embedding near-dup test (q26's family,
-    * plane count auto-sized to the CORPUS side) across the train/test
-    * relations and emits every same-bucket pair at cosine ≥ 0.35. The
-    * held-out set is the `vec_id % 7 = 0` slice of the embeddings
-    * table.
+    * other. Since round 16 this runs the MULTI-TABLE form
+    * ([[graft.operators.Contamination.semanticScoresMulti]]): 8
+    * independent 6-plane hyperplane codes, agreement in ANY table is a
+    * candidate, cosine ≥ 0.35 verifies. The single-code form this
+    * replaces ([[graft.operators.Contamination.semanticScores]], still
+    * the q165 harness's measured baseline) ties its plane count to the
+    * corpus ([[graft.operators.Similarity.autoPlanes]]) and its recall
+    * ERODES with scale — 0.77 at sf0.1 down to 0.36 at the 100× soak
+    * even with full Hamming-1 probing (round-15 measurement); the
+    * OR-of-tables recall 1−(1−p⁶)⁸ is corpus-size-INDEPENDENT, and the
+    * verify cost per corpus row (8·64/2⁶ = 8 expected candidate
+    * cosines against a 64-item benchmark) is a constant at any scale.
     *
-    * Scale shape: ONE broadcast hash join, no other exchange — each
-    * side buckets in a narrow map pass, the benchmark side broadcasts,
-    * the cosine verify runs inside the join projection; the corpus
-    * never shuffles (plan-pinned). The oracle replays the identical
-    * hyperplane arithmetic (the q26 md5-derived components) with the
-    * plane count derived from the same corpus-side count. As with
-    * q163, the `% 7` slice is a gate-scale stand-in for a fixed-size
-    * benchmark; the operator's test-side guard fails fast past its
-    * broadcast budget.
+    * Output: `(vec_id, test_id, n_tables, cos)` — n_tables is the
+    * agreement count, Σ n_tables the raw candidate cost.
+    *
+    * Scale shape: the corpus side is one narrow map pass fanned out to
+    * 8 (table, bucket) rows per vector; the benchmark side broadcasts;
+    * the only hash exchange is the match-sized pair-dedup aggregate
+    * (plan-pinned). Fixture (the q165 discipline, replacing the
+    * corpus-proportional `% 7` slice): the 64 md5-smallest embedding
+    * rows are the benchmark; the corpus is the table minus those plus
+    * perturbed plants (ids +1e9, md5-derived noise at q165's amplitude
+    * spread 0.05–0.55), so rephrased-leak pairs are planted truth.
     */
   val q164SemanticDecontaminate = {
     import KmeansSql.sqlCos
-    val sqlPlanes =
-      """(SELECT CAST(coalesce(min(p), 16) AS INT) FROM range(1, 17) t(p)
-          WHERE 64 * (1 << p) >= (SELECT count(*) FROM embeddings
-                                  WHERE vec_id % 7 <> 0))"""
-    def sqlBucket(vec: String) =
-      s"""list_sum(list_transform(range(0, $sqlPlanes), p ->
-         CASE WHEN round(list_reduce(list_transform(range(0, 64),
-           d -> $vec[d+1]::DOUBLE * (CAST(('0x' || substr(md5('0:' || p || ':' || d), 1, 15)) AS BIGINT) % 1000 / 1000.0 - 0.5)),
-           (x, y) -> x + y), 6) > 0 THEN (1 << p) ELSE 0 END))"""
     QueryDef(
       "q164_semantic_decontaminate",
       (s, dir) => {
         import s.implicits._
-        import graft.operators.{Contamination, Similarity}
-        val e = t(s, dir, "embeddings").select($"vec_id", $"embedding")
-        val corpus = e.filter($"vec_id" % 7 =!= 0)
-        val test = e.filter($"vec_id" % 7 === 0)
-        val planes = Similarity.autoPlanes(corpus.count(), targetBucket = 64)
-        Contamination.semanticScores(corpus, test, "vec_id", "embedding",
-            dims = 64, planes = planes, minCos = 0.35)
+        import graft.operators.Contamination
+        import graft.functions.GraftFunctions.hash64
+        val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val vsel = emb
+          .withColumn("_h", hash64($"vec_id".cast("string"), 164))
+          .orderBy($"_h", $"vec_id").limit(64).drop("_h")
+          .localCheckpoint(true)
+        // amplitude via integer-then-one-divide (q165's engine-exact
+        // double); perturb against the ORIGINAL vec_id, shift after
+        val amp = (lit(5L) + ($"vec_id" % 6) * 10L).cast("double") / 100.0
+        val vplant = vsel
+          .select($"vec_id",
+            transform($"embedding", (x, i) => x.cast("double") + amp *
+              ((hash64(concat($"vec_id".cast("string"), lit(":"),
+                i.cast("string")), 7) % 1000L).cast("double") / 1000.0 - 0.5))
+              .as("embedding"))
+          .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+        val vcorp = emb
+          .join(broadcast(vsel.select($"vec_id")), Seq("vec_id"), "left_anti")
+          .select($"vec_id",
+            transform($"embedding", _.cast("double")).as("embedding"))
+          .unionByName(vplant)
+        Contamination.semanticScoresMulti(vcorp, vsel, "vec_id",
+            "embedding", dims = 64, planesPerTable = 6, tables = 8,
+            minCos = 0.35)
           .orderBy($"vec_id", $"test_id")
       },
       Some(s"""
-        WITH c AS (
-          SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
-          FROM embeddings WHERE vec_id % 7 <> 0),
-        tst AS (
-          SELECT vec_id AS test_id, embedding, ${sqlBucket("embedding")} AS bucket
-          FROM embeddings WHERE vec_id % 7 = 0),
-        p AS (
-          SELECT c.vec_id, tst.test_id,
-                 ${sqlCos("c.embedding", "tst.embedding")} AS cos
-          FROM c JOIN tst USING (bucket))
-        SELECT vec_id, test_id, cos FROM p
+        WITH vsel AS (
+          SELECT vec_id, embedding FROM (
+            SELECT vec_id, embedding, row_number() OVER (ORDER BY
+              CAST(('0x' || substr(md5('164:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+              vec_id) AS rn
+            FROM embeddings) WHERE rn <= 64),
+        vplant AS (
+          SELECT vec_id + 1000000000 AS vec_id,
+                 list_transform(range(0, 64), d ->
+                   embedding[d+1]::DOUBLE + ((5 + (vec_id % 6) * 10) / 100.0) *
+                     (CAST(('0x' || substr(md5('7:' || vec_id || ':' || d), 1, 15)) AS BIGINT)
+                        % 1000 / 1000.0 - 0.5)) AS v
+          FROM vsel),
+        vcorp AS (
+          SELECT e.vec_id, list_transform(e.embedding, x -> x::DOUBLE) AS v
+          FROM embeddings e LEFT JOIN vsel USING (vec_id) WHERE vsel.vec_id IS NULL
+          UNION ALL
+          SELECT vec_id, v FROM vplant),
+        hp AS (
+          SELECT g, list_transform(range(0, 64), d ->
+            CAST(('0x' || substr(md5('0:' || g || ':' || d), 1, 15)) AS BIGINT)
+              % 1000 / 1000.0 - 0.5) AS pv
+          FROM range(0, 48) tg(g)),
+        cb AS (
+          SELECT c.vec_id, CAST(hp.g // 6 AS INT) AS tbl,
+                 SUM(CASE WHEN round(list_reduce(list_transform(range(0, 64),
+                       d -> c.v[d+1] * hp.pv[d+1]), (x, y) -> x + y), 6) > 0
+                     THEN (1 << CAST(hp.g % 6 AS INT)) ELSE 0 END) AS bucket
+          FROM vcorp c CROSS JOIN hp GROUP BY 1, 2),
+        tb AS (
+          SELECT t.vec_id AS test_id, CAST(hp.g // 6 AS INT) AS tbl,
+                 SUM(CASE WHEN round(list_reduce(list_transform(range(0, 64),
+                       d -> t.embedding[d+1]::DOUBLE * hp.pv[d+1]), (x, y) -> x + y), 6) > 0
+                     THEN (1 << CAST(hp.g % 6 AS INT)) ELSE 0 END) AS bucket
+          FROM vsel t CROSS JOIN hp GROUP BY 1, 2),
+        pairs AS (
+          SELECT c.vec_id, t.test_id, count(*) AS n_tables
+          FROM cb c JOIN tb t ON c.tbl = t.tbl AND c.bucket = t.bucket
+          GROUP BY 1, 2),
+        cosj AS (
+          SELECT p.vec_id, p.test_id, CAST(p.n_tables AS BIGINT) AS n_tables,
+                 ${sqlCos("cv.v", "tv.tv")} AS cos
+          FROM pairs p
+          JOIN vcorp cv ON cv.vec_id = p.vec_id
+          JOIN (SELECT vec_id AS test_id,
+                  list_transform(embedding, x -> x::DOUBLE) AS tv FROM vsel) tv
+            ON tv.test_id = p.test_id)
+        SELECT vec_id, test_id, n_tables, cos FROM cosj
         WHERE cos >= 0.35 ORDER BY vec_id, test_id"""),
-      notes = "semantic (embedding-cosine) train-vs-test decontamination; " +
-        "q163 is the shingle-level fuzzy form, q47/q64 the exact form")
+      notes = "multi-table (8 x 6-plane OR-composed) semantic " +
+        "decontamination on the fixed-size planted fixture; q163 is " +
+        "the shingle-level fuzzy form, q47/q64 the exact form, q165 " +
+        "measures this rung's recall against the single-code baseline")
   }
 
   def all: Seq[QueryDef] = Seq(q161CurriculumSketch, q162EntityUnionBlocking,

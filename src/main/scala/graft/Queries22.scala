@@ -58,9 +58,15 @@ object Queries22 {
     * side of each dial). `hits` counts planted pairs recovered at the
     * rung's operational threshold (overlap ≥ 0.8 / Jaccard ≥ 0.5 /
     * cosine ≥ 0.5), `possible` is the planted count, recall the ratio.
-    * The three semantic rows exercise the multi-probe path green that
-    * was previously spec-only: recall rises monotonically with nprobe
-    * (np1 → np2 → Hamming-1-complete) at measured candidate cost.
+    * The three single-code semantic rows exercise the multi-probe path:
+    * recall rises monotonically with nprobe (np1 → np2 →
+    * Hamming-1-complete) at measured candidate cost — and the round-15
+    * run of exactly these rows is what proved the single code erodes
+    * with corpus growth (0.36 at 100× even Hamming-1-complete). The
+    * `r3_semantic_multi` row measures the round-16 fix on the same
+    * plants ([[graft.operators.Contamination.semanticScoresMulti]],
+    * 8 OR-composed 6-plane tables; candidates charge Σ n_tables): its
+    * geometry never derives from n, so its recall holds at any scale.
     *
     * Scale shape: every rung is the operator's own corpus-shuffle-free
     * broadcast shape (the test side is 64 rows by construction); the
@@ -85,9 +91,13 @@ object Queries22 {
 
         // ---- text fixture: test set, verbatim + edited plants --------
         val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        // pinned: the 64-row slice is consumed by every rung's bound
+        // guard and probe builders — without the pin each of the six
+        // rung calls re-runs the corpus TakeOrdered
         val tsel = docs.filter(size(split($"text", " ")) >= 12)
           .withColumn("_h", hash64($"doc_id".cast("string"), 165))
           .orderBy($"_h", $"doc_id").limit(TestN).drop("_h")
+          .localCheckpoint(true)
         val verb = tsel.select(($"doc_id" + 1000000000L).as("doc_id"), $"text")
         // derive the edit FIRST, shift the id after: aliasing the new id
         // to "doc_id" in the same select would capture the lambda's
@@ -154,6 +164,7 @@ object Queries22 {
         val vsel = emb
           .withColumn("_h", hash64($"vec_id".cast("string"), 166))
           .orderBy($"_h", $"vec_id").limit(TestN).drop("_h")
+          .localCheckpoint(true)
         // amplitude via integer-then-one-divide so both engines produce
         // the identical double (a decimal 0.1 multiply would not)
         val amp = (lit(5L) + ($"vec_id" % 6) * 10L).cast("double") / 100.0
@@ -184,10 +195,27 @@ object Queries22 {
                 lit(0L)).as("hits"))
             .select(lit(label).as("rung"), $"candidates", $"hits")
 
+        // ---- rung 3, MULTI-TABLE (the round-16 at-scale form): 8
+        // OR-composed 6-plane codes — candidates charge Σ n_tables (the
+        // raw per-table agreement rows, the cost the dial pays), hits
+        // at the same cos >= 0.5 bar as the single-code rows, so the
+        // single-code erosion and the multi-table fix are measured side
+        // by side on the identical plants
+        val r3m = Contamination.semanticScoresMulti(vcorp, vsel, "vec_id",
+            "embedding", dims = 64, planesPerTable = 6, tables = 8,
+            minCos = -1.0)
+          .agg(coalesce(sum($"n_tables"), lit(0L)).as("candidates"),
+            coalesce(sum(when($"cos" >= 0.5 &&
+              $"vec_id" === $"test_id" + 1000000000L, 1L).otherwise(0L)),
+              lit(0L)).as("hits"))
+          .select(lit("r3_semantic_multi").as("rung"), $"candidates",
+            $"hits")
+
         r1.unionByName(r2)
           .unionByName(r3(1, "r3_semantic_np1"))
           .unionByName(r3(2, "r3_semantic_np2"))
           .unionByName(r3(planes + 1, "r3_semantic_npfull"))
+          .unionByName(r3m)
           .unionByName(r4)
           .select($"rung", $"candidates", $"hits",
             lit(TestN.toLong).as("possible"),
@@ -403,16 +431,52 @@ object Queries22 {
                        AND vec_id = test_id + 1000000000
                        THEN 1 ELSE 0 END), 0) AS BIGINT)
           FROM vpairs),
+        hp AS (
+          SELECT g, list_transform(range(0, 64), d ->
+            CAST(('0x' || substr(md5('0:' || g || ':' || d), 1, 15)) AS BIGINT)
+              % 1000 / 1000.0 - 0.5) AS pv
+          FROM range(0, 48) tg(g)),
+        cmt AS (
+          SELECT c.vec_id, CAST(hp.g // 6 AS INT) AS tbl,
+                 SUM(CASE WHEN round(list_reduce(list_transform(range(0, 64),
+                       d -> c.v[d+1] * hp.pv[d+1]), (x, y) -> x + y), 6) > 0
+                     THEN (1 << CAST(hp.g % 6 AS INT)) ELSE 0 END) AS bucket
+          FROM vcorp c CROSS JOIN hp GROUP BY 1, 2),
+        tmt AS (
+          SELECT t.vec_id AS test_id, CAST(hp.g // 6 AS INT) AS tbl,
+                 SUM(CASE WHEN round(list_reduce(list_transform(range(0, 64),
+                       d -> t.embedding[d+1]::DOUBLE * hp.pv[d+1]), (x, y) -> x + y), 6) > 0
+                     THEN (1 << CAST(hp.g % 6 AS INT)) ELSE 0 END) AS bucket
+          FROM vsel t CROSS JOIN hp GROUP BY 1, 2),
+        mpairs AS (
+          SELECT c.vec_id, t.test_id, count(*) AS n_tables
+          FROM cmt c JOIN tmt t ON c.tbl = t.tbl AND c.bucket = t.bucket
+          GROUP BY 1, 2),
+        mcos AS (
+          SELECT p.vec_id, p.test_id, p.n_tables,
+                 ${sqlCos("cv.v", "tp.tv")} AS cos
+          FROM mpairs p
+          JOIN vcorp cv ON cv.vec_id = p.vec_id
+          JOIN tproj tp ON tp.test_id = p.test_id),
+        r3m AS (
+          SELECT 'r3_semantic_multi' AS rung,
+                 CAST(coalesce(sum(n_tables), 0) AS BIGINT) AS candidates,
+                 CAST(coalesce(sum(CASE WHEN cos >= 0.5
+                       AND vec_id = test_id + 1000000000
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+          FROM mcos),
         unioned AS (
           SELECT * FROM r1 UNION ALL SELECT * FROM r2
-          UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+          UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r3m
+          UNION ALL SELECT * FROM r4)
         SELECT rung, candidates, hits, CAST($TestN AS BIGINT) AS possible,
                round(CAST(hits AS DOUBLE) / $TestN, 6) AS recall
         FROM unioned ORDER BY rung"""),
       notes = "planted-leak recall harness over the full leakage " +
         "ladder; candidates = raw probe-agreement cost, hits at each " +
-        "rung's operational threshold, semantic rung at nprobe 1/2/full, " +
-        "span rung on junk-filler hosts at 1-4x dilution")
+        "rung's operational threshold, semantic rung at nprobe 1/2/full " +
+        "plus the 8x6 multi-table form side by side, span rung on " +
+        "junk-filler hosts at 1-4x dilution")
   }
 
   // ------------------------------------------------- q166_span_contamination
@@ -425,52 +489,73 @@ object Queries22 {
     * from the TEST side instead: coverage = shared / test-item
     * shingles, 1.0 for an embedded copy regardless of host length.
     *
-    * The query plants the leakage mode it detects: each `% 97` test
-    * item is embedded into a host built from its corpus neighbor
-    * (filler + test + filler, id +3e9), and the output carries BOTH
-    * fractions — planted hosts read coverage = 1.0 with dilution ≈
-    * 0.3, the dilution gap that defeats rung 1, in the relation
-    * itself. Organic ≥ 0.9-coverage pairs (near-verbatim corpus copies
-    * of test items) surface alongside.
+    * The query plants the leakage mode it detects (the q165 fixture
+    * discipline — the test set is the 64 md5-smallest ≥12-token
+    * documents, a TakeOrdered that stays benchmark-sized at ANY corpus
+    * scale, replacing the round-15 corpus-proportional `% 97` stand-in
+    * whose 100× bench rows measured the fixture): each test item is
+    * embedded into junk filler of 1–4× its own length on each side
+    * (id +3e9), and the output carries BOTH fractions — planted hosts
+    * read coverage = 1.0 with dilution 1/3..1/9, the gap that defeats
+    * rung 1, in the relation itself. Organic ≥ 0.9-coverage pairs
+    * (near-verbatim corpus copies of test items) surface alongside.
     *
-    * Scale shape: the host build joins the BROADCAST test slice into
-    * one corpus map pass; spanScores explodes the broadcast test pool
-    * and probes the corpus in one narrow pass — only shingle matches
-    * reach the pair-grouped count. Same corpus-proportional-slice
-    * caveat as q163/q164: the `% 97` stand-in is benchmark-sized at
-    * gate scale and the operator's test-side bound fails fast past
-    * its broadcast budget.
+    * Scale shape: the host build is a narrow pass over the pinned
+    * 64-row slice; spanScores explodes the broadcast test pool and
+    * probes the corpus in one narrow pass — only shingle matches reach
+    * the pair-grouped count, and the corpus never shuffles.
     */
   val q166SpanContamination = QueryDef(
     "q166_span_contamination",
     (s, dir) => {
       import s.implicits._
       import graft.operators.Contamination
+      import graft.functions.GraftFunctions.hash64
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
-      val test = docs.filter($"doc_id" % 97 === 0)
-      val nonTest = docs.filter($"doc_id" % 97 =!= 0)
-      val hosts = nonTest
-        .select($"doc_id".as("_fid"), $"text".as("_ftext"))
-        .join(broadcast(test), $"_fid" === $"doc_id" + 1)
+      val tsel = docs.filter(size(split($"text", " ")) >= 12)
+        .withColumn("_h", hash64($"doc_id".cast("string"), 167))
+        .orderBy($"_h", $"doc_id").limit(64).drop("_h")
+        .localCheckpoint(true)
+      val corp = docs
+        .join(broadcast(tsel.select($"doc_id")), Seq("doc_id"), "left_anti")
+      val hostLen = (size(split($"text", " ")) *
+        (lit(1) + ($"doc_id" % 4))).cast("int")
+      val hosts = tsel
         .select($"doc_id",
-          concat($"_ftext", lit(" "), $"text", lit(" "), $"_ftext")
-            .as("text"))
+          array_join(flatten(array(
+            transform(sequence(lit(0), hostLen - 1), i =>
+              concat(lit("fa"), $"doc_id".cast("string"), lit("x"),
+                i.cast("string"))),
+            split($"text", " "),
+            transform(sequence(lit(0), hostLen - 1), i =>
+              concat(lit("fb"), $"doc_id".cast("string"), lit("x"),
+                i.cast("string"))))), " ").as("text"))
         .select(($"doc_id" + 3000000000L).as("doc_id"), $"text")
-      Contamination.spanScores(nonTest.unionByName(hosts), test,
+      Contamination.spanScores(corp.unionByName(hosts), tsel,
           "doc_id", "text")
         .filter($"coverage" >= 0.9)
         .orderBy($"doc_id", $"test_id")
     },
     Some("""
       WITH tsel AS (
-        SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text, row_number() OVER (ORDER BY
+            CAST(('0x' || substr(md5('167:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+            doc_id) AS rn
+          FROM documents WHERE len(string_split(text, ' ')) >= 12)
+        WHERE rn <= 64),
       hosts AS (
-        SELECT t.doc_id + 3000000000 AS doc_id,
-               f.text || ' ' || t.text || ' ' || f.text AS text
-        FROM tsel t
-        JOIN documents f ON f.doc_id = t.doc_id + 1 AND f.doc_id % 97 <> 0),
+        SELECT doc_id + 3000000000 AS doc_id,
+               array_to_string(list_concat(list_concat(
+                 list_transform(range(0, len(w) * (1 + doc_id % 4)),
+                   i -> 'fa' || doc_id || 'x' || i),
+                 w),
+                 list_transform(range(0, len(w) * (1 + doc_id % 4)),
+                   i -> 'fb' || doc_id || 'x' || i)), ' ') AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tsel)),
       corp AS (
-        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        SELECT d.doc_id, d.text FROM documents d
+        LEFT JOIN tsel USING (doc_id) WHERE tsel.doc_id IS NULL
         UNION ALL
         SELECT doc_id, text FROM hosts),
       allt AS (
@@ -523,11 +608,14 @@ object Queries22 {
     * span, and fully-covered documents (verbatim copies) drop to an
     * empty residue and are removed outright.
     *
-    * Fixture: the q166 planted hosts (filler + test + filler built
-    * from the corpus neighbor). The oracle hash-compares the ENTIRE
-    * cleaned text of every touched document, so the rewrite arithmetic
-    * — positional shingles, coverage window, token re-join — is pinned
-    * byte-exact cross-engine.
+    * Fixture: the q166 planted hosts (the 64 md5-smallest test items
+    * inside 1–4× junk filler — the q165 discipline; the round-15
+    * corpus-proportional `% 97` stand-in made this query's 100× bench
+    * row measure a 62k-doc fake benchmark instead of the operator).
+    * The oracle hash-compares the ENTIRE cleaned text of every touched
+    * document, so the rewrite arithmetic — positional shingles,
+    * coverage window, token re-join — is pinned byte-exact
+    * cross-engine.
     *
     * Scale shape: pool broadcast; one narrow posexplode probe pass
     * whose output is contamination-sized; the rewrite is a broadcast
@@ -539,17 +627,28 @@ object Queries22 {
     (s, dir) => {
       import s.implicits._
       import graft.operators.Contamination
+      import graft.functions.GraftFunctions.hash64
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
-      val test = docs.filter($"doc_id" % 97 === 0)
-      val nonTest = docs.filter($"doc_id" % 97 =!= 0)
-      val hosts = nonTest
-        .select($"doc_id".as("_fid"), $"text".as("_ftext"))
-        .join(broadcast(test), $"_fid" === $"doc_id" + 1)
+      val tsel = docs.filter(size(split($"text", " ")) >= 12)
+        .withColumn("_h", hash64($"doc_id".cast("string"), 167))
+        .orderBy($"_h", $"doc_id").limit(64).drop("_h")
+        .localCheckpoint(true)
+      val corp = docs
+        .join(broadcast(tsel.select($"doc_id")), Seq("doc_id"), "left_anti")
+      val hostLen = (size(split($"text", " ")) *
+        (lit(1) + ($"doc_id" % 4))).cast("int")
+      val hosts = tsel
         .select($"doc_id",
-          concat($"_ftext", lit(" "), $"text", lit(" "), $"_ftext")
-            .as("text"))
+          array_join(flatten(array(
+            transform(sequence(lit(0), hostLen - 1), i =>
+              concat(lit("fa"), $"doc_id".cast("string"), lit("x"),
+                i.cast("string"))),
+            split($"text", " "),
+            transform(sequence(lit(0), hostLen - 1), i =>
+              concat(lit("fb"), $"doc_id".cast("string"), lit("x"),
+                i.cast("string"))))), " ").as("text"))
         .select(($"doc_id" + 3000000000L).as("doc_id"), $"text")
-      Contamination.spanExcise(nonTest.unionByName(hosts), test,
+      Contamination.spanExcise(corp.unionByName(hosts), tsel,
           "doc_id", "text")
         .filter($"n_excised" > 0)
         .select($"doc_id", $"n_excised",
@@ -559,14 +658,24 @@ object Queries22 {
     },
     Some("""
       WITH tsel AS (
-        SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text, row_number() OVER (ORDER BY
+            CAST(('0x' || substr(md5('167:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+            doc_id) AS rn
+          FROM documents WHERE len(string_split(text, ' ')) >= 12)
+        WHERE rn <= 64),
       hosts AS (
-        SELECT t.doc_id + 3000000000 AS doc_id,
-               f.text || ' ' || t.text || ' ' || f.text AS text
-        FROM tsel t
-        JOIN documents f ON f.doc_id = t.doc_id + 1 AND f.doc_id % 97 <> 0),
+        SELECT doc_id + 3000000000 AS doc_id,
+               array_to_string(list_concat(list_concat(
+                 list_transform(range(0, len(w) * (1 + doc_id % 4)),
+                   i -> 'fa' || doc_id || 'x' || i),
+                 w),
+                 list_transform(range(0, len(w) * (1 + doc_id % 4)),
+                   i -> 'fb' || doc_id || 'x' || i)), ' ') AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tsel)),
       corp AS (
-        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        SELECT d.doc_id, d.text FROM documents d
+        LEFT JOIN tsel USING (doc_id) WHERE tsel.doc_id IS NULL
         UNION ALL
         SELECT doc_id, text FROM hosts),
       ctoks AS (

@@ -1070,8 +1070,9 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-scale shuffle crept in:\n$p")
   }
 
-  test("q164_semantic_decontaminate: one broadcast bucket join; the " +
-    "corpus never shuffles at all") {
+  test("q164_semantic_decontaminate: broadcast (table, bucket) join; " +
+    "the corpus never shuffles — the one hash exchange is the " +
+    "match-sized pair dedup") {
     val p = plan("q164_semantic_decontaminate")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
@@ -1079,10 +1080,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"the test side must broadcast into the bucket join:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no shuffled join:\n$p")
-    // zero hash exchanges anywhere: bucket + cosine are map work, the
-    // test side broadcasts, and the only exchange is the final ORDER BY
-    assert(!p.contains("Exchange hashpartitioning"),
+    // the 8-table codes and the cosine are map work and the test side
+    // broadcasts; the ONLY hash exchange is the (vec, test) pair-dedup
+    // aggregate, whose rows are table-agreement matches — candidate-
+    // sized, never corpus-sized (plus the final ORDER BY range
+    // exchange). A second hash exchange would be the corpus shuffling.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       s"the corpus side must not shuffle:\n$p")
+    assert(p.contains("partial_count"),
+      s"the pair-dedup aggregate must combine map-side:\n$p")
   }
 
   test("q166_span_contamination: broadcast-only probe; the single hash " +

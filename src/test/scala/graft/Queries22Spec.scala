@@ -44,7 +44,7 @@ class Queries22Spec extends SparkSpec {
   test("one row per rung, hits bounded by possible and candidates") {
     assert(rows.keySet == Set("r1_verbatim", "r2_edited",
       "r3_semantic_np1", "r3_semantic_np2", "r3_semantic_npfull",
-      "r4_span_embedded"), rows.keySet)
+      "r3_semantic_multi", "r4_span_embedded"), rows.keySet)
     rows.foreach { case (rung, (cand, hits, possible, recall)) =>
       assert(hits <= possible, s"$rung: hits $hits > possible $possible")
       assert(hits <= cand, s"$rung: hits $hits > candidates $cand")
@@ -70,5 +70,15 @@ class Queries22Spec extends SparkSpec {
       s"hits not monotone: ${np1._2}, ${np2._2}, ${full._2}")
     assert(np1._1 <= np2._1 && np2._1 <= full._1,
       s"candidates not monotone: ${np1._1}, ${np2._1}, ${full._1}")
+  }
+
+  test("the multi-table rung reports its own cost/recall row (hits " +
+    "within bounds, candidates charge per-table agreements)") {
+    val m = rows("r3_semantic_multi")
+    // with 8 tables a pair may be counted up to 8 times on the cost
+    // side, so candidates can exceed pair count but never fall below
+    // hits; the at-scale recall assertion lives in the 100x receipt
+    // (BASELINE.md), not this 80-row fixture
+    assert(m._2 >= 1L, s"the planted copies must produce some hits: $m")
   }
 }
