@@ -188,6 +188,86 @@ class StreamingBenchmarkGateSpec extends SparkSpec {
     } finally Contamination.releaseProbes(p)
   }
 
+  test("in-stream catch-rate: plants at all four rungs, per-rung recall " +
+    "parity with the batch operators, multi-table rung-3 probes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("gaterecall").toString
+    val prefix = "graft_spec_gaterecall"
+    // two benchmark items; the gate freezes a TWO-table rung-3 code
+    // (the round-16 at-scale form) — batch parity below runs
+    // semanticScoresMulti with the same geometry
+    val bench2text =
+      "uno duo tres quattro cinque sei sette otto nove dieci undici dodici"
+    val bench2 = Seq((100L, benchText), (200L, bench2text))
+      .toDF("doc_id", "text")
+    val p = Contamination.buildProbes(bench2, "doc_id", "text", keyVec,
+      dims = 8, planes = 4, tables = 2)
+    // two plants per rung, each engineered to be caught by exactly its
+    // own rung (the p1/p2/p3/p5 constructions, one per benchmark item),
+    // plus two clean docs
+    val v1 = (1L, benchText); val v2 = (11L, bench2text)
+    val e1 = (2L,
+      "omega beta gamma delta epsilon zeta eta theta iota kappa nu mu")
+    val e2 = (12L,
+      "ys duo tres quattro cinque sei sette otto nove dieci zs dodici")
+    val r1p = (3L,
+      "alpha completely different words that share nothing with the benchmark text")
+    val r2p = (13L,
+      "uno altro testo completamente diverso senza parole in comune qui dentro")
+    val s1 = (9L, p5._2)
+    val s2 = (19L, (0 until 24).map(i => s"h$i").mkString(" ") + " " +
+      bench2text + " " + (0 until 24).map(i => s"k$i").mkString(" "))
+    val c1 = (4L, p4._2)
+    val c2 = (14L, "another spotless document holding nothing but novel vocabulary")
+    val plants = Seq(v1, v2, e1, e2, r1p, r2p, s1, s2, c1, c2)
+    val batch = plants.toDF("doc_id", "text")
+    try {
+      // ground truth from the BATCH operators at the gate's thresholds
+      val benchV = bench2.withColumn("v", keyVec)
+      val batchV = batch.withColumn("v", keyVec)
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      val r1ids = ids(Contamination.scores(batchV, benchV, "doc_id", "text")
+        .filter(col("overlap_frac") >= 0.8))
+      val r2ids = ids(Contamination.fuzzyScores(batchV, benchV, "doc_id",
+        "text", minJaccard = 0.5))
+      val r3ids = ids(Contamination.semanticScoresMulti(batchV, benchV,
+        "doc_id", "v", dims = 8, planesPerTable = 4, tables = 2,
+        minCos = 0.9))
+      val r4ids = ids(Contamination.spanScores(batchV, benchV, "doc_id",
+        "text").filter(col("coverage") >= 0.9))
+      // per-rung recall on its own plants is 1.0 — the q165 truth
+      // arithmetic, asserted on the operators the gate's probes freeze
+      assert(Set(1L, 11L).subsetOf(r1ids), s"rung 1 recall: $r1ids")
+      assert(Set(2L, 12L).subsetOf(r2ids), s"rung 2 recall: $r2ids")
+      assert(Set(3L, 13L).subsetOf(r3ids), s"rung 3 recall: $r3ids")
+      assert(Set(9L, 19L).subsetOf(r4ids), s"rung 4 recall: $r4ids")
+      val expectedKept =
+        plants.map(_._1).toSet -- r1ids -- r2ids -- r3ids -- r4ids
+      assert(expectedKept == Set(4L, 14L),
+        s"fixture: only the clean docs may survive: $expectedKept")
+      // the STREAM: one batch through the curation chain's gate — the
+      // admitted set must equal the batch-operator union exactly
+      val centroids = Seq(
+        (0L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+        (1L, Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+      ).toDF("centroid_id", "centroid_vec")
+      lazy val in = MemoryStream[ChainDoc]
+      val q = StreamingCurationChain.start(
+        in.toDF(), prefix, keptDir = s"$dir/kept", cardDir = s"$dir/card",
+        indexDir = s"$dir/ivf", postingsDir = s"$dir/post",
+        centroids = centroids, checkpoint = s"$dir/ckpt",
+        gate = Some(Contamination.BenchmarkGate(p, keyVec)))
+      in.addData(plants.map { case (id, tx) => ChainDoc(id, tx, "en", "web") }: _*)
+      q.processAllAvailable()
+      q.stop()
+      val kept = spark.read.parquet(s"$dir/kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == expectedKept,
+        s"in-stream admitted $kept != batch-operator survivors $expectedKept")
+    } finally Contamination.releaseProbes(p)
+  }
+
   test("chain refuses planted leaks at the door; replay admits the same set") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = Files.createTempDirectory("gatechain").toString
