@@ -728,6 +728,143 @@ object Queries22 {
     notes = "PaLM-style dirty-span removal: excise the quoted benchmark " +
       "tokens, keep the host; cleaned text hash-compared byte-exact")
 
+  // ------------------------------------------------- q168_semantic_table_dial
+  /** The multi-table semantic rung's COST/RECALL CURVE — the dial
+    * q165's single `r3_semantic_multi` row fixes at (6 planes, 8
+    * tables), swept: the same planted fixture (q165's 64 md5-smallest
+    * vectors + amplitude-spread perturbed copies) is probed at
+    * tables ∈ {2, 4, 8}, each the PREFIX of the same deterministic
+    * plane family, and the output reports per-setting candidates
+    * (Σ per-table agreements — the raw verify cost), hits (planted
+    * pairs recovered at cosine ≥ 0.5) and recall. Both columns are
+    * provably monotone in the table count (a prefix of tables can only
+    * lose candidates), so the relation IS the dial: a deployment picks
+    * the smallest T whose recall clears its bar and pays exactly the
+    * candidate column. This is the q50/q95 discipline (measure the
+    * dial, don't guess it) applied to the structure that round 16
+    * introduced because the previous dial — nprobe on a single
+    * corpus-derived code — measurably stopped working at 100×.
+    *
+    * Scale shape: three [[graft.operators.Contamination.semanticScoresMulti]]
+    * calls over the planted corpus — each the corpus-shuffle-free
+    * broadcast shape with its match-sized pair-dedup exchange; the
+    * corpus scan re-runs per setting by design (the harness audits the
+    * public operator end-to-end, q165's note).
+    */
+  val q168SemanticTableDial = {
+    import KmeansSql.sqlCos
+    val TestN = 64
+    QueryDef(
+      "q168_semantic_table_dial",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Contamination
+        import graft.functions.GraftFunctions.hash64
+
+        val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val vsel = emb
+          .withColumn("_h", hash64($"vec_id".cast("string"), 166))
+          .orderBy($"_h", $"vec_id").limit(TestN).drop("_h")
+          .localCheckpoint(true)
+        val amp = (lit(5L) + ($"vec_id" % 6) * 10L).cast("double") / 100.0
+        val vplant = vsel
+          .select($"vec_id",
+            transform($"embedding", (x, i) => x.cast("double") + amp *
+              ((hash64(concat($"vec_id".cast("string"), lit(":"),
+                i.cast("string")), 7) % 1000L).cast("double") / 1000.0 - 0.5))
+              .as("embedding"))
+          .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+        val vcorp = emb
+          .join(broadcast(vsel.select($"vec_id")), Seq("vec_id"), "left_anti")
+          .select($"vec_id",
+            transform($"embedding", _.cast("double")).as("embedding"))
+          .unionByName(vplant)
+
+        def at(tables: Int): DataFrame =
+          Contamination.semanticScoresMulti(vcorp, vsel, "vec_id",
+              "embedding", dims = 64, planesPerTable = 6, tables = tables,
+              minCos = -1.0)
+            .agg(coalesce(sum($"n_tables"), lit(0L)).as("candidates"),
+              coalesce(sum(when($"cos" >= 0.5 &&
+                $"vec_id" === $"test_id" + 1000000000L, 1L).otherwise(0L)),
+                lit(0L)).as("hits"))
+            .select(lit(tables.toLong).as("tables"), $"candidates", $"hits")
+
+        at(2).unionByName(at(4)).unionByName(at(8))
+          .select($"tables", $"candidates", $"hits",
+            lit(TestN.toLong).as("possible"),
+            round($"hits".cast("double") / TestN, 6).as("recall"))
+          .orderBy($"tables")
+      },
+      Some(s"""
+        WITH vsel AS (
+          SELECT vec_id, embedding FROM (
+            SELECT vec_id, embedding, row_number() OVER (ORDER BY
+              CAST(('0x' || substr(md5('166:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+              vec_id) AS rn
+            FROM embeddings) WHERE rn <= $TestN),
+        vplant AS (
+          SELECT vec_id + 1000000000 AS vec_id,
+                 list_transform(range(0, 64), d ->
+                   embedding[d+1]::DOUBLE + ((5 + (vec_id % 6) * 10) / 100.0) *
+                     (CAST(('0x' || substr(md5('7:' || vec_id || ':' || d), 1, 15)) AS BIGINT)
+                        % 1000 / 1000.0 - 0.5)) AS v
+          FROM vsel),
+        vcorp AS (
+          SELECT e.vec_id, list_transform(e.embedding, x -> x::DOUBLE) AS v
+          FROM embeddings e LEFT JOIN vsel USING (vec_id) WHERE vsel.vec_id IS NULL
+          UNION ALL
+          SELECT vec_id, v FROM vplant),
+        hp AS (
+          SELECT g, list_transform(range(0, 64), d ->
+            CAST(('0x' || substr(md5('0:' || g || ':' || d), 1, 15)) AS BIGINT)
+              % 1000 / 1000.0 - 0.5) AS pv
+          FROM range(0, 48) tg(g)),
+        cmt AS (
+          SELECT c.vec_id, CAST(hp.g // 6 AS INT) AS tbl,
+                 SUM(CASE WHEN round(list_reduce(list_transform(range(0, 64),
+                       d -> c.v[d+1] * hp.pv[d+1]), (x, y) -> x + y), 6) > 0
+                     THEN (1 << CAST(hp.g % 6 AS INT)) ELSE 0 END) AS bucket
+          FROM vcorp c CROSS JOIN hp GROUP BY 1, 2),
+        tmt AS (
+          SELECT t.vec_id AS test_id, CAST(hp.g // 6 AS INT) AS tbl,
+                 SUM(CASE WHEN round(list_reduce(list_transform(range(0, 64),
+                       d -> t.embedding[d+1]::DOUBLE * hp.pv[d+1]), (x, y) -> x + y), 6) > 0
+                     THEN (1 << CAST(hp.g % 6 AS INT)) ELSE 0 END) AS bucket
+          FROM vsel t CROSS JOIN hp GROUP BY 1, 2),
+        agree AS (
+          SELECT c.vec_id, t.test_id, c.tbl
+          FROM cmt c JOIN tmt t ON c.tbl = t.tbl AND c.bucket = t.bucket),
+        paircos AS (
+          SELECT a.vec_id, a.test_id, ${sqlCos("cv.v", "tv.tv")} AS cos
+          FROM (SELECT DISTINCT vec_id, test_id FROM agree) a
+          JOIN vcorp cv ON cv.vec_id = a.vec_id
+          JOIN (SELECT vec_id AS test_id,
+                  list_transform(embedding, x -> x::DOUBLE) AS tv FROM vsel) tv
+            ON tv.test_id = a.test_id),
+        sweep AS (
+          SELECT ts.t AS tables, a.vec_id, a.test_id, count(*) AS n_tables
+          FROM (VALUES (2), (4), (8)) ts(t)
+          JOIN agree a ON a.tbl < ts.t
+          GROUP BY 1, 2, 3),
+        outr AS (
+          SELECT tables,
+                 CAST(coalesce(sum(n_tables), 0) AS BIGINT) AS candidates,
+                 CAST(coalesce(sum(CASE WHEN cos >= 0.5
+                       AND vec_id = test_id + 1000000000
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+          FROM sweep JOIN paircos USING (vec_id, test_id)
+          GROUP BY 1)
+        SELECT CAST(tables AS BIGINT) AS tables, candidates, hits,
+               CAST($TestN AS BIGINT) AS possible,
+               round(CAST(hits AS DOUBLE) / $TestN, 6) AS recall
+        FROM outr ORDER BY tables"""),
+      notes = "cost/recall sweep of the multi-table semantic rung at " +
+        "tables = 2/4/8 on the q165 planted fixture; both columns " +
+        "monotone in the table count by construction")
+  }
+
   def all: Seq[QueryDef] =
-    Seq(q165DecontamRecall, q166SpanContamination, q167SpanExcision)
+    Seq(q165DecontamRecall, q166SpanContamination, q167SpanExcision,
+      q168SemanticTableDial)
 }

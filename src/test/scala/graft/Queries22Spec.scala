@@ -72,6 +72,23 @@ class Queries22Spec extends SparkSpec {
       s"candidates not monotone: ${np1._1}, ${np2._1}, ${full._1}")
   }
 
+  test("q168: the table dial is monotone in both recall and candidate " +
+    "cost, and the 8-table row agrees with q165's multi row") {
+    val dial = SparkEntry.queries("q168_semantic_table_dial")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(dial.keySet == Set(2L, 4L, 8L), dial.keySet)
+    assert(dial(2L)._1 <= dial(4L)._1 && dial(4L)._1 <= dial(8L)._1,
+      s"candidates not monotone: $dial")
+    assert(dial(2L)._2 <= dial(4L)._2 && dial(4L)._2 <= dial(8L)._2,
+      s"hits not monotone: $dial")
+    // the 8-table sweep point IS q165's r3_semantic_multi configuration
+    // on the identical fixture — the two relations must agree exactly
+    val multi = rows("r3_semantic_multi")
+    assert(dial(8L) == ((multi._1, multi._2)),
+      s"q168@8 ${dial(8L)} != q165 multi row (${multi._1}, ${multi._2})")
+  }
+
   test("the multi-table rung reports its own cost/recall row (hits " +
     "within bounds, candidates charge per-table agreements)") {
     val m = rows("r3_semantic_multi")
