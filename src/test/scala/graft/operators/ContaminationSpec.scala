@@ -361,7 +361,7 @@ class ContaminationSpec extends SparkSpec {
       (1L, "a b c x1 y1 z1"),
       (2L, "a b c x2 y2 z2"),
       (3L, "a b c x3 y3 z3"),
-      (4L, "w1 b c d w2 w3")).toDF("doc_id", "text")
+      (4L, "rr b c d w2 w3")).toDF("doc_id", "text")
     // uncapped: every doc sharing a shingle is rewritten
     val free = Contamination.spanExcise(dfCorpus, dfBench, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
@@ -373,6 +373,72 @@ class ContaminationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(capped == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 3L),
       s"only the df<=2 shingle may excise: $capped")
+  }
+
+  test("gateBatch excise fixpoint: the splice a single-pass gate ships " +
+    "is re-excised at the door") {
+    import org.apache.spark.sql.functions.{element_at, split}
+    val spliceBench = Seq(
+      (100L, "a b c"), (101L, "p q r")).toDF("doc_id", "text")
+    // keyVec stand-in: first token — plants below dodge rungs 1-3 (the
+    // interleaved doc shares no complete WHOLE-doc identity: overlap
+    // 2/4 < 0.8, jaccard 2/4 < 0.5... actually verify via behavior)
+    val vec = graft.streaming.StreamingCurationChain.textEmbedding(
+      element_at(split(col("text"), " "), 1), dims = 8)
+    val probes = Contamination.buildProbes(spliceBench, "doc_id", "text",
+      vec, dims = 8, planes = 4)
+    try {
+      val batch = Seq(
+        (1L, "x p q a b c r y"), // splice case: one pass leaves "x p q r y"
+        (3L, "totally unrelated words here")).toDF("doc_id", "text")
+      val single = Contamination.gateBatch(batch, probes, "doc_id", "text",
+          vec, excise = true)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(single(1L) == "x p q r y",
+        s"premise: the single-pass gate ships the assembled quote: $single")
+      val fixed = Contamination.gateBatch(batch, probes, "doc_id", "text",
+          vec, excise = true, exciseFixpoint = true)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(fixed(1L) == "x y",
+        s"fixpoint gate must remove the assembled benchmark item: $fixed")
+      assert(fixed(3L) == "totally unrelated words here", s"$fixed")
+    } finally Contamination.releaseProbes(probes)
+  }
+
+  test("buildProbes maxDf: the frozen pool drops boilerplate shingles " +
+    "measured against the reference corpus") {
+    import org.apache.spark.sql.functions.{element_at, split}
+    val dfBench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    // first tokens differ from the benchmark's, so the rung-3 first-
+    // token embedding stand-in cannot refuse the boilerplate docs
+    val refCorpus = Seq(
+      (1L, "f1 a b c x1 y1 z1"), (2L, "f2 a b c x2 y2 z2"),
+      (3L, "f3 a b c x3 y3 z3"), (4L, "rr b c d w2 w3")).toDF("doc_id", "text")
+    val vec = graft.streaming.StreamingCurationChain.textEmbedding(
+      element_at(split(col("text"), " "), 1), dims = 8)
+    val free = Contamination.buildProbes(dfBench, "doc_id", "text", vec,
+      dims = 8, planes = 4)
+    val capped = Contamination.buildProbes(dfBench, "doc_id", "text", vec,
+      dims = 8, planes = 4, maxDf = 2L, dfCorpus = Some(refCorpus))
+    try {
+      // "a b c" (df 3) leaves the pool; "b c d" (df 1) stays
+      assert(free.shinglePool.count() == 2L && capped.shinglePool.count() == 1L,
+        s"pool: ${free.shinglePool.count()} -> ${capped.shinglePool.count()}")
+      // and the capped gate excises only the distinctive quote
+      val out = Contamination.gateBatch(refCorpus, capped, "doc_id", "text",
+          vec, excise = true)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out(1L) == "f1 a b c x1 y1 z1", s"boilerplate kept: $out")
+      assert(out(4L) == "rr w2 w3", s"distinctive quote excised: $out")
+      // maxDf without a corpus to measure against is refused
+      intercept[IllegalArgumentException] {
+        Contamination.buildProbes(dfBench, "doc_id", "text", vec,
+          dims = 8, planes = 4, maxDf = 2L)
+      }
+    } finally {
+      Contamination.releaseProbes(free)
+      Contamination.releaseProbes(capped)
+    }
   }
 
   test("every rung refuses a test side past the broadcast budget") {
