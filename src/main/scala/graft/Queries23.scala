@@ -1,0 +1,323 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-16 query surface: the sharded-SemDeDup co-location
+  * measurement — the q165 "measure, don't guess" discipline applied to
+  * the shard-key choice. Oracle-parity rules as in [[Queries]].
+  */
+object Queries23 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---------------------------------------------------- q169_shard_colocation
+  /** Shard-key co-location recall for sharded SemDeDup
+    * ([[graft.operators.Similarity.semDedupHierSharded]] vs
+    * [[graft.operators.Similarity.semDedupHierShardedByContent]]).
+    * Sharded dedup only catches pairs that land in the SAME shard, so
+    * the shard key's co-location probability on true near-dup pairs IS
+    * the structural recall ceiling of the whole operator — measured
+    * here directly, the way q165 measures the contamination rungs.
+    *
+    * Fixture (both engines replay it bit-for-bit): the 64 md5-smallest
+    * embedding rows, each paired with a planted near-dup — the vector
+    * plus md5-derived noise at amplitude (5 + 10·(vec_id mod 6))/100 ∈
+    * {0.05..0.55}, the q165 semantic-plant spread, so light plants sit
+    * deep inside the source's hyperplane cell and heavy ones cross
+    * planes. Three shard keys on the identical pairs:
+    *
+    *  - `id_shards4`: the q48 id-hash arithmetic at shards = 4
+    *    (hash64(id, 5) mod 4, plant id = vec_id + 1e9) — content-blind,
+    *    expected co-location 1/4 at ANY amplitude. This is the
+    *    documented [[graft.operators.Similarity.semDedupHierSharded]]
+    *    miss, measured.
+    *  - `c_planes2_t1`: one 2-plane hyperplane family (content shard
+    *    key of [[graft.operators.Similarity.semDedupHierShardedByContent]]
+    *    at shardPlanes = 2, tables = 1) — co-location (1 − θ/π)² per
+    *    pair, ≈ 1 for light plants, degrading as the amplitude dial
+    *    crosses planes.
+    *  - `c_planes2_t2`: two OR-composed families (tables = 2) — a pair
+    *    co-locates if EITHER family agrees, the rung-3/table dial
+    *    applied to the shard key.
+    *
+    * None of the three keys references corpus size, so every row is
+    * scale-FLAT — the 100 TB reading is direct. The end-to-end
+    * within-shard catch (co-located ⇒ dropped by the per-shard
+    * [[graft.operators.Similarity.semDedupHier]] at its τ) is pinned in
+    * SemDedupSpec; this query measures the shard key itself, which is
+    * the only term that differs between the two sharded forms.
+    *
+    * Scale shape: the fixture is a TakeOrdered (bounded at any corpus
+    * size); buckets are one narrow map pass over 2·64 rows; the id
+    * arithmetic is per-row hashing. No corpus-sized work at all —
+    * the audit costs O(|test|·tables·planes·dims).
+    */
+  val q169ShardColocation = {
+    val TestN = 64
+    QueryDef(
+      "q169_shard_colocation",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.GraftFunctions.hash64
+        import graft.operators.Similarity
+
+        val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val vsel = emb
+          .withColumn("_h", hash64($"vec_id".cast("string"), 169))
+          .orderBy($"_h", $"vec_id").limit(TestN).drop("_h")
+          .select($"vec_id",
+            transform($"embedding", _.cast("double")).as("embedding"))
+          .localCheckpoint(true)
+        // the q165 semantic-plant arithmetic (noise seed 8, amplitude
+        // via integer-then-one-divide so both engines produce the
+        // identical double); the pair keeps the ORIGINAL vec_id as its
+        // join key — only the id_shards4 mode needs the +1e9 plant id,
+        // and it derives it in place
+        val amp = (lit(5L) + ($"vec_id" % 6) * 10L).cast("double") / 100.0
+        val vplant = vsel.select($"vec_id",
+          transform($"embedding", (x, i) => x + amp *
+            ((hash64(concat($"vec_id".cast("string"), lit(":"),
+              i.cast("string")), 8) % 1000L).cast("double") / 1000.0 - 0.5))
+            .as("embedding"))
+
+        def buckets(df: DataFrame, out: String): DataFrame =
+          Similarity.multiTableBuckets(df, "embedding", dims = 64,
+              planes = 2, tables = 2, "tbl", "bkt")
+            .select($"vec_id", $"tbl", $"bkt".as(out))
+        val pairTables = buckets(vsel, "ob")
+          .join(buckets(vplant, "pb"), Seq("vec_id", "tbl"))
+        val pairs = pairTables
+          .groupBy($"vec_id")
+          .agg(
+            max(when($"tbl" === 0 && $"ob" === $"pb", 1).otherwise(0))
+              .as("m0"),
+            max(when($"tbl" === 1 && $"ob" === $"pb", 1).otherwise(0))
+              .as("m1"))
+        val content = pairs.agg(
+          sum($"m0").cast("long").as("t1"),
+          sum(when($"m0" === 1 || $"m1" === 1, 1L).otherwise(0L))
+            .cast("long").as("t2"))
+        val idsh = vsel.select(
+            when(hash64($"vec_id".cast("string"), 5) % 4 ===
+              hash64(($"vec_id" + 1000000000L).cast("string"), 5) % 4,
+              1L).otherwise(0L).as("co"))
+          .agg(sum($"co").cast("long").as("id4"))
+
+        content.crossJoin(idsh)
+          .select(
+            explode(array(
+              struct(lit("c_planes2_t1").as("mode"),
+                $"t1".as("colocated")),
+              struct(lit("c_planes2_t2").as("mode"),
+                $"t2".as("colocated")),
+              struct(lit("id_shards4").as("mode"),
+                $"id4".as("colocated")))).as("r"))
+          .select($"r.mode".as("mode"), $"r.colocated".as("colocated"),
+            lit(TestN.toLong).as("possible"),
+            round($"r.colocated".cast("double") / TestN, 6).as("recall"))
+          .orderBy($"mode")
+      },
+      Some(s"""
+        WITH vsel AS (
+          SELECT vec_id, embedding FROM (
+            SELECT vec_id, embedding, row_number() OVER (ORDER BY
+              CAST(('0x' || substr(md5('169:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+              vec_id) AS rn
+            FROM embeddings) WHERE rn <= $TestN),
+        vplant AS (
+          SELECT vec_id, list_transform(range(0, 64), d ->
+            embedding[d+1]::DOUBLE + ((5 + (vec_id % 6) * 10) / 100.0) *
+              (CAST(('0x' || substr(md5('8:' || vec_id || ':' || d), 1, 15)) AS BIGINT)
+                 % 1000 / 1000.0 - 0.5)) AS pv
+          FROM vsel),
+        hp AS (
+          SELECT g, list_transform(range(0, 64), d ->
+            CAST(('0x' || substr(md5('0:' || g || ':' || d), 1, 15)) AS BIGINT)
+              % 1000 / 1000.0 - 0.5) AS pv
+          FROM range(0, 4) tg(g)),
+        obkt AS (
+          SELECT v.vec_id, CAST(hp.g // 2 AS INT) AS tbl,
+                 SUM(CASE WHEN round(list_reduce(list_transform(range(0, 64),
+                       d -> v.embedding[d+1]::DOUBLE * hp.pv[d+1]), (x, y) -> x + y), 6) > 0
+                     THEN (1 << CAST(hp.g % 2 AS INT)) ELSE 0 END) AS bkt
+          FROM vsel v CROSS JOIN hp GROUP BY 1, 2),
+        pbkt AS (
+          SELECT p.vec_id, CAST(hp.g // 2 AS INT) AS tbl,
+                 SUM(CASE WHEN round(list_reduce(list_transform(range(0, 64),
+                       d -> p.pv[d+1] * hp.pv[d+1]), (x, y) -> x + y), 6) > 0
+                     THEN (1 << CAST(hp.g % 2 AS INT)) ELSE 0 END) AS bkt
+          FROM vplant p CROSS JOIN hp GROUP BY 1, 2),
+        pairs AS (
+          SELECT o.vec_id,
+                 max(CASE WHEN o.tbl = 0 AND o.bkt = p.bkt THEN 1 ELSE 0 END) AS m0,
+                 max(CASE WHEN o.tbl = 1 AND o.bkt = p.bkt THEN 1 ELSE 0 END) AS m1
+          FROM obkt o JOIN pbkt p ON p.vec_id = o.vec_id AND p.tbl = o.tbl
+          GROUP BY 1),
+        idsh AS (
+          SELECT CASE WHEN
+              CAST(('0x' || substr(md5('5:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4
+            = CAST(('0x' || substr(md5('5:' || CAST(vec_id + 1000000000 AS VARCHAR)), 1, 15)) AS BIGINT) % 4
+            THEN 1 ELSE 0 END AS co
+          FROM vsel),
+        unioned AS (
+          SELECT 'c_planes2_t1' AS mode,
+                 CAST(coalesce(sum(m0), 0) AS BIGINT) AS colocated FROM pairs
+          UNION ALL
+          SELECT 'c_planes2_t2',
+                 CAST(coalesce(sum(CASE WHEN m0 = 1 OR m1 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM pairs
+          UNION ALL
+          SELECT 'id_shards4', CAST(coalesce(sum(co), 0) AS BIGINT) FROM idsh)
+        SELECT mode, colocated, CAST($TestN AS BIGINT) AS possible,
+               round(CAST(colocated AS DOUBLE) / $TestN, 6) AS recall
+        FROM unioned ORDER BY mode"""),
+      notes = "shard-key co-location recall on planted near-dup pairs " +
+        "at the q165 amplitude spread: id-hash sharding (~1/4, " +
+        "content-blind) vs 2-plane content sharding at 1 and 2 " +
+        "OR-composed tables — the structural recall ceiling of each " +
+        "sharded SemDeDup form, scale-flat by construction")
+  }
+
+  // -------------------------------------------------------- q170_line_dedup
+  /** Within-document repeated-line removal
+    * ([[graft.operators.TextAnalysis.dedupLines]]) — the RefinedWeb
+    * rewrite q46 only scores. The synthetic corpus has no line
+    * structure, so the fixture plants it (the q165 discipline): each
+    * document is re-lined into 6-token lines, then its FIRST line is
+    * appended 1 + (doc_id mod 3) more times — known duplicates at
+    * every intensity, on every row. The operator must remove exactly
+    * the planted copies plus any ORGANIC 6-token-chunk repeats (both
+    * engines replay the same arithmetic, so organic repeats are part
+    * of the pinned answer, not noise). Output pins the cleaned text
+    * byte-exactly via md5 — rows stay narrow at any scale.
+    *
+    * Scale shape: pure per-row maps end to end (re-line, plant, dedup,
+    * hash) — no shuffle anywhere, linear in document length via the
+    * hash-set `array_distinct`.
+    */
+  val q170LineDedup = {
+    QueryDef(
+      "q170_line_dedup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.TextAnalysis
+
+        val w = split($"text", " ")
+        val nLines = ((size(w) + lit(5)) / lit(6)).cast("int")
+        val lines = transform(sequence(lit(0), nLines - 1),
+          b => array_join(slice(w, b * 6 + 1, lit(6)), " "))
+        val planted = concat(lines,
+          transform(sequence(lit(1), (lit(1) + $"doc_id" % 3).cast("int")),
+            _ => element_at(lines, 1)))
+        val txt = array_join(planted, "\n")
+        t(s, dir, "documents")
+          .select($"doc_id",
+            size(planted).cast("long").as("n_lines"),
+            TextAnalysis.dupLineCount(txt).as("n_removed"),
+            md5(TextAnalysis.dedupLines(txt)).as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH lf AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        ln AS (
+          SELECT doc_id, list_transform(range(0, (len(w) + 5) // 6), b ->
+            array_to_string(list_slice(w, b * 6 + 1, b * 6 + 6), ' ')) AS ls
+          FROM lf),
+        pl AS (
+          SELECT doc_id, list_concat(ls,
+            list_transform(range(0, 1 + doc_id % 3), x -> ls[1])) AS pl
+          FROM ln),
+        ded AS (
+          SELECT doc_id, pl,
+                 list_filter(pl, (x, i) -> list_position(pl, x) = i) AS dl
+          FROM pl)
+        SELECT doc_id,
+               CAST(len(pl) AS BIGINT) AS n_lines,
+               CAST(len(pl) - len(dl) AS BIGINT) AS n_removed,
+               md5(array_to_string(dl, chr(10))) AS clean_md5
+        FROM ded ORDER BY doc_id"""),
+      notes = "within-doc repeated-line rewrite on a planted line " +
+        "fixture (first line duplicated 1-3x per doc); cleaned text " +
+        "pinned byte-exact via md5; pure per-row map, no shuffle")
+  }
+
+  // ------------------------------------------------- q171_boilerplate_scrub
+  /** Cross-document boilerplate-line scrub
+    * ([[graft.operators.TextAnalysis.scrubBoilerplateLines]], maxDf=10).
+    * Fixture: the re-lined corpus with a BANNER line prepended to every
+    * even doc_id (df = n/2 ≫ 10 at every sf — must scrub) and a
+    * per-document SIGNATURE line appended (df = 1 — must survive).
+    * Organic 6-token lines crossing the df cap scrub too; both engines
+    * replay the same counts. Cleaned text pinned via md5.
+    *
+    * Scale shape: the operator's one line-frequency aggregate (hash-
+    * keyed, map-side combine) + broadcast of the boilerplate-sized bad
+    * set + one id-keyed exchange of the touched docs for the rewrite —
+    * the corpus is never broadcast (a banner touches HALF the corpus
+    * here, the exact case that forbids the excise operator's broadcast
+    * shortcut).
+    */
+  val q171BoilerplateScrub = {
+    QueryDef(
+      "q171_boilerplate_scrub",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.TextAnalysis
+
+        val w = split($"text", " ")
+        val nLines = ((size(w) + lit(5)) / lit(6)).cast("int")
+        val lines = transform(sequence(lit(0), nLines - 1),
+          b => array_join(slice(w, b * 6 + 1, lit(6)), " "))
+        val withPlants = concat(
+          when($"doc_id" % 2 === 0,
+            array(lit("cookie banner accept all terms now")))
+            .otherwise(array().cast("array<string>")),
+          lines,
+          array(concat(lit("sig "), $"doc_id".cast("string"))))
+        val fixture = t(s, dir, "documents")
+          .select($"doc_id", array_join(withPlants, "\n").as("text"))
+        TextAnalysis.scrubBoilerplateLines(fixture, "doc_id", "text",
+            maxDf = 10L)
+          .select($"doc_id", $"n_scrubbed", md5($"text").as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH lf AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        ln AS (
+          SELECT doc_id, list_transform(range(0, (len(w) + 5) // 6), b ->
+            array_to_string(list_slice(w, b * 6 + 1, b * 6 + 6), ' ')) AS ls
+          FROM lf),
+        pl AS (
+          SELECT doc_id, list_concat(list_concat(
+            CASE WHEN doc_id % 2 = 0
+                 THEN ['cookie banner accept all terms now']
+                 ELSE [] END, ls), ['sig ' || CAST(doc_id AS VARCHAR)]) AS pl
+          FROM ln),
+        df AS (
+          SELECT CAST(('0x' || substr(md5('17:' || l), 1, 15)) AS BIGINT) AS lh,
+                 count(*) AS c
+          FROM (SELECT doc_id, unnest(list_distinct(pl)) AS l FROM pl)
+          GROUP BY 1 HAVING count(*) > 10),
+        bad AS (SELECT coalesce(list(lh), []) AS bl FROM df),
+        scrub AS (
+          SELECT p.doc_id,
+                 list_filter(p.pl, x -> NOT list_contains(b.bl,
+                   CAST(('0x' || substr(md5('17:' || x), 1, 15)) AS BIGINT))) AS kept,
+                 len(p.pl) AS n0
+          FROM pl p CROSS JOIN bad b)
+        SELECT doc_id,
+               CAST(n0 - len(kept) AS BIGINT) AS n_scrubbed,
+               md5(array_to_string(kept, chr(10))) AS clean_md5
+        FROM scrub ORDER BY doc_id"""),
+      notes = "cross-doc boilerplate-line scrub at maxDf=10 on a " +
+        "planted fixture (banner on every even doc scrubs, per-doc " +
+        "signature survives); cleaned text pinned byte-exact via md5")
+  }
+
+  def all: Seq[QueryDef] =
+    Seq(q169ShardColocation, q170LineDedup, q171BoilerplateScrub)
+}

@@ -14,7 +14,7 @@ object SparkEntry {
       Queries9.all ++ Queries10.all ++ Queries11.all ++ Queries12.all ++
       Queries13.all ++ Queries14.all ++ Queries15.all ++ Queries16.all ++
       Queries17.all ++ Queries18.all ++ Queries19.all ++ Queries20.all ++
-      Queries21.all ++ Queries22.all
+      Queries21.all ++ Queries22.all ++ Queries23.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -298,6 +298,60 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** CONTENT-keyed sharded [[semDedupHier]] — closes the cross-shard
+    * miss [[semDedupHierSharded]] accepts. Id-hash sharding scatters a
+    * near-dup pair across shards with probability (shards−1)/shards;
+    * here the shard key is a `shardPlanes`-bit hyperplane code of the
+    * VECTOR itself ([[hyperplaneBucketAt]], the [[multiTableBuckets]]
+    * family), so near-identical vectors land in the same shard BY
+    * CONSTRUCTION — a pair at angle θ co-locates with probability
+    * (1 − θ/π)^shardPlanes per table, ≈ 1 for the cos ≥ τ pairs
+    * SemDeDup exists to catch. `tables` independent shard families
+    * (table t drawn from [[hpComponent]] slice [t·shardPlanes,
+    * (t+1)·shardPlanes), exactly the rung-3 OR-composition) raise the
+    * co-location recall to 1 − (θ/π-miss)^tables at `tables`× the
+    * pass cost; a vector dropped under ANY (table, shard) is a drop —
+    * take `distinct` on `idCol` for the drop set (the same id can
+    * carry one row per agreeing table, possibly with different
+    * `dup_of` partners).
+    *
+    * Cost/semantics vs the id-hash form: shards = 2^shardPlanes per
+    * table, each running an INDEPENDENT [[semDedupHier]] at its
+    * occupancy, so every per-shard cost term is evaluated at ~n/2^b —
+    * the same linear-regime rail — but hyperplane buckets over real
+    * embeddings are occupancy-SKEWED (sign codes are not balanced
+    * partitions), so `shardPlanes` is a partition-count dial, not a
+    * balance guarantee; the binding-`kmax` rail composes per shard for
+    * the skewed-cell regime. Within-shard geometry derives from the
+    * shard's own n (count, codebooks, cells), so results are NOT
+    * byte-comparable to the flat form — what IS pinned (SemDedupSpec)
+    * is that the output equals the per-(table, shard) manual replay
+    * and that a planted cross-id-shard near-dup pair invisible to
+    * [[semDedupHierSharded]] is caught here.
+    *
+    * Returns [[semDedupHier]]'s schema plus leading `(tbl, shard)`.
+    */
+  def semDedupHierShardedByContent(vectors: DataFrame, vecCol: String,
+      idCol: String, dims: Int, targetCell: Long, tau: Double,
+      shardPlanes: Int, tables: Int = 1, iters: Int = 2,
+      seedCoarse: Int = 31, seedFine: Int = 37,
+      kmax: Int = Int.MaxValue): DataFrame = {
+    require(shardPlanes >= 1 && shardPlanes <= 16,
+      "shardPlanes must be in [1, 16]")
+    require(tables >= 1, "tables must be >= 1")
+    val shards = 1 << shardPlanes
+    (for { tbl <- 0 until tables; s <- 0 until shards } yield {
+      val sub = vectors.filter(
+        hyperplaneBucketAt(col(vecCol), dims, shardPlanes,
+          tbl * shardPlanes) === s)
+      semDedupHier(sub, vecCol, idCol, targetCell, tau, iters,
+        seedCoarse, seedFine, kmax)
+        .select(lit(tbl).as("tbl"), lit(s.toLong).as("shard"),
+          col("coarse"), col("cell"), col(idCol), col("dup_of"),
+          col("cos"))
+    }).reduce(_ unionByName _)
+  }
+
   /** Sign-of-projection bucket code (0 .. 2^planes-1) for a vector
     * column: one zip_with dot product per plane against a literal
     * hyperplane array.

@@ -190,4 +190,81 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") >= minDf)
   }
+
+  // ---- line-level curation (the RefinedWeb/Gopher rewrite family) ---------
+
+  /** Remove WITHIN-document repeated lines, keeping the FIRST occurrence
+    * of each — the standard web-text repetition rewrite (repeated nav
+    * fragments, duplicated paragraphs from template glitches). q46
+    * SCORES intra-doc repetition; this is the matching rewrite. Exact
+    * (byte-equal lines only), order-preserving (`array_distinct` keeps
+    * first-occurrence order — spec-pinned, since the whole operator is
+    * wrong if that ever changes), and a pure per-row map: linear in
+    * document length via the hash-set distinct, no shuffle, scan-fused.
+    * Empty lines dedup like any other — callers wanting paragraph
+    * separators preserved should scrub before splitting paragraphs.
+    */
+  def dedupLines(text: Column, sep: String = "\n"): Column = {
+    val q = java.util.regex.Pattern.quote(sep)
+    array_join(array_distinct(split(text, q)), sep)
+  }
+
+  /** Number of lines [[dedupLines]] removes — emitted separately so the
+    * score and the rewrite stay one scan.
+    */
+  def dupLineCount(text: Column, sep: String = "\n"): Column = {
+    val q = java.util.regex.Pattern.quote(sep)
+    (size(split(text, q)) - size(array_distinct(split(text, q))))
+      .cast("long")
+  }
+
+  /** CROSS-document boilerplate-line scrub: remove every line whose
+    * document frequency exceeds `maxDf` (cookie banners, nav menus,
+    * share bars — the lines that appear on every page of a host and
+    * would otherwise dominate the token budget). Document frequency
+    * counts each line once per document ([[dedupLines]] composes for
+    * the within-doc copies). Returns `corpus` with `textCol` rewritten
+    * (first-to-last order of the KEPT lines preserved) plus
+    * `n_scrubbed` (lines removed, 0 for untouched docs).
+    *
+    * Scale shape: one corpus-wide line-frequency aggregate (shuffle
+    * keyed by the 64-bit line hash, map-side combine absorbs repeats);
+    * the `> maxDf` survivor set is BOILERPLATE-sized by construction
+    * (distinct lines more frequent than the cap) and broadcasts. The
+    * rewrite join is NOT broadcast — boilerplate by definition touches
+    * many documents, so the matched-positions relation can be
+    * corpus-sized; it exchanges hash-keyed on `idCol` instead
+    * (match-sized rows: one per touched doc). Rewrite is linear per
+    * document — the [[Contamination.exciseWithPool]] one-`array_except`
+    * form, not a per-line membership scan.
+    */
+  def scrubBoilerplateLines(corpus: DataFrame, idCol: String,
+                            textCol: String, maxDf: Long,
+                            sep: String = "\n"): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val q = java.util.regex.Pattern.quote(sep)
+    val id = col(idCol)
+    val docLines = corpus.select(id, split(col(textCol), q).as("_ls"))
+    val bad = docLines
+      .select(explode(array_distinct(col("_ls"))).as("_l"))
+      .groupBy(hash64(col("_l"), 17).as("_lh"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf)
+      .select(col("_lh"))
+    val matched = docLines
+      .select(id, posexplode(col("_ls")).as(Seq("_j", "_l")))
+      .select(id, col("_j"), hash64(col("_l"), 17).as("_lh"))
+      .join(broadcast(bad), "_lh")
+      .groupBy(id).agg(collect_set(col("_j")).as("_mj"))
+    val kept = transform(
+      array_except(sequence(lit(0), size(col("_ls")) - 1), col("_mj")),
+      p => element_at(col("_ls"), p + 1))
+    val rewritten = docLines.join(matched, Seq(idCol))
+      .select(id, array_join(kept, sep).as("_newtext"),
+        size(col("_mj")).cast("long").as("_nsc"))
+    corpus.join(rewritten, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("_newtext"), col(textCol)))
+      .withColumn("n_scrubbed", coalesce(col("_nsc"), lit(0L)))
+      .drop("_newtext", "_nsc")
+  }
 }

@@ -1135,6 +1135,28 @@ class PlanAuditSpec extends SparkSpec {
       s"the matched-position aggregate must combine map-side:\n$p")
   }
 
+  test("q170_line_dedup: pure per-row map — no hash exchange, no join") {
+    val p = plan("q170_line_dedup")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"within-doc line dedup must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a per-row rewrite:\n$p")
+  }
+
+  test("q171_boilerplate_scrub: line-df aggregate combines map-side; " +
+    "never all-pairs") {
+    val p = plan("q171_boilerplate_scrub")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the scrub must never be all-pairs:\n$p")
+    // the document-frequency count combines before its exchange — at
+    // 100 TB this is what keeps the line-hash shuffle boilerplate-thin
+    assert(p.contains("partial_count"),
+      s"the df aggregate must combine map-side:\n$p")
+    // the > maxDf bad set is explicitly broadcast into the probe
+    assert(p.contains("BroadcastExchange"),
+      s"the boilerplate-sized bad set must broadcast:\n$p")
+  }
+
   /** Companion sweep: no query may plan a CartesianProduct, ever — the
     * per-query pins assert this for the shapes where an all-pairs bug
     * is plausible, but a new query with a missed join key (or a typo

@@ -246,6 +246,95 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("semDedupHierShardedByContent: exact twins co-locate by construction " +
+    "— the cross-id-shard pairs the hash split misses are caught") {
+    // the sharded fixture: 12 directions, one exact twin each
+    val base = (0 until 12).map { i =>
+      val a = math.toRadians(i * 30.0)
+      (100L + i, Seq(math.cos(a), math.sin(a)))
+    }
+    val twins = base.map { case (id, v) => (id - 100L, v) }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    // premise: the id-hash split at shards = 4 separates some twin pairs
+    def shard4(id: Long): Long =
+      graft.functions.Hash64Array.hashString(id.toString, 5) % 4
+    val crossPairs = (0 until 12).map(_.toLong)
+      .filter(i => shard4(i) != shard4(100L + i))
+    assert(crossPairs.nonEmpty,
+      "fixture must exercise the documented cross-shard miss")
+    val idSharded = Similarity.semDedupHierSharded(df, "embedding", "vec_id",
+        targetCell = 1L, tau = 0.999999, shards = 4)
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toSet
+    crossPairs.foreach { i =>
+      assert(!idSharded.contains((100L + i, i)),
+        s"id-hash sharding cannot see cross-shard pair ($i, ${100 + i})")
+    }
+    // content sharding: identical vectors share every hyperplane sign,
+    // so ALL 12 pairs co-locate and drop — including every cross-id-shard
+    // pair above
+    val content = Similarity.semDedupHierShardedByContent(df, "embedding",
+        "vec_id", dims = 2, targetCell = 1L, tau = 0.999999, shardPlanes = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(4),
+        r.getLong(5)))
+    for (i <- 0 until 12)
+      assert(content.exists(p => p._3 == 100L + i && p._4 == i.toLong),
+        s"exact twin ${100 + i} must co-locate with $i under content " +
+          s"sharding: ${content.toSeq}")
+    // every verdict's (tbl, shard) matches the public bucket arithmetic
+    val bkt = Similarity.multiTableBuckets(df, "embedding", dims = 2,
+        planes = 2, tables = 1, "t", "b")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    content.foreach { case (tbl, s, id, dupOf) =>
+      assert(tbl == 0 && bkt(id) == s && bkt(dupOf) == s,
+        s"pair ($dupOf, $id) reported in (tbl=$tbl, shard=$s) but the " +
+          s"bucket arithmetic says (${bkt(dupOf)}, ${bkt(id)})")
+    }
+  }
+
+  test("semDedupHierShardedByContent: tables compose as OR — table 0 is " +
+    "byte-identical to the single-table run, extra tables only add") {
+    val df = (0 until 24).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.26), math.sin(i * 0.26), 0.02 * (i % 5)))
+    }.toDF("vec_id", "embedding")
+    def run(tables: Int) = Similarity.semDedupHierShardedByContent(
+        df, "embedding", "vec_id", dims = 3, targetCell = 2L, tau = 0.97,
+        shardPlanes = 2, tables = tables)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    val t1 = run(1)
+    val t2 = run(2)
+    assert(t2.filter(_._1 == 0) == t1,
+      "table 0 of the 2-table run must replay the 1-table run exactly")
+    val drops1 = t1.map(_._5)
+    val drops2 = t2.map(_._5)
+    assert(drops1.subsetOf(drops2),
+      s"OR-composition can only add drops: ${drops1 -- drops2} lost")
+  }
+
+  test("semDedupHierShardedByContent: output equals the per-(table, shard) " +
+    "manual replay; empty shards are silent") {
+    val df = (0 until 16).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.39), math.sin(i * 0.39)))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.semDedupHierShardedByContent(df, "embedding",
+        "vec_id", dims = 2, targetCell = 2L, tau = 0.9, shardPlanes = 2,
+        tables = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    val fanned = Similarity.multiTableBuckets(df, "embedding", dims = 2,
+      planes = 2, tables = 2, "t", "b")
+    val manual = (for { tbl <- 0 until 2; s <- 0 until 4 } yield {
+      val sub = fanned.filter($"t" === tbl && $"b" === s).drop("t", "b")
+      Similarity.semDedupHier(sub, "embedding", "vec_id", targetCell = 2L,
+          tau = 0.9)
+        .collect().map(r => (tbl, s.toLong, r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getDouble(4)))
+    }).flatten.toSet
+    assert(out == manual,
+      s"operator must equal the definitional replay: ${out -- manual} vs " +
+        s"${manual -- out}")
+  }
+
   test("semDedupHier: deterministic across reruns; nothing drops above every cosine") {
     val df = (0 until 20).map { i =>
       (i.toLong, Seq(math.cos(i * 0.3), math.sin(i * 0.3), 0.1 * (i % 3)))
