@@ -240,21 +240,50 @@ object TextAnalysis {
     */
   def scrubBoilerplateLines(corpus: DataFrame, idCol: String,
                             textCol: String, maxDf: Long,
-                            sep: String = "\n"): DataFrame = {
+                            sep: String = "\n"): DataFrame =
+    scrubBoilerplateLinesWithPool(corpus,
+      boilerplateLinePool(corpus, textCol, maxDf, sep), idCol, textCol,
+      sep)
+
+  /** The banned-line set [[scrubBoilerplateLinesWithPool]] scrubs
+    * against: one `lh` (64-bit line hash, seed 17) row per distinct
+    * line whose document frequency exceeds `maxDf` — boilerplate-sized
+    * by construction. Freeze it ONCE from a reference corpus
+    * (`Checkpoints.pin`/`localCheckpoint`) and every stream batch or
+    * corpus shard scrubs against the same pool without re-deriving the
+    * frequency pass — the [[Contamination.BenchmarkProbes]] discipline
+    * applied to boilerplate.
+    */
+  def boilerplateLinePool(corpus: DataFrame, textCol: String, maxDf: Long,
+                          sep: String = "\n"): DataFrame = {
     require(maxDf >= 1, "maxDf must be >= 1")
+    val q = java.util.regex.Pattern.quote(sep)
+    corpus
+      .select(explode(array_distinct(split(col(textCol), q))).as("_l"))
+      .groupBy(hash64(col("_l"), 17).as("lh"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf)
+      .select(col("lh"))
+  }
+
+  /** [[scrubBoilerplateLines]] against a PRE-BUILT banned-line pool
+    * (one `lh` column, [[boilerplateLinePool]]'s relation) — the
+    * frozen-pool form for streams and sharded runs. The pool
+    * broadcasts; the matched-positions relation exchanges hash-keyed
+    * on `idCol` (NOT broadcast — boilerplate touches many documents,
+    * so matches can be corpus-sized); the rewrite is the linear
+    * one-`array_except` form.
+    */
+  def scrubBoilerplateLinesWithPool(corpus: DataFrame, pool: DataFrame,
+                                    idCol: String, textCol: String,
+                                    sep: String = "\n"): DataFrame = {
     val q = java.util.regex.Pattern.quote(sep)
     val id = col(idCol)
     val docLines = corpus.select(id, split(col(textCol), q).as("_ls"))
-    val bad = docLines
-      .select(explode(array_distinct(col("_ls"))).as("_l"))
-      .groupBy(hash64(col("_l"), 17).as("_lh"))
-      .agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxDf)
-      .select(col("_lh"))
     val matched = docLines
       .select(id, posexplode(col("_ls")).as(Seq("_j", "_l")))
-      .select(id, col("_j"), hash64(col("_l"), 17).as("_lh"))
-      .join(broadcast(bad), "_lh")
+      .select(id, col("_j"), hash64(col("_l"), 17).as("lh"))
+      .join(broadcast(pool), "lh")
       .groupBy(id).agg(collect_set(col("_j")).as("_mj"))
     val kept = transform(
       array_except(sequence(lit(0), size(col("_ls")) - 1), col("_mj")),

@@ -16,6 +16,10 @@ import graft.functions.GraftFunctions.hash64
   *     documents matching the frozen benchmark at any rung of the
   *     leakage ladder ([[graft.operators.Contamination.gateBatch]]) —
   *     a leaked test item never enters any artifact;
+  *  0.5 (when a [[LineCuration]] is configured) boilerplate lines are
+  *     scrubbed against a FROZEN banned-line pool and within-document
+  *     repeated lines removed — before fingerprinting, so near-dup
+  *     detection sees content, not nav chrome;
   *  1. [[StreamingContentDedup]] gates the batch (intra-batch + against
   *     the on-disk band index) and lands the admitted documents under
   *     `keptDir/batch=<id>`;
@@ -70,6 +74,18 @@ object StreamingCurationChain {
       (hash64(concat(text, lit(":"), d.cast("string")), 7) % 1000)
         .cast("double") / 1000.0)
 
+  /** Frozen line-curation config for the chain: `pool` is a PINNED
+    * [[graft.operators.TextAnalysis.boilerplateLinePool]] relation
+    * (one `lh` column, derived ONCE from a reference corpus at stream
+    * start — per-batch document frequency would be both replay-unsafe
+    * across code changes and semantically wrong, a batch is not the
+    * corpus); `dedupWithin` additionally removes within-document
+    * repeated lines. Both rewrites are deterministic against the
+    * frozen pool, hence replay-safe like the gate.
+    */
+  case class LineCuration(pool: DataFrame, sep: String = "\n",
+                          dedupWithin: Boolean = true)
+
   /** One batch through the whole chain. `onStage(batchId, k)` fires
     * after stage k commits — an observability/test seam (the crash spec
     * injects failures between stages through it). `maxSegments` > 0
@@ -81,6 +97,7 @@ object StreamingCurationChain {
                    jaccardMin: Double = 0.5, buckets: Int = 8,
                    dims: Int = 8, maxSegments: Int = 0,
                    gate: Option[graft.operators.Contamination.BenchmarkGate] = None,
+                   lineCuration: Option[LineCuration] = None,
                    onStage: (Long, Int) => Unit = (_, _) => ()): Unit = {
     import graft.operators.{Checkpoints, Contamination, Tombstones}
     // Deferred-retire epilogue for an EARLIER batch's stage-5
@@ -114,10 +131,25 @@ object StreamingCurationChain {
     // instead of rung 4 dropping it). Both forms are deterministic
     // against frozen probes, hence replay-safe like the tombstone
     // filter above.
-    val live = gate.fold(tombFree)(g => Contamination.gateBatch(
+    val gated = gate.fold(tombFree)(g => Contamination.gateBatch(
       tombFree, g.probes, "doc_id", "text", g.vec, g.minOverlapFrac,
       g.minJaccard, g.minCos, g.minCoverage, g.excise, g.minKeepTokens,
       g.exciseFixpoint))
+    // optional LINE CURATION between the gate and dedup: boilerplate
+    // lines (frozen pool, never a per-batch frequency pass) and
+    // within-doc repeats are stripped BEFORE fingerprinting, so two
+    // documents differing only in nav chrome dedup as the same content
+    // — scrub-then-dedup, the order that makes the band index describe
+    // the text the corpus actually keeps
+    val live = lineCuration.fold(gated) { lc =>
+      import graft.operators.TextAnalysis
+      val scrubbed = TextAnalysis.scrubBoilerplateLinesWithPool(
+        gated, lc.pool, "doc_id", "text", lc.sep).drop("n_scrubbed")
+      if (lc.dedupWithin)
+        scrubbed.withColumn("text",
+          TextAnalysis.dedupLines(col("text"), lc.sep))
+      else scrubbed
+    }
     var kept: DataFrame = null
     try {
       StreamingContentDedup.processBatch(spark,
@@ -557,13 +589,14 @@ object StreamingCurationChain {
             checkpoint: String, jaccardMin: Double = 0.5, buckets: Int = 8,
             dims: Int = 8, maxSegments: Int = 0,
             gate: Option[graft.operators.Contamination.BenchmarkGate] = None,
+            lineCuration: Option[LineCuration] = None,
             onStage: (Long, Int) => Unit = (_, _) => ()): StreamingQuery = {
     StreamingContentDedup.bootstrapIndex(source.sparkSession, prefix, buckets)
     source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, prefix, keptDir, cardDir,
           indexDir, postingsDir, centroids, batchId, jaccardMin, buckets,
-          dims, maxSegments, gate, onStage)
+          dims, maxSegments, gate, lineCuration, onStage)
       }
       .option("checkpointLocation", checkpoint)
       .start()

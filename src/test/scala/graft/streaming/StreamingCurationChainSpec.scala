@@ -430,4 +430,50 @@ class StreamingCurationChainSpec extends SparkSpec {
         kept.select($"doc_id", $"text"), "doc_id", "text")
       .select("doc_id").as[Long].collect().contains(1L))
   }
+
+  test("line curation in-chain: boilerplate scrubs against the frozen " +
+    "pool, within-doc repeats collapse, and dedup sees the CLEANED " +
+    "text (scrub-then-dedup ordering)") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("chainlc").toString
+    val prefix = "graft_spec_chain_lc"
+    // frozen pool from a REFERENCE corpus where the nav banner appears
+    // in 4 docs (df 4 > maxDf 2); the content lines stay df 1
+    val ref = (0 until 4).map(i =>
+      (i.toLong, s"NAV HOME ABOUT\ncontent body $i")).toDF("doc_id", "text")
+    val pool = TextAnalysis.boilerplateLinePool(ref, "text", maxDf = 2L)
+      .localCheckpoint(true)
+    val lc = StreamingCurationChain.LineCuration(pool)
+    def runBatch(id: Long, docs: ChainDoc*): Unit =
+      StreamingCurationChain.processBatch(spark, docs.toDF(), prefix,
+        s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post",
+        centroids, id, lineCuration = Some(lc))
+    StreamingContentDedup.bootstrapIndex(spark, prefix, buckets = 8)
+    // doc 10 carries the banner AND a repeated line; doc 11 is ALREADY
+    // the cleaned form of doc 10 — identical after curation, so the
+    // dedup stage must block it (proof the band index fingerprints the
+    // cleaned text, not the raw batch)
+    runBatch(0L,
+      ChainDoc(10L, "NAV HOME ABOUT\nalpha beta gamma\nalpha beta gamma\ndelta zeta", "en", "web"),
+      ChainDoc(11L, "alpha beta gamma\ndelta zeta", "en", "web"),
+      ChainDoc(12L, "totally different content here", "en", "books"))
+    val kept = spark.read.parquet(s"$dir/kept")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    assert(kept.keySet == Set(10L, 12L),
+      s"doc 11 must dedup against CLEANED doc 10: ${kept.keySet}")
+    assert(kept(10L) == "alpha beta gamma\ndelta zeta",
+      s"banner scrubbed + repeat collapsed: '${kept(10L)}'")
+    assert(kept(12L) == "totally different content here",
+      s"untouched doc passes byte-identical: '${kept(12L)}'")
+    // replay determinism: re-running the batch against the same frozen
+    // pool admits the identical set (per-batch idempotent overwrite)
+    runBatch(0L,
+      ChainDoc(10L, "NAV HOME ABOUT\nalpha beta gamma\nalpha beta gamma\ndelta zeta", "en", "web"),
+      ChainDoc(11L, "alpha beta gamma\ndelta zeta", "en", "web"),
+      ChainDoc(12L, "totally different content here", "en", "books"))
+    val kept2 = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 == Seq(10L, 12L), s"replay must be deterministic: $kept2")
+  }
 }
