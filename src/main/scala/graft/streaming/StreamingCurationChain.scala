@@ -20,6 +20,12 @@ import graft.functions.GraftFunctions.hash64
   *     scrubbed against a FROZEN banned-line pool and within-document
   *     repeated lines removed — before fingerprinting, so near-dup
   *     detection sees content, not nav chrome;
+  *  0.75 (when a [[SemanticDedup]] is configured) the batch is gated
+  *     against the chain's OWN vector index
+  *     ([[StreamingSemanticDedup]]) — a document within tau cosine of
+  *     an admitted document (or a smaller-id batch-mate) is refused,
+  *     so the chain dedups lexically AND semantically with one set of
+  *     artifacts;
   *  1. [[StreamingContentDedup]] gates the batch (intra-batch + against
   *     the on-disk band index) and lands the admitted documents under
   *     `keptDir/batch=<id>`;
@@ -86,6 +92,18 @@ object StreamingCurationChain {
   case class LineCuration(pool: DataFrame, sep: String = "\n",
                           dedupWithin: Boolean = true)
 
+  /** Semantic-dedup config for the chain ([[StreamingSemanticDedup]]):
+    * documents within `tau` cosine of an already-admitted document (or
+    * of a smaller-id batch-mate) are refused before any artifact sees
+    * them — probed against the chain's OWN vector index, so admitting
+    * and dedup share one structure. `embed` overrides the
+    * [[textEmbedding]] stand-in for BOTH the gate and the stage-3
+    * index append (they must agree, or the index would not describe
+    * the vectors the gate probes).
+    */
+  case class SemanticDedup(tau: Double, nprobe: Int = 1,
+                           embed: Option[Column => Column] = None)
+
   /** One batch through the whole chain. `onStage(batchId, k)` fires
     * after stage k commits — an observability/test seam (the crash spec
     * injects failures between stages through it). `maxSegments` > 0
@@ -98,6 +116,7 @@ object StreamingCurationChain {
                    dims: Int = 8, maxSegments: Int = 0,
                    gate: Option[graft.operators.Contamination.BenchmarkGate] = None,
                    lineCuration: Option[LineCuration] = None,
+                   semanticDedup: Option[SemanticDedup] = None,
                    onStage: (Long, Int) => Unit = (_, _) => ()): Unit = {
     import graft.operators.{Checkpoints, Contamination, Tombstones}
     // Deferred-retire epilogue for an EARLIER batch's stage-5
@@ -141,7 +160,7 @@ object StreamingCurationChain {
     // documents differing only in nav chrome dedup as the same content
     // — scrub-then-dedup, the order that makes the band index describe
     // the text the corpus actually keeps
-    val live = lineCuration.fold(gated) { lc =>
+    val curated = lineCuration.fold(gated) { lc =>
       import graft.operators.TextAnalysis
       val scrubbed = TextAnalysis.scrubBoilerplateLinesWithPool(
         gated, lc.pool, "doc_id", "text", lc.sep).drop("n_scrubbed")
@@ -149,6 +168,20 @@ object StreamingCurationChain {
         scrubbed.withColumn("text",
           TextAnalysis.dedupLines(col("text"), lc.sep))
       else scrubbed
+    }
+    // the embedding used by BOTH the semantic gate and stage 3 — one
+    // function, or the index would not describe what the gate probes
+    val embedFn: Column => Column =
+      semanticDedup.flatMap(_.embed)
+        .getOrElse(textEmbedding(_: Column, dims))
+    // optional SEMANTIC dedup before any artifact sees the batch: the
+    // chain's own vector index is the dedup structure
+    // ([[StreamingSemanticDedup]] — replay-safe against the crashed
+    // attempt's own partition, tombstone-aware via the entry snapshot)
+    val live = semanticDedup.fold(curated) { sd =>
+      StreamingSemanticDedup.gateBatch(spark,
+        curated.withColumn("_cv", embedFn(col("text"))), "doc_id", "_cv",
+        centroids, indexDir, sd.tau, sd.nprobe, entrySnap).drop("_cv")
     }
     var kept: DataFrame = null
     try {
@@ -171,7 +204,7 @@ object StreamingCurationChain {
       onStage(batchId, 2)
       StreamingVectorIndex.writeBatch(
         kept.select(col("doc_id").as("cand_id"),
-          textEmbedding(col("text"), dims).as("cv")),
+          embedFn(col("text")).as("cv")),
         centroids, indexDir, batchId)
       onStage(batchId, 3)
       StreamingPostingsIndex.writeBatch(
@@ -590,13 +623,14 @@ object StreamingCurationChain {
             dims: Int = 8, maxSegments: Int = 0,
             gate: Option[graft.operators.Contamination.BenchmarkGate] = None,
             lineCuration: Option[LineCuration] = None,
+            semanticDedup: Option[SemanticDedup] = None,
             onStage: (Long, Int) => Unit = (_, _) => ()): StreamingQuery = {
     StreamingContentDedup.bootstrapIndex(source.sparkSession, prefix, buckets)
     source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, prefix, keptDir, cardDir,
           indexDir, postingsDir, centroids, batchId, jaccardMin, buckets,
-          dims, maxSegments, gate, lineCuration, onStage)
+          dims, maxSegments, gate, lineCuration, semanticDedup, onStage)
       }
       .option("checkpointLocation", checkpoint)
       .start()

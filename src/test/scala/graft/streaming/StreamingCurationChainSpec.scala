@@ -476,4 +476,42 @@ class StreamingCurationChainSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept2 == Seq(10L, 12L), s"replay must be deterministic: $kept2")
   }
+
+  test("semantic dedup in-chain: a lexically-DISTINCT document whose " +
+    "embedding matches an admitted one is refused; the index and gate " +
+    "share the embed function") {
+    val dir = java.nio.file.Files.createTempDirectory("chainsd").toString
+    val prefix = "graft_spec_chain_sd"
+    // designed embed: first letter decides the vector, so lexical and
+    // semantic identity decouple — 'a...' docs all map to e0, others e1
+    val embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => transform(sequence(lit(0), lit(7)), d =>
+        when(d === 0 && substring(t, 1, 1) === "a", 1.0)
+          .when(d === 1 && substring(t, 1, 1) =!= "a", 1.0)
+          .otherwise(0.0))
+    val sd = StreamingCurationChain.SemanticDedup(tau = 0.99,
+      embed = Some(embed))
+    def runBatch(id: Long, docs: ChainDoc*): Unit =
+      StreamingCurationChain.processBatch(spark, docs.toDF(), prefix,
+        s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post",
+        centroids, id, semanticDedup = Some(sd))
+    StreamingContentDedup.bootstrapIndex(spark, prefix, buckets = 8)
+    runBatch(0L,
+      ChainDoc(1L, "alpha content in the first batch", "en", "web"))
+    // batch 1: doc 2 shares NO shingles with doc 1 (lexical gate
+    // passes) but embeds to the same vector -> semantically refused;
+    // doc 3 embeds orthogonally -> admitted
+    runBatch(1L,
+      ChainDoc(2L, "also wildly different words entirely", "en", "web"),
+      ChainDoc(3L, "bravo text goes through untouched", "en", "web"))
+    val kept = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L),
+      s"doc 2 must be refused semantically, not lexically: $kept")
+    // the index describes exactly the admitted docs, under the SAME
+    // embed the gate probes with
+    val idx = StreamingVectorIndex.lists(spark, s"$dir/ivf")
+      .select("cand_id").as[Long].collect().sorted.toSeq
+    assert(idx == Seq(1L, 3L), s"index must hold admitted docs only: $idx")
+  }
 }
