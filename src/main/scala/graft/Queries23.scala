@@ -318,6 +318,116 @@ object Queries23 {
         "signature survives); cleaned text pinned byte-exact via md5")
   }
 
+  // ------------------------------------------------- q172_shard_depth_dial
+  /** The DEPTH curve q169 needs for the real 1000-shard regime: q169
+    * measures the shard-key choice at 4 shards, but a 100 TB
+    * deployment shards into hundreds per table (shards = 2^planes), and
+    * per-table co-location decays as (1 − θ/π)^planes — the dial
+    * question is how many OR-composed tables buy it back. Same planted
+    * pairs as q169 (identical fixture arithmetic, so the p2_t1 row is
+    * spec-pinned equal to q169's c_planes2_t1), swept over
+    * (planes, tables) ∈ {(2,1), (4,1), (6,1), (6,2), (6,4)}: the
+    * single-table rows show the depth decay, the 6-plane rows show the
+    * tables dial recovering it at 64 shards per table. Like q168 for
+    * the contamination rung, the output is the table a deployment
+    * reads its configuration from — none of the keys references corpus
+    * size, so the rows are scale-flat.
+    */
+  val q172ShardDepthDial = {
+    val TestN = 64
+    val Modes = Seq(("p2_t1", 2, 1), ("p4_t1", 4, 1), ("p6_t1", 6, 1),
+      ("p6_t2", 6, 2), ("p6_t4", 6, 4))
+    QueryDef(
+      "q172_shard_depth_dial",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.GraftFunctions.hash64
+        import graft.operators.Similarity
+
+        val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val vsel = emb
+          .withColumn("_h", hash64($"vec_id".cast("string"), 169))
+          .orderBy($"_h", $"vec_id").limit(TestN).drop("_h")
+          .select($"vec_id",
+            transform($"embedding", _.cast("double")).as("embedding"))
+          .localCheckpoint(true)
+        val amp = (lit(5L) + ($"vec_id" % 6) * 10L).cast("double") / 100.0
+        val vplant = vsel.select($"vec_id",
+          transform($"embedding", (x, i) => x + amp *
+            ((hash64(concat($"vec_id".cast("string"), lit(":"),
+              i.cast("string")), 8) % 1000L).cast("double") / 1000.0 - 0.5))
+            .as("embedding"))
+
+        Modes.map { case (m, p, tb) =>
+          def bk(df: DataFrame, out: String) =
+            Similarity.multiTableBuckets(df, "embedding", dims = 64,
+                planes = p, tables = tb, "tbl", "bkt")
+              .select($"vec_id", $"tbl", $"bkt".as(out))
+          bk(vsel, "ob").join(bk(vplant, "pb"), Seq("vec_id", "tbl"))
+            .groupBy($"vec_id")
+            .agg(max(when($"ob" === $"pb", 1).otherwise(0)).as("co"))
+            .agg(coalesce(sum($"co"), lit(0)).cast("long").as("colocated"))
+            .select(lit(m).as("mode"), $"colocated")
+        }.reduce(_ unionByName _)
+          .select($"mode", $"colocated",
+            lit(TestN.toLong).as("possible"),
+            round($"colocated".cast("double") / TestN, 6).as("recall"))
+          .orderBy($"mode")
+      },
+      Some(s"""
+        WITH vsel AS (
+          SELECT vec_id, embedding FROM (
+            SELECT vec_id, embedding, row_number() OVER (ORDER BY
+              CAST(('0x' || substr(md5('169:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+              vec_id) AS rn
+            FROM embeddings) WHERE rn <= $TestN),
+        vplant AS (
+          SELECT vec_id, list_transform(range(0, 64), d ->
+            embedding[d+1]::DOUBLE + ((5 + (vec_id % 6) * 10) / 100.0) *
+              (CAST(('0x' || substr(md5('8:' || vec_id || ':' || d), 1, 15)) AS BIGINT)
+                 % 1000 / 1000.0 - 0.5)) AS pv
+          FROM vsel),
+        modes(m, p, t) AS (
+          VALUES ('p2_t1', 2, 1), ('p4_t1', 4, 1), ('p6_t1', 6, 1),
+                 ('p6_t2', 6, 2), ('p6_t4', 6, 4)),
+        hp AS (
+          SELECT g, list_transform(range(0, 64), d ->
+            CAST(('0x' || substr(md5('0:' || g || ':' || d), 1, 15)) AS BIGINT)
+              % 1000 / 1000.0 - 0.5) AS pv
+          FROM range(0, 24) tg(g)),
+        obkt AS (
+          SELECT mo.m, v.vec_id, CAST(hp.g // mo.p AS INT) AS tbl,
+                 SUM(CASE WHEN round(list_reduce(list_transform(range(0, 64),
+                       d -> v.embedding[d+1]::DOUBLE * hp.pv[d+1]), (x, y) -> x + y), 6) > 0
+                     THEN (1 << CAST(hp.g % mo.p AS INT)) ELSE 0 END) AS bkt
+          FROM vsel v CROSS JOIN modes mo
+          JOIN hp ON hp.g < mo.p * mo.t
+          GROUP BY 1, 2, 3),
+        pbkt AS (
+          SELECT mo.m, pl.vec_id, CAST(hp.g // mo.p AS INT) AS tbl,
+                 SUM(CASE WHEN round(list_reduce(list_transform(range(0, 64),
+                       d -> pl.pv[d+1] * hp.pv[d+1]), (x, y) -> x + y), 6) > 0
+                     THEN (1 << CAST(hp.g % mo.p AS INT)) ELSE 0 END) AS bkt
+          FROM vplant pl CROSS JOIN modes mo
+          JOIN hp ON hp.g < mo.p * mo.t
+          GROUP BY 1, 2, 3),
+        pairs AS (
+          SELECT o.m, o.vec_id,
+                 max(CASE WHEN o.bkt = p.bkt THEN 1 ELSE 0 END) AS co
+          FROM obkt o
+          JOIN pbkt p ON p.m = o.m AND p.vec_id = o.vec_id AND p.tbl = o.tbl
+          GROUP BY 1, 2)
+        SELECT m AS mode, CAST(coalesce(sum(co), 0) AS BIGINT) AS colocated,
+               CAST($TestN AS BIGINT) AS possible,
+               round(CAST(coalesce(sum(co), 0) AS DOUBLE) / $TestN, 6) AS recall
+        FROM pairs GROUP BY 1 ORDER BY 1"""),
+      notes = "shard-key depth curve on the q169 planted pairs: " +
+        "per-table co-location decays with planes (2/4/6 = 4/16/64 " +
+        "shards per table), the OR-composed tables dial (1/2/4) buys " +
+        "it back; p2_t1 spec-pinned equal to q169's c_planes2_t1")
+  }
+
   def all: Seq[QueryDef] =
-    Seq(q169ShardColocation, q170LineDedup, q171BoilerplateScrub)
+    Seq(q169ShardColocation, q170LineDedup, q171BoilerplateScrub,
+      q172ShardDepthDial)
 }

@@ -178,11 +178,22 @@ object StreamingCurationChain {
     // chain's own vector index is the dedup structure
     // ([[StreamingSemanticDedup]] — replay-safe against the crashed
     // attempt's own partition, tombstone-aware via the entry snapshot)
-    val live = semanticDedup.fold(curated) { sd =>
+    val gatedLive = semanticDedup.fold(curated) { sd =>
       StreamingSemanticDedup.gateBatch(spark,
         curated.withColumn("_cv", embedFn(col("text"))), "doc_id", "_cv",
         centroids, indexDir, sd.tau, sd.nprobe, entrySnap).drop("_cv")
     }
+    // pin the gated batch ONCE when any pre-dedup stage is configured:
+    // the dedup pass and the kept-store (lang, source) enrichment both
+    // consume `live`, and without the pin each consumer re-runs — and
+    // separately codegens — the whole gate -> line-curation -> semantic
+    // lineage (measured on 5k-doc soak batches with all stages on:
+    // ~40 s/batch -> ~17 s/batch pinned, and the first-batch codegen
+    // cost falls 58 s -> 17 s; admitted sets byte-identical —
+    // BASELINE.md round-16; batch-sized, released in the finally)
+    val livePinned = gate.nonEmpty || lineCuration.nonEmpty ||
+      semanticDedup.nonEmpty
+    val live = if (livePinned) Checkpoints.pin(gatedLive) else gatedLive
     var kept: DataFrame = null
     try {
       StreamingContentDedup.processBatch(spark,
@@ -223,6 +234,7 @@ object StreamingCurationChain {
       // experiment measured that accumulation compounding into
       // storage-pool pressure (BASELINE.md round-13)
       entrySnap.foreach(Checkpoints.release)
+      if (livePinned) Checkpoints.release(live)
       if (kept != null) Checkpoints.release(kept)
     }
   }

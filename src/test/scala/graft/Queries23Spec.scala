@@ -75,4 +75,24 @@ class Queries23Spec extends SparkSpec {
       else assert(n == 0L, s"odd doc $id scrubbed $n lines")
     }
   }
+
+  test("q172: per-table co-location decays with planes; the tables " +
+    "dial is monotone; p2_t1 equals q169's c_planes2_t1 row") {
+    val dial = SparkEntry.queries("q172_shard_depth_dial")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dial.keySet == Set("p2_t1", "p4_t1", "p6_t1", "p6_t2",
+      "p6_t4"), dial.keySet)
+    // deeper single-table codes can only lose pairs (a p-plane
+    // agreement is a PREFIX condition of the (p+2)-plane agreement on
+    // the same family slice only for table 0 — the general monotone
+    // claim is statistical, but the tables dial at fixed planes is
+    // monotone by construction)
+    assert(dial("p6_t1") <= dial("p6_t2") && dial("p6_t2") <= dial("p6_t4"),
+      s"tables dial must be monotone at fixed depth: $dial")
+    val q169row = SparkEntry.queries("q169_shard_colocation")(spark, dir)
+      .filter($"mode" === "c_planes2_t1")
+      .collect()(0).getLong(1)
+    assert(dial("p2_t1") == q169row,
+      s"q172 p2_t1 ${dial("p2_t1")} != q169 c_planes2_t1 $q169row")
+  }
 }
