@@ -178,6 +178,15 @@ object StreamingCurationChain {
     // chain's own vector index is the dedup structure
     // ([[StreamingSemanticDedup]] — replay-safe against the crashed
     // attempt's own partition, tombstone-aware via the entry snapshot)
+    // NOT pinned before the semantic gate, on measurement: the gate
+    // references `curated` ~4x (probe assign, self-lists assign, two
+    // anti-joins), but a second per-batch pin here measured NO reliable
+    // steady-state gain over the single post-gate pin below (14-21 s vs
+    // 16-17.5 s across runs, inside host noise) while the extra eager
+    // materialization job made COLD batches 2-3x slower (34-49 s vs
+    // ~17 s) — the one pin after the full pre-dedup lineage is the
+    // measured shape (BASELINE.md round-16; the semDedupHier
+    // no-cache precedent)
     val gatedLive = semanticDedup.fold(curated) { sd =>
       StreamingSemanticDedup.gateBatch(spark,
         curated.withColumn("_cv", embedFn(col("text"))), "doc_id", "_cv",

@@ -42,11 +42,18 @@ object StreamingVectorIndex {
       }
       .start()
 
-  /** One batch's inverted-list rows — idempotent per `batchId`. */
+  /** One batch's inverted-list rows — idempotent per `batchId`.
+    * Sorted by `cell` within each output partition: the batch tree is
+    * partitioned by batch (not cell), so a probe scans every file —
+    * cell-clustered row groups let the parquet reader's min/max stats
+    * skip the cells a probe never touches, the cheap half of the
+    * pruning [[rebuildIndex]]'s bucketed layout buys fully.
+    */
   def writeBatch(batch: DataFrame, centroids: DataFrame, path: String,
                  batchId: Long): Unit =
     Similarity.ivfAssign(batch, "cv", "cand_id", centroids)
       .withColumn("_cn", graft.functions.GraftFunctions.l2norm(col("cv")))
+      .sortWithinPartitions(col("cell"))
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
   /** The live inverted lists: the union of all persisted batches, in
