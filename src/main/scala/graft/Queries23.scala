@@ -427,7 +427,116 @@ object Queries23 {
         "it back; p2_t1 spec-pinned equal to q169's c_planes2_t1")
   }
 
+  // ------------------------------------------------- q173_curation_savings
+  /** Per-source savings report for the line-curation pass — the
+    * observability view a token-budget owner reads before turning the
+    * maxDf dial: scrub boilerplate
+    * ([[graft.operators.TextAnalysis.scrubBoilerplateLines]], maxDf=10)
+    * then collapse within-doc repeats
+    * ([[graft.operators.TextAnalysis.dedupLines]]) on the q171 planted
+    * fixture, and aggregate per `source`: documents, lines and chars
+    * before, boilerplate lines removed, duplicate lines removed, lines
+    * and chars after. All exact integer aggregates (chars via
+    * `length`, lines via the separator count) — scale shape is the
+    * q171 operator plus one ordinary grouped aggregate.
+    */
+  val q173CurationSavings = {
+    QueryDef(
+      "q173_curation_savings",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.TextAnalysis
+
+        val w = split($"text", " ")
+        val nLines = ((size(w) + lit(5)) / lit(6)).cast("int")
+        val lines = transform(sequence(lit(0), nLines - 1),
+          b => array_join(slice(w, b * 6 + 1, lit(6)), " "))
+        val withPlants = concat(
+          when($"doc_id" % 2 === 0,
+            array(lit("cookie banner accept all terms now")))
+            .otherwise(array().cast("array<string>")),
+          lines,
+          array(concat(lit("sig "), $"doc_id".cast("string"))))
+        // before-metrics ride THROUGH the scrub as ordinary columns
+        // (the operator rewrites textCol and preserves the rest).
+        // Built in TWO selects: deriving them next to the "text" alias
+        // would capture the NEW text laterally (the q165 divergence)
+        val fixture = t(s, dir, "documents")
+          .select($"doc_id", array_join(withPlants, "\n").as("text"),
+            $"source")
+          .select($"doc_id", $"text", $"source",
+            size(split($"text", "\n")).as("_lb"),
+            length($"text").as("_cb"))
+        val scrubbed = TextAnalysis.scrubBoilerplateLines(
+          fixture, "doc_id", "text", maxDf = 10L)
+        scrubbed
+          .select($"source", $"_lb", $"_cb",
+            $"n_scrubbed",
+            TextAnalysis.dupLineCount($"text").as("_dups"),
+            (size(split($"text", "\n")) -
+              TextAnalysis.dupLineCount($"text")).as("_la"),
+            length(TextAnalysis.dedupLines($"text")).as("_ca"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("docs"),
+            sum($"_lb").cast("long").as("lines_before"),
+            sum($"_cb").cast("long").as("chars_before"),
+            sum($"n_scrubbed").cast("long").as("boiler_removed"),
+            sum($"_dups").cast("long").as("dups_removed"),
+            sum($"_la").cast("long").as("lines_after"),
+            sum($"_ca").cast("long").as("chars_after"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH lf AS (
+          SELECT doc_id, source, string_split(text, ' ') AS w
+          FROM documents),
+        ln AS (
+          SELECT doc_id, source, list_transform(range(0, (len(w) + 5) // 6), b ->
+            array_to_string(list_slice(w, b * 6 + 1, b * 6 + 6), ' ')) AS ls
+          FROM lf),
+        pl AS (
+          SELECT doc_id, source, list_concat(list_concat(
+            CASE WHEN doc_id % 2 = 0
+                 THEN ['cookie banner accept all terms now']
+                 ELSE [] END, ls), ['sig ' || CAST(doc_id AS VARCHAR)]) AS pl
+          FROM ln),
+        df AS (
+          SELECT CAST(('0x' || substr(md5('17:' || l), 1, 15)) AS BIGINT) AS lh,
+                 count(*) AS c
+          FROM (SELECT doc_id, unnest(list_distinct(pl)) AS l FROM pl)
+          GROUP BY 1 HAVING count(*) > 10),
+        bad AS (SELECT coalesce(list(lh), []) AS bl FROM df),
+        scrub AS (
+          SELECT p.doc_id, p.source, len(p.pl) AS lb,
+                 len(array_to_string(p.pl, chr(10))) AS cb,
+                 list_filter(p.pl, x -> NOT list_contains(b.bl,
+                   CAST(('0x' || substr(md5('17:' || x), 1, 15)) AS BIGINT))) AS kept
+          FROM pl p CROSS JOIN bad b),
+        ded AS (
+          SELECT doc_id, source, lb, cb,
+                 lb - len(kept) AS nsc,
+                 len(kept) -
+                   len(list_filter(kept, (x, i) -> list_position(kept, x) = i)) AS dups,
+                 len(list_filter(kept, (x, i) -> list_position(kept, x) = i)) AS la,
+                 len(array_to_string(
+                   list_filter(kept, (x, i) -> list_position(kept, x) = i),
+                   chr(10))) AS ca
+          FROM scrub)
+        SELECT source, CAST(count(*) AS BIGINT) AS docs,
+               CAST(sum(lb) AS BIGINT) AS lines_before,
+               CAST(sum(cb) AS BIGINT) AS chars_before,
+               CAST(sum(nsc) AS BIGINT) AS boiler_removed,
+               CAST(sum(dups) AS BIGINT) AS dups_removed,
+               CAST(sum(la) AS BIGINT) AS lines_after,
+               CAST(sum(ca) AS BIGINT) AS chars_after
+        FROM ded GROUP BY 1 ORDER BY 1"""),
+      notes = "per-source line-curation savings report (scrub at " +
+        "maxDf=10 then within-doc dedup on the q171 fixture): docs, " +
+        "lines/chars before and after, boilerplate and duplicate " +
+        "lines removed — exact integer aggregates")
+  }
+
   def all: Seq[QueryDef] =
     Seq(q169ShardColocation, q170LineDedup, q171BoilerplateScrub,
-      q172ShardDepthDial)
+      q172ShardDepthDial, q173CurationSavings)
 }

@@ -95,4 +95,23 @@ class Queries23Spec extends SparkSpec {
     assert(dial("p2_t1") == q169row,
       s"q172 p2_t1 ${dial("p2_t1")} != q169 c_planes2_t1 $q169row")
   }
+
+  test("q173: the savings ledger balances — lines_after = before - " +
+    "boilerplate - dups, chars only shrink, and the banner count " +
+    "matches the even-doc plant") {
+    val r = SparkEntry.queries("q173_curation_savings")(spark, dir)
+      .collect()
+    assert(r.length == 1, "the spec fixture has one source")
+    val row = r(0)
+    val (docs, lb, cb, boiler, dups, la, ca) = (row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+      row.getLong(6), row.getLong(7))
+    assert(docs == 80L)
+    assert(la == lb - boiler - dups, s"ledger must balance: $row")
+    assert(ca <= cb, s"curation can only shrink: $row")
+    // the fixture plants the banner on the 40 even doc_ids, and its
+    // distinct-vocab docs have no organic boilerplate or dups
+    assert(boiler == 40L, s"banner count: $row")
+    assert(dups == 0L, s"no dups in the distinct-vocab fixture: $row")
+  }
 }
