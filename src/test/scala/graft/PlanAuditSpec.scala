@@ -1157,6 +1157,17 @@ class PlanAuditSpec extends SparkSpec {
       s"the boilerplate-sized bad set must broadcast:\n$p")
   }
 
+  test("q173_curation_savings: the per-source ledger combines map-side " +
+    "before its exchange; never all-pairs") {
+    val p = plan("q173_curation_savings")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the savings ledger must never be all-pairs:\n$p")
+    // both the line-df count and the final per-source sums partial-agg
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"aggregates must combine map-side:\n$p")
+  }
+
   /** Companion sweep: no query may plan a CartesianProduct, ever — the
     * per-query pins assert this for the shapes where an all-pairs bug
     * is plausible, but a new query with a missed join key (or a typo
