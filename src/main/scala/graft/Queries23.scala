@@ -427,6 +427,20 @@ object Queries23 {
         "it back; p2_t1 spec-pinned equal to q169's c_planes2_t1")
   }
 
+  /** Deduped line count of a rewritten text, with the EMPTY-REWRITE
+    * edge guarded: `split("")` yields `[""]` (1 line) while the
+    * oracle's kept-line list is `[]` (0 lines), so a document that is
+    * ALL boilerplate must count 0 lines after curation, not 1. The
+    * q173 fixture's per-doc signature line never exercises the edge —
+    * this guard (spec-pinned) keeps the ledger honest if the fixture
+    * ever changes.
+    */
+  private[graft] def linesAfter(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(length(text) === 0, 0)
+      .otherwise(size(split(text, "\n")) -
+        graft.operators.TextAnalysis.dupLineCount(text))
+
   // ------------------------------------------------- q173_curation_savings
   /** Per-source savings report for the line-curation pass — the
     * observability view a token-budget owner reads before turning the
@@ -473,8 +487,7 @@ object Queries23 {
           .select($"source", $"_lb", $"_cb",
             $"n_scrubbed",
             TextAnalysis.dupLineCount($"text").as("_dups"),
-            (size(split($"text", "\n")) -
-              TextAnalysis.dupLineCount($"text")).as("_la"),
+            linesAfter($"text").as("_la"),
             length(TextAnalysis.dedupLines($"text")).as("_ca"))
           .groupBy($"source")
           .agg(count(lit(1)).as("docs"),
@@ -536,7 +549,128 @@ object Queries23 {
         "lines removed — exact integer aggregates")
   }
 
+  // ---------------------------------------------------- q174_family_dial
+  /** The quantizer-FAMILY dial for flat SemDeDup
+    * ([[graft.operators.Similarity.semDedupHierMulti]]), measured the
+    * q168/q172 way: the single quantizer's cell-straddle miss has no
+    * dial but its geometry, and the round-16 100× receipt showed two
+    * independent quantizer draws OR-composed catching MORE planted
+    * pairs than either alone — this query puts the number on the
+    * public operator at every scale.
+    *
+    * Fixture: a deterministic 1/4 hash sample of the embeddings table
+    * (the PqConfig calibration-sample discipline — the dial is
+    * measured on a sample, the deployment reads the curve; sampling
+    * also keeps the two full train+pair passes from dominating the
+    * integrated session at 100×) plus the q169 planted pairs drawn
+    * from the sample's 64 md5-smallest rows at the {0.05..0.55}
+    * amplitude spread. One `families = 2` run; the `families = 1` row
+    * is family 0's prefix (the seed-prefix structure, so the curve is
+    * provably monotone in the one run). Reported per prefix: distinct
+    * dropped ids, plants caught, recall — the oracle replays BOTH
+    * hierarchical trainings (seed pairs (31, 37) and (1031, 1037))
+    * through the prefixed CTE family and both pair passes.
+    */
+  val q174FamilyDial = {
+    import KmeansSql.{sqlCos, trainAssignCtesHierP}
+    val TestN = 64
+    QueryDef(
+      "q174_family_dial",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.GraftFunctions.hash64
+        import graft.operators.Similarity
+
+        val sub = t(s, dir, "embeddings")
+          .filter(hash64($"vec_id".cast("string"), 174) % 4 === 0)
+          .select($"vec_id",
+            transform($"embedding", _.cast("double")).as("embedding"))
+        val amp = (lit(5L) + ($"vec_id" % 6) * 10L).cast("double") / 100.0
+        // two selects: perturb under the ORIGINAL id (the noise seed),
+        // then shift the id — never both in one projection (the q173
+        // lateral-capture note)
+        val vplant = sub
+          .withColumn("_h", hash64($"vec_id".cast("string"), 169))
+          .orderBy($"_h", $"vec_id").limit(TestN).drop("_h")
+          .select($"vec_id",
+            transform($"embedding", (x, i) => x + amp *
+              ((hash64(concat($"vec_id".cast("string"), lit(":"),
+                i.cast("string")), 8) % 1000L).cast("double") / 1000.0 - 0.5))
+              .as("embedding"))
+          .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+        val corpus = sub.unionByName(vplant).localCheckpoint(true)
+        val multi = Similarity.semDedupHierMulti(corpus, "embedding",
+            "vec_id", targetCell = 64L, tau = 0.8, families = 2)
+          .select($"family", $"vec_id").localCheckpoint(true)
+        def statsFor(k: Int): DataFrame = multi
+          .filter($"family" < k)
+          .select($"vec_id").distinct()
+          .agg(count(lit(1)).cast("long").as("drops"),
+            coalesce(sum(when($"vec_id" >= 1000000000L, 1L)), lit(0L))
+              .cast("long").as("plants_caught"))
+          .select(lit(k.toLong).as("families"), $"drops", $"plants_caught",
+            round($"plants_caught".cast("double") / TestN, 6).as("recall"))
+        statsFor(1).unionByName(statsFor(2)).orderBy($"families")
+      },
+      Some(s"""
+        WITH sub AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+          FROM embeddings
+          WHERE CAST(('0x' || substr(md5('174:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 = 0),
+        vsel AS (
+          SELECT vec_id, embedding FROM (
+            SELECT vec_id, embedding, row_number() OVER (ORDER BY
+              CAST(('0x' || substr(md5('169:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+              vec_id) AS rn
+            FROM sub) WHERE rn <= $TestN),
+        vperturb AS (
+          SELECT vec_id, list_transform(range(0, 64), d ->
+            embedding[d+1]::DOUBLE + ((5 + (vec_id % 6) * 10) / 100.0) *
+              (CAST(('0x' || substr(md5('8:' || vec_id || ':' || d), 1, 15)) AS BIGINT)
+                 % 1000 / 1000.0 - 0.5)) AS embedding
+          FROM vsel),
+        ec AS MATERIALIZED (
+          SELECT vec_id, embedding FROM sub
+          UNION ALL
+          SELECT vec_id + 1000000000 AS vec_id, embedding FROM vperturb),
+        ${trainAssignCtesHierP("m0", "ec", 64L, 31, 37)},
+        ${trainAssignCtesHierP("m1", "ec", 64L, 1031, 1037)},
+        m0d AS (
+          SELECT DISTINCT b.vec_id
+          FROM m0hfin a JOIN m0hfin b
+            ON a.gid = b.gid AND a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN ec ea ON ea.vec_id = a.vec_id
+          JOIN ec eb ON eb.vec_id = b.vec_id
+          WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.8),
+        m1d AS (
+          SELECT DISTINCT b.vec_id
+          FROM m1hfin a JOIN m1hfin b
+            ON a.gid = b.gid AND a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN ec ea ON ea.vec_id = a.vec_id
+          JOIN ec eb ON eb.vec_id = b.vec_id
+          WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.8),
+        u AS (
+          SELECT 1 AS families, vec_id FROM m0d
+          UNION ALL
+          SELECT 2 AS families, vec_id FROM
+            (SELECT vec_id FROM m0d UNION SELECT vec_id FROM m1d)),
+        scaffold AS (SELECT * FROM (VALUES (1), (2)) s(families))
+        SELECT CAST(s.families AS BIGINT) AS families,
+               CAST(count(u.vec_id) AS BIGINT) AS drops,
+               CAST(coalesce(sum(CASE WHEN u.vec_id >= 1000000000
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS plants_caught,
+               round(coalesce(sum(CASE WHEN u.vec_id >= 1000000000
+                 THEN 1 ELSE 0 END), 0) / $TestN.0, 6) AS recall
+        FROM scaffold s LEFT JOIN u ON u.families = s.families
+        GROUP BY s.families ORDER BY families"""),
+      notes = "quantizer-family dial for flat SemDeDup on a 1/4 " +
+        "calibration sample + q169 planted pairs: distinct drops, " +
+        "plants caught and recall at families = 1/2 from one " +
+        "2-family run — the OR-of-quantizers recall curve, oracle " +
+        "replays both trainings end to end")
+  }
+
   def all: Seq[QueryDef] =
     Seq(q169ShardColocation, q170LineDedup, q171BoilerplateScrub,
-      q172ShardDepthDial, q173CurationSavings)
+      q172ShardDepthDial, q173CurationSavings, q174FamilyDial)
 }

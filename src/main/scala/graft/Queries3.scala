@@ -1287,6 +1287,15 @@ private[graft] object KmeansSql {
     * internal CTE names `$p`-prefixed — the [[sqlIter]] shape with the
     * names and widths parametrized so several independent trainings can
     * share one WITH clause.
+    *
+    * The multiply-referenced CTEs are `MATERIALIZED`: DuckDB INLINES
+    * plain CTEs, so each of `${p}c$i`'s two references (the carry-over
+    * union + its NOT-IN probe) — and, compounding per iteration, each
+    * reference to the previous round's `${p}cc` — re-expanded the
+    * ENTIRE upstream training chain; on the round-17 measurement that
+    * made the q86 oracle 27.5 s where the materialized form is 0.6 s,
+    * results bit-identical. Evaluation strategy only; every value is
+    * unchanged.
     */
   def sqlIterD(p: String, i: Int, cin: String, src: String, dims: Int): String = s"""
       ${p}a$i AS (
@@ -1302,8 +1311,8 @@ private[graft] object KmeansSql {
                round(CAST(SUM(CAST(embedding[d] AS DECIMAL(27,12))) AS DOUBLE)
                      / COUNT(*), 9) AS m
         FROM ${p}a$i, unnest(range(1, ${dims + 1})) AS ${p}t$i(d) GROUP BY cid, d),
-      ${p}c$i AS (SELECT cid, list(m ORDER BY d) AS c FROM ${p}u$i GROUP BY cid),
-      ${p}cc$i AS (
+      ${p}c$i AS MATERIALIZED (SELECT cid, list(m ORDER BY d) AS c FROM ${p}u$i GROUP BY cid),
+      ${p}cc$i AS MATERIALIZED (
         SELECT cid, c FROM ${p}c$i
         UNION ALL
         SELECT cid, c FROM $cin WHERE cid NOT IN (SELECT cid FROM ${p}c$i))"""
@@ -1316,7 +1325,7 @@ private[graft] object KmeansSql {
     * [[graft.operators.Similarity.autoCells]] oracle shape).
     */
   def trainCtesK(p: String, src: String, dims: Int, kSql: String, seed: Int): String = s"""
-        ${p}init AS (
+        ${p}init AS MATERIALIZED (
           SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
                  list_transform(embedding, x -> x::DOUBLE) AS c
           FROM (SELECT vec_id, embedding,
@@ -1459,9 +1468,9 @@ private[graft] object KmeansSql {
                      / COUNT(*), 9) AS m
         FROM ${p}a$i, unnest(range(1, ${dims + 1})) AS ${p}t$i(d)
         GROUP BY gid, cid, d),
-      ${p}c$i AS (
+      ${p}c$i AS MATERIALIZED (
         SELECT gid, cid, list(m ORDER BY d) AS c FROM ${p}u$i GROUP BY gid, cid),
-      ${p}cc$i AS (
+      ${p}cc$i AS MATERIALIZED (
         SELECT gid, cid, c FROM ${p}c$i
         UNION ALL
         SELECT o.gid, o.cid, o.c FROM $cin o
@@ -1479,39 +1488,53 @@ private[graft] object KmeansSql {
     * `WITH ${trainAssignCtesHier(t)} …`.
     */
   def trainAssignCtesHier(targetCell: Long, seedCoarse: Int = 31,
-                          seedFine: Int = 37): String = s"""e AS (SELECT vec_id, embedding FROM embeddings),
-        ${trainCtesK("h", "e",  64,
-          s"""(SELECT min(g) FROM range(1, 100001) AS gr(g)
-               WHERE g * g * $targetCell >= (SELECT count(*) FROM e))""",
+                          seedFine: Int = 37): String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+        ${trainAssignCtesHierP("", "e", targetCell, seedCoarse, seedFine)}"""
+
+  /** [[trainAssignCtesHier]] with the CTE names `$p`-prefixed and the
+    * source CTE parametrized (the [[trainCtesK]] generalization one
+    * level up): several independent hierarchical trainings — e.g. the
+    * q174 quantizer FAMILIES, each with its own seed pair — share one
+    * WITH clause without name collisions. `p = ""` over src `e`
+    * reproduces the unprefixed names ([[trainAssignCtesHier]] is
+    * exactly that delegation, so the two can never drift). Final
+    * assignment lands in `${p}hfin (gid, cid, vec_id)`.
+    */
+  def trainAssignCtesHierP(p: String, src: String, targetCell: Long,
+                           seedCoarse: Int, seedFine: Int): String = s"""
+        ${trainCtesK(s"${p}h", src, 64,
+          s"""(SELECT min(g) FROM range(1, 100001) AS ${p}gr(g)
+               WHERE g * g * $targetCell >= (SELECT count(*) FROM $src))""",
           seedCoarse)},
-        gv AS (
+        ${p}gv AS MATERIALIZED (
           SELECT gid, vec_id, embedding FROM (
-            SELECT e.vec_id, e.embedding, cc.cid AS gid,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${sqlCos("e.embedding", "cc.c")} DESC, cc.cid) AS rn
-            FROM e, hcc2 cc)
+            SELECT $src.vec_id, $src.embedding, cc.cid AS gid,
+                   ROW_NUMBER() OVER (PARTITION BY $src.vec_id
+                     ORDER BY ${sqlCos(s"$src.embedding", "cc.c")} DESC, cc.cid) AS rn
+            FROM $src, ${p}hcc2 cc)
           WHERE rn = 1),
-        gs AS (
+        ${p}gs AS MATERIALIZED (
           SELECT gid, (count(*) + ${targetCell - 1}) // $targetCell AS mc
-          FROM gv GROUP BY gid),
-        fi AS (
+          FROM ${p}gv GROUP BY gid),
+        ${p}fi AS MATERIALIZED (
           SELECT gid, cid, c FROM (
             SELECT g.gid,
                    ROW_NUMBER() OVER (PARTITION BY g.gid ORDER BY g.h, g.vec_id) - 1 AS cid,
                    list_transform(g.embedding, x -> x::DOUBLE) AS c, gs.mc
-            FROM (SELECT gv.*,
+            FROM (SELECT ${p}gv.*,
                          CAST(('0x' || substr(md5('$seedFine:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-                  FROM gv) g
-            JOIN gs ON g.gid = gs.gid)
+                  FROM ${p}gv) g
+            JOIN ${p}gs gs ON g.gid = gs.gid)
           WHERE cid < mc),
-        ${sqlIterG("f", 1, "fi", "gv", 64)},
-        ${sqlIterG("f", 2, "fcc1", "gv", 64)},
-        hfin AS (
+        ${sqlIterG(s"${p}f", 1, s"${p}fi", s"${p}gv", 64)},
+        ${sqlIterG(s"${p}f", 2, s"${p}fcc1", s"${p}gv", 64)},
+        ${p}hfin AS MATERIALIZED (
           SELECT gid, cid, vec_id FROM (
             SELECT s.gid, c.cid, s.vec_id,
                    ROW_NUMBER() OVER (PARTITION BY s.vec_id
                      ORDER BY ${sqlCos("s.embedding", "c.c")} DESC, c.cid) AS rn
-            FROM gv s JOIN fcc2 c ON s.gid = c.gid)
+            FROM ${p}gv s JOIN ${p}fcc2 c ON s.gid = c.gid)
           WHERE rn = 1)"""
 
   /** CTE chain `e → init → (iter 1) → (iter 2) → fin`: trains the
@@ -1527,7 +1550,7 @@ private[graft] object KmeansSql {
     */
   def trainAssignCtesK(kSql: String): String = s"""e AS (SELECT vec_id, embedding FROM embeddings),
         ${trainCtesK("", "e", 64, kSql, 31)},
-        fin AS (
+        fin AS MATERIALIZED (
           SELECT vec_id, cid, cos FROM (
             SELECT vec_id, cid, cos,
                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn

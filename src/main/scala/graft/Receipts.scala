@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.hash64
+import graft.operators.Similarity
+
+/** Scale-receipt harness: the one-off measurements BASELINE.md's soak
+  * tables record, committed so every number is reproducible from the
+  * tree instead of living in a throwaway script. Each invocation runs
+  * ONE measurement in a fresh JVM (the round-16 receipt protocol —
+  * cross-form comparisons come from separate invocations so neither
+  * form warms the other's page cache or JIT) and prints one JSON line.
+  *
+  * Not part of the driver contract: no oracle rows here — these mains
+  * measure wall/recall of operators whose CORRECTNESS is pinned by
+  * `SparkEntry.queries` + the specs. Fixture arithmetic is the q169
+  * plant recipe (64 md5-smallest embedding rows, amplitude-spread
+  * md5 noise, plant id = vec_id + 10⁹) so receipts and oracle-checked
+  * queries measure the same planted structure.
+  *
+  * Usage: `Receipts <cmd> <sfDir> [args…]` with commands
+  *  - `sharded <dir> <shards> <kmax> <filter|mat>` — id-hash sharded
+  *    SemDeDup, one form;
+  *  - `content <dir> <planes> <tables> <filter|mat> [kmax]` —
+  *    content-keyed sharded SemDeDup with the 64 plants aboard;
+  *  - `family <dir> <families>` — flat multi-family SemDeDup with the
+  *    plants aboard (per-family-prefix recall from one run);
+  *  - `streamsem <dir> <nprobe>` — streaming semantic gate: soak index
+  *    from the embeddings table, one 64-plant + 16-clean batch gated,
+  *    in-stream recall + per-batch wall.
+  */
+object Receipts {
+  private val TestN = 64
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Receipts <cmd> <sfDir> [args...]")
+    val cmd = args(0); val dir = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = cmd match {
+      case "sharded" =>
+        val Seq(shards, kmax, form) = args.drop(2).toSeq
+        val vecs = embeddings(spark, dir).persist()
+        vecs.count()
+        val mp = if (form == "mat") Some(tmp("sharded")) else None
+        val (wall, n) = timeCount(Similarity.semDedupHierSharded(vecs,
+          "embedding", "vec_id", targetCell = 64L, tau = 0.95,
+          shards = shards.toInt, kmax = kmax.toInt, matPath = mp))
+        s"""{"cmd":"sharded","form":"$form","shards":$shards,"kmax":$kmax,"wall_sec":$wall,"rows":$n}"""
+      case "content" =>
+        val planes = args(2).toInt; val tables = args(3).toInt
+        val form = args(4)
+        val kmax = if (args.length > 5) args(5).toInt else Int.MaxValue
+        val vecs = withPlants(spark, dir).persist()
+        vecs.count()
+        val mp = if (form == "mat") Some(tmp("content")) else None
+        val t0 = System.nanoTime()
+        val drops = Similarity.semDedupHierShardedByContent(vecs,
+            "embedding", "vec_id", dims = 64, targetCell = 64L,
+            tau = 0.8, shardPlanes = planes, tables = tables,
+            kmax = kmax, matPath = mp)
+          .select(col("vec_id")).distinct().persist()
+        val nDrops = drops.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val caught = drops.filter(col("vec_id") >= 1000000000L).count()
+        s"""{"cmd":"content","form":"$form","planes":$planes,"tables":$tables,"kmax":$kmax,"wall_sec":$wall,"drops":$nDrops,"plants_caught":$caught,"plants":$TestN}"""
+      case "family" =>
+        val families = args(2).toInt
+        val vecs = withPlants(spark, dir).persist()
+        vecs.count()
+        val t0 = System.nanoTime()
+        val all = Similarity.semDedupHierMulti(vecs, "embedding",
+            "vec_id", targetCell = 64L, tau = 0.8, families = families)
+          .select(col("family"), col("vec_id")).persist()
+        all.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // per-prefix stats from the ONE run: families = k is exactly
+        // the union of families 0..k-1 (seed prefixes)
+        val rows = (1 to families).map { k =>
+          val d = all.filter(col("family") < k)
+            .select(col("vec_id")).distinct()
+          val nD = d.count()
+          val c = d.filter(col("vec_id") >= 1000000000L).count()
+          s"""{"families":$k,"drops":$nD,"plants_caught":$c}"""
+        }
+        s"""{"cmd":"family","families":$families,"wall_sec":$wall,"plants":$TestN,"per_prefix":[${rows.mkString(",")}]}"""
+      case "streamsem" =>
+        val nprobe = args(2).toInt
+        val vecs = embeddings(spark, dir).persist()
+        val n = vecs.count()
+        // soak index: trained coarse quantizer at the semDedup target
+        // occupancy, whole corpus admitted as batch 0
+        val k = Similarity.coarseCells(n, 64L)
+        val cents = Similarity.kmeans(vecs, "embedding", "vec_id",
+          k = k, iters = 2).localCheckpoint(true)
+        val ivf = tmp("streamsem")
+        graft.streaming.StreamingVectorIndex.writeBatch(
+          vecs.select(col("vec_id").as("cand_id"),
+            col("embedding").as("cv")),
+          cents, ivf, 0L)
+        val batch = plantBatch(spark, dir).persist()
+        batch.count()
+        val t0 = System.nanoTime()
+        val admitted = graft.streaming.StreamingSemanticDedup.gateBatch(
+            spark, batch, "vec_id", "embedding", cents, ivf,
+            tau = 0.8, nprobe = nprobe)
+          .select(col("vec_id")).persist()
+        val nAdm = admitted.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val plantsAdmitted = admitted
+          .filter(col("vec_id") >= 1000000000L &&
+            col("vec_id") < 2000000000L).count()
+        val cleanAdmitted = admitted
+          .filter(col("vec_id") >= 2000000000L).count()
+        val caught = TestN - plantsAdmitted
+        s"""{"cmd":"streamsem","nprobe":$nprobe,"corpus":$n,"cells":$k,"wall_sec":$wall,"batch":${TestN + 16},"admitted":$nAdm,"plants_caught":$caught,"plants":$TestN,"clean_admitted":$cleanAdmitted}"""
+      case other => sys.error(s"unknown receipt: $other")
+    }
+    println(out)
+    spark.stop()
+  }
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-receipt-$tag")
+      .toString + "/data"
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+
+  /** The planted pairs, the round-16 end-to-end recipe: 64 md5-smallest
+    * rows perturbed at amplitudes {0.05, 0.15, 0.25} (all above the
+    * τ = 0.8 the receipts verify at, so `plants_caught / 64` reads as
+    * recall directly), plant id = vec_id + 10⁹. q169/q172 measure the
+    * wider {0.05..0.55} spread where recall-vs-amplitude is the point.
+    */
+  private def plants(spark: SparkSession, dir: String): DataFrame = {
+    val amp = (lit(5L) + (col("vec_id") % 3) * 10L).cast("double") / 100.0
+    embeddings(spark, dir)
+      .withColumn("_h", hash64(col("vec_id").cast("string"), 169))
+      .orderBy(col("_h"), col("vec_id")).limit(TestN).drop("_h")
+      // perturb under the ORIGINAL id (the noise seed), then shift the
+      // id in a second projection — never both at once (lateral-alias
+      // capture, the q173 note)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) => x + amp *
+          ((hash64(concat(col("vec_id").cast("string"), lit(":"),
+            i.cast("string")), 8) % 1000L).cast("double") / 1000.0 - 0.5))
+          .as("embedding"))
+      .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+  }
+
+  private def withPlants(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).unionByName(plants(spark, dir))
+
+  /** The streamed batch: the 64 plants + 16 clean probes (antipodes of
+    * md5-ranked rows 65..80 — cos −1 to their source, below any tau).
+    */
+  private def plantBatch(spark: SparkSession, dir: String): DataFrame = {
+    val clean = embeddings(spark, dir)
+      .withColumn("_h", hash64(col("vec_id").cast("string"), 169))
+      .orderBy(col("_h"), col("vec_id")).limit(TestN + 16)
+      .orderBy(col("_h").desc, col("vec_id")).limit(16)
+      .select((col("vec_id") + 2000000000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    plants(spark, dir).unionByName(clean)
+  }
+
+  private def timeCount(df: DataFrame): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = df.count()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+}

@@ -425,13 +425,33 @@ object Contamination {
     */
   def spanExcise(corpus: DataFrame, testSet: DataFrame, idCol: String,
                  textCol: String, minKeepTokens: Int = 1,
-                 maxDf: Long = Long.MaxValue): DataFrame = {
+                 maxDf: Long = Long.MaxValue,
+                 broadcastLimit: Long = DefaultBroadcastLimit): DataFrame = {
     boundTestSide(testSet, "spanExcise")
     val pool = testSet
       .select(explode(shingleSet(col(textCol))).as("h")).distinct()
     exciseWithPool(corpus, dfCapPool(pool, corpus, textCol, maxDf),
-      idCol, textCol, minKeepTokens)
+      idCol, textCol, minKeepTokens, broadcastLimit)
   }
+
+  /** Row-count ceiling under which the excision operators broadcast
+    * their matched/touched sets (the "contamination-sized" assumption
+    * made checkable): a set verified ≤ this broadcasts as before; a
+    * larger one — a boilerplate-heavy pool without [[spanExcise]]'s
+    * `maxDf` screen can make the touched set a corpus FRACTION —
+    * degrades to a plain id-keyed shuffle join instead of OOMing the
+    * driver. 4M rows ≈ low hundreds of MB of ids+positions, inside
+    * any executor/driver broadcast budget.
+    */
+  val DefaultBroadcastLimit: Long = 4000000L
+
+  /** `df` with a broadcast hint iff `small` — the size-gated fallback
+    * shared by the excision operators. The caller passes a verdict it
+    * obtained by COUNTING A PINNED frame (counting an unpinned one
+    * would re-run its whole lineage a second time at the join).
+    */
+  private def hintIf(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
 
   /** Drop from `pool` the shingles whose document frequency in
     * `corpus` exceeds `maxDf` — the high-df pre-screen [[spanExcise]]
@@ -461,17 +481,24 @@ object Contamination {
     * re-deriving it.
     */
   def exciseWithPool(corpus: DataFrame, pool: DataFrame, idCol: String,
-                     textCol: String, minKeepTokens: Int = 1): DataFrame = {
+                     textCol: String, minKeepTokens: Int = 1,
+                     broadcastLimit: Long = DefaultBroadcastLimit): DataFrame = {
     require(minKeepTokens >= 0, "minKeepTokens must be >= 0")
     val id = col(idCol)
     val toks = corpus.select(id, words(col(textCol)).as("_w"))
     // positional (NOT distinct) shingles: element j starts at token j
-    val matched = toks
+    val matched = Checkpoints.pin(toks
       .select(id, posexplode(
         Dedup.shingleHashes3(Dedup.wordHashes(col("_w")))))
       .withColumnRenamed("pos", "_j").withColumnRenamed("col", "h")
       .join(broadcast(pool), "h")
-      .groupBy(id).agg(collect_set(col("_j")).as("_mj"))
+      .groupBy(id).agg(collect_set(col("_j")).as("_mj")))
+    // the broadcast gate: matched is contamination-sized under the
+    // operator's design assumption, but nothing ENFORCES that — count
+    // the pinned frame and fall back to the keyed shuffle join when
+    // it blows past the limit (rewritten carries exactly matched's id
+    // set, so one verdict gates both joins)
+    val small = matched.count() <= broadcastLimit
     // LINEAR rewrite: a matched shingle starting at j covers tokens
     // {j, j+1, j+2} (every start position is <= n-3, so the covered
     // positions are always in range); the kept positions come from ONE
@@ -482,15 +509,17 @@ object Contamination {
     val kept = transform(
       array_except(sequence(lit(0), size(col("_w")) - 1), excised),
       p => element_at(col("_w"), p + 1))
-    // matched is contamination-sized (docs sharing >= 1 pool shingle),
-    // so the rewrite probe broadcasts it — the corpus side never
-    // shuffles anywhere in this operator
-    val rewritten = toks.join(broadcast(matched), Seq(idCol))
+    // matched is contamination-sized (docs sharing >= 1 pool shingle)
+    // under the maxDf-screened assumption, so the rewrite probe
+    // broadcasts it and the corpus side never shuffles — unless the
+    // gate above found it oversized, in which case both joins degrade
+    // to id-keyed shuffles (a slow pass, never an OOM)
+    val rewritten = toks.join(hintIf(matched, small), Seq(idCol))
       .select(id, kept.as("_kept"), size(col("_w")).as("_n"))
       .select(id, array_join(col("_kept"), " ").as("_newtext"),
         (col("_n") - size(col("_kept"))).cast("long").as("_nex"),
         size(col("_kept")).as("_keptn"))
-    corpus.join(broadcast(rewritten), Seq(idCol), "left")
+    corpus.join(hintIf(rewritten, small), Seq(idCol), "left")
       .filter(col("_keptn").isNull || col("_keptn") >= minKeepTokens)
       .withColumn(textCol, coalesce(col("_newtext"), col(textCol)))
       .withColumn("n_excised", coalesce(col("_nex"), lit(0L)))
@@ -521,17 +550,24 @@ object Contamination {
     */
   def exciseToFixpoint(corpus: DataFrame, pool: DataFrame, idCol: String,
                        textCol: String, minKeepTokens: Int = 1,
-                       maxPasses: Int = 8): DataFrame = {
+                       maxPasses: Int = 8,
+                       broadcastLimit: Long = DefaultBroadcastLimit): DataFrame = {
     require(maxPasses >= 1, "maxPasses must be >= 1")
     val id = col(idCol)
     val touched = Checkpoints.pin(corpus
       .select(id, explode(shingleSet(col(textCol))).as("h"))
       .join(broadcast(pool), "h")
       .select(id).distinct())
-    val clean = corpus.join(broadcast(touched), Seq(idCol), "left_anti")
+    // size-gate the touched broadcasts: "contamination-sized" is the
+    // design assumption, not a guarantee — a boilerplate-heavy pool
+    // without maxDf can touch a corpus fraction, and the split must
+    // then shuffle on id instead of OOMing the driver. touched is
+    // already pinned, so the count is one cheap scan of the checkpoint.
+    val small = touched.count() <= broadcastLimit
+    val clean = corpus.join(hintIf(touched, small), Seq(idCol), "left_anti")
       .withColumn("n_excised", lit(0L))
     var dirty = Checkpoints.pin(
-      corpus.join(broadcast(touched), Seq(idCol), "left_semi")
+      corpus.join(hintIf(touched, small), Seq(idCol), "left_semi")
         .withColumn("_acc", lit(0L)))
     var pass = 0
     var excised = 1L
@@ -539,7 +575,8 @@ object Contamination {
       // exciseWithPool preserves extra columns, so the running total
       // rides through as _acc
       val next = Checkpoints.pin(
-        exciseWithPool(dirty, pool, idCol, textCol, minKeepTokens)
+        exciseWithPool(dirty, pool, idCol, textCol, minKeepTokens,
+            broadcastLimit)
           .withColumn("_acc", col("_acc") + col("n_excised")))
       excised = next.agg(coalesce(sum(col("n_excised")), lit(0L)))
         .head().getLong(0)

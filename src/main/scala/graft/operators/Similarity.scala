@@ -250,6 +250,44 @@ object Similarity {
         col("id_b").as(idCol), col("id_a").as("dup_of"), col("cos"))
   }
 
+  /** MULTI-FAMILY [[semDedupHier]] — the OR-of-quantizers recall dial
+    * for the flat form. [[semDedupHier]] is cell-local: a near-dup
+    * pair that straddles a fine-cell boundary is never a candidate,
+    * and the only dial the single quantizer offers is its geometry.
+    * Here `families` INDEPENDENT quantizer draws run side by side —
+    * family f trains with seeds `(seedCoarse + 1000·f,
+    * seedFine + 1000·f)`, so each family draws DIFFERENT cell
+    * boundaries from the same deterministic hash-rank init family —
+    * and a pair is caught when ANY family co-cells it: the rung-3 /
+    * [[multiTableBuckets]] OR-composition applied to the quantizer
+    * itself (the round-16 100× receipt measured two independent cell
+    * families catching 48/64 planted pairs where one quantizer caught
+    * 38). Recall of a pair with per-family co-cell probability p is
+    * 1 − (1−p)^families; cost is `families ×` the flat wall (each
+    * family is a full independent train + pair pass — nothing is
+    * shared, by design, since shared structure is what correlates the
+    * misses).
+    *
+    * Returns [[semDedupHier]]'s schema plus a leading `family`
+    * column; `family = 0` is byte-identical to [[semDedupHier]] with
+    * the same seeds (spec-pinned), and extra families only ADD
+    * dropped ids (the same id can recur across families with
+    * different partners — `distinct` on `idCol` for the drop set).
+    */
+  def semDedupHierMulti(vectors: DataFrame, vecCol: String, idCol: String,
+                        targetCell: Long, tau: Double, families: Int,
+                        iters: Int = 2, seedCoarse: Int = 31,
+                        seedFine: Int = 37,
+                        kmax: Int = Int.MaxValue): DataFrame = {
+    require(families >= 1, "families must be >= 1")
+    (0 until families).map { f =>
+      semDedupHier(vectors, vecCol, idCol, targetCell, tau, iters,
+        seedCoarse + 1000 * f, seedFine + 1000 * f, kmax)
+        .select(lit(f).as("family"), col("coarse"), col("cell"),
+          col(idCol), col("dup_of"), col("cos"))
+    }.reduce(_ unionByName _)
+  }
+
   /** SHARDED [[semDedupHier]] — the fully corpus-LINEAR regime for
     * corpora so large that even a binding `kmax` leaves super-linear
     * residue: with the cap binding, assignment is linear but the
@@ -281,17 +319,44 @@ object Similarity {
     * The driver loop launches one independent job chain per shard —
     * at 100 TB each shard is its own bounded unit of work (and the
     * natural retry/checkpoint boundary).
+    *
+    * READ AMPLIFICATION, and the `matPath` rail: the default
+    * `filter(shardOf === s)` slice re-scans the FULL input once per
+    * shard — O(shards) read amplification, fine at a handful of
+    * shards but exactly wrong in the deep-shard regime this operator
+    * exists for (1000 shards of a 100 TB corpus would read 100 PB).
+    * Passing `matPath` materializes the shard assignment ONCE — one
+    * input pass writing `_shard=`-partitioned parquet (the
+    * [[ScaleJoins.writePartitioned]] layout) — and every per-shard
+    * sub-run then reads exactly its own partition via planning-time
+    * partition pruning (`PartitionFilters` in the scan, zero I/O for
+    * the other shards): total read = one write + one read of the
+    * corpus regardless of the shard count, and the shard key is
+    * computed once instead of once per sub-run. Row-identical to the
+    * filter form (spec-pinned — every per-shard step is
+    * row-order-insensitive by construction: hash-rank init, exact
+    * decimal means, total-ordered argmax windows).
     */
   def semDedupHierSharded(vectors: DataFrame, vecCol: String, idCol: String,
                           targetCell: Long, tau: Double, shards: Int,
                           iters: Int = 2, seedCoarse: Int = 31,
                           seedFine: Int = 37, shardSeed: Int = 5,
-                          kmax: Int = Int.MaxValue): DataFrame = {
+                          kmax: Int = Int.MaxValue,
+                          matPath: Option[String] = None): DataFrame = {
     require(shards >= 1, "shards must be >= 1")
     val shardOf = graft.functions.GraftFunctions.hash64(
       col(idCol).cast("string"), shardSeed) % shards
+    val cols = vectors.columns.toSeq
+    val shardSlice: Int => DataFrame = matPath match {
+      case None => s => vectors.filter(shardOf === s.toLong)
+      case Some(p) =>
+        vectors.withColumn("_shard", shardOf)
+          .write.mode("overwrite").partitionBy("_shard").parquet(p)
+        val mat = vectors.sparkSession.read.parquet(p)
+        s => mat.filter(col("_shard") === s).select(cols.map(col): _*)
+    }
     (0 until shards).map { s =>
-      semDedupHier(vectors.filter(shardOf === s.toLong), vecCol, idCol,
+      semDedupHier(shardSlice(s), vecCol, idCol,
         targetCell, tau, iters, seedCoarse, seedFine, kmax)
         .select(lit(s.toLong).as("shard"), col("coarse"), col("cell"),
           col(idCol), col("dup_of"), col("cos"))
@@ -330,21 +395,62 @@ object Similarity {
     * [[semDedupHierSharded]] is caught here.
     *
     * Returns [[semDedupHier]]'s schema plus leading `(tbl, shard)`.
+    *
+    * DRIVER-LOOP COST, explicit: the plan is `tables · 2^shardPlanes`
+    * INDEPENDENT [[semDedupHier]] job chains (each its own count +
+    * two k-means trainings + pair pass) union-reduced into one frame
+    * — the per-shard chain is the unit of work the deep-shard design
+    * wants, but the DRIVER serves every chain, so `shardPlanes` is
+    * capped at 10 (≤ 1024 shards per table, the regime a single
+    * driver loop actually sustains; past that, run the per-shard
+    * chains as separate jobs over the `matPath` materialization,
+    * which any orchestrator can fan out by partition directory).
+    *
+    * READ AMPLIFICATION, and the `matPath` rail (the
+    * [[semDedupHierSharded]] note, worse here because shard counts
+    * are per TABLE): the default slice recomputes the hyperplane code
+    * over the full corpus once per (table, shard) — O(tables · 2^b)
+    * full-input scans AND code recomputations. `matPath` assigns
+    * every row its per-table shard ONCE (one pass per table, the
+    * [[multiTableBuckets]] fan-out written as `_tbl=/_shard=`
+    * partitioned parquet) and each sub-run prunes to exactly one
+    * partition at planning time — total read is `tables` passes at
+    * any shard depth, and the 64-dim × planes dot products run once
+    * per (row, table) instead of once per (row, table, shard).
     */
   def semDedupHierShardedByContent(vectors: DataFrame, vecCol: String,
       idCol: String, dims: Int, targetCell: Long, tau: Double,
       shardPlanes: Int, tables: Int = 1, iters: Int = 2,
       seedCoarse: Int = 31, seedFine: Int = 37,
-      kmax: Int = Int.MaxValue): DataFrame = {
-    require(shardPlanes >= 1 && shardPlanes <= 16,
-      "shardPlanes must be in [1, 16]")
+      kmax: Int = Int.MaxValue,
+      matPath: Option[String] = None): DataFrame = {
+    require(shardPlanes >= 1 && shardPlanes <= 10,
+      "shardPlanes must be in [1, 10] — tables*2^shardPlanes " +
+        "independent job chains run from one driver loop")
     require(tables >= 1, "tables must be >= 1")
     val shards = 1 << shardPlanes
+    val cols = vectors.columns.toSeq
+    val slice: (Int, Int) => DataFrame = matPath match {
+      case None => (tbl, s) =>
+        vectors.filter(
+          hyperplaneBucketAt(col(vecCol), dims, shardPlanes,
+            tbl * shardPlanes) === s)
+      case Some(p) =>
+        (0 until tables).map { tbl =>
+          vectors
+            .withColumn("_tbl", lit(tbl))
+            .withColumn("_shard",
+              hyperplaneBucketAt(col(vecCol), dims, shardPlanes,
+                tbl * shardPlanes))
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").partitionBy("_tbl", "_shard").parquet(p)
+        val mat = vectors.sparkSession.read.parquet(p)
+        (tbl, s) => mat
+          .filter(col("_tbl") === tbl && col("_shard") === s)
+          .select(cols.map(col): _*)
+    }
     (for { tbl <- 0 until tables; s <- 0 until shards } yield {
-      val sub = vectors.filter(
-        hyperplaneBucketAt(col(vecCol), dims, shardPlanes,
-          tbl * shardPlanes) === s)
-      semDedupHier(sub, vecCol, idCol, targetCell, tau, iters,
+      semDedupHier(slice(tbl, s), vecCol, idCol, targetCell, tau, iters,
         seedCoarse, seedFine, kmax)
         .select(lit(tbl).as("tbl"), lit(s.toLong).as("shard"),
           col("coarse"), col("cell"), col(idCol), col("dup_of"),

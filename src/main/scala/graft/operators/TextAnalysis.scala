@@ -253,6 +253,23 @@ object TextAnalysis {
     * corpus shard scrubs against the same pool without re-deriving the
     * frequency pass — the [[Contamination.BenchmarkProbes]] discipline
     * applied to boilerplate.
+    *
+    * COLLISION SEMANTICS, explicit because the consequence here is a
+    * destructive rewrite, not a dedup candidate: df is aggregated on
+    * the 60-bit md5-prefix hash, so two distinct lines that collide
+    * POOL their df counts (a pair of sub-threshold lines could jointly
+    * cross `maxDf`), and the scrub join matches on the hash, so an
+    * innocent line colliding with a boilerplate line is deleted
+    * corpus-wide. This is the band-index hashing discipline
+    * ([[Dedup]]) with its usual 2^-60 per-pair odds — a corpus would
+    * need ~10⁹ distinct lines for a ~50% chance of ANY collision —
+    * accepted deliberately: keying the aggregate on the line VALUE
+    * would shuffle full line text corpus-wide where the hash key
+    * shuffles 8 bytes, and the verify-on-value alternative doubles the
+    * rewrite join's width for a risk the fingerprint family already
+    * prices. Callers scrubbing adversarial input where a forced
+    * collision matters should screen the pool against known-good lines
+    * before freezing it.
     */
   def boilerplateLinePool(corpus: DataFrame, textCol: String, maxDf: Long,
                           sep: String = "\n"): DataFrame = {

@@ -248,6 +248,49 @@ object StreamingCurationChain {
     }
   }
 
+  /** Retrain-time refresh for the frozen [[LineCuration]] pool — the
+    * maintenance entry the other frozen structures already have (the
+    * [[StreamingPostingsIndex.rebuildIndex]] contract applied to
+    * boilerplate): a long-lived stream's boilerplate DRIFTS (new site
+    * templates arrive after the pool froze), and the frozen pool never
+    * learns them. This re-derives
+    * [[graft.operators.TextAnalysis.boilerplateLinePool]] from the
+    * chain's own kept store — the curated text the corpus actually
+    * holds — and returns it PINNED, bit-identical to a fresh
+    * derivation over the same kept frames (spec-pinned; every step is
+    * a deterministic hash aggregate).
+    *
+    * Swap semantics, explicit: pass the returned pool as
+    * `lineCuration.copy(pool = …)` to the NEXT `processBatch` call —
+    * the chain takes the config per batch, so the swap is atomic at a
+    * batch boundary by construction (no torn batch can see both
+    * pools), and the caller releases the superseded pool's pin
+    * ([[graft.operators.Checkpoints.release]]). Documents admitted
+    * under the OLD pool are NOT retroactively re-scrubbed: the kept
+    * store records what was admitted, and the new pool governs future
+    * batches only (a retroactive cleanup is a batch job —
+    * `scrubBoilerplateLinesWithPool` over the store — with its own
+    * index-rebuild epilogue, deliberately not hidden in here).
+    *
+    * Replay safety is inherited, not new: the pool a batch scrubs
+    * against is whatever frozen frame its `processBatch` call was
+    * handed, so a replayed batch under the same config re-derives the
+    * identical admitted set; retraining BETWEEN batches never moves a
+    * committed batch's inputs. Returns an empty pool before any batch
+    * commits (the [[StreamingPostingsIndex.postings]] empty-segment
+    * shape).
+    */
+  def retrainLinePool(spark: SparkSession, keptDir: String, maxDf: Long,
+                      sep: String = "\n"): DataFrame = {
+    import graft.operators.{Checkpoints, TextAnalysis}
+    val kept =
+      if (StreamingBatchDirs.exists(spark, keptDir))
+        spark.read.parquet(keptDir)
+      else spark.range(0).select(lit("").as("text"))
+    Checkpoints.pin(
+      TextAnalysis.boilerplateLinePool(kept, "text", maxDf, sep))
+  }
+
   /** Stage-5 maintenance policy: fold any batch tree that exceeds
     * `maxSegments` committed partitions
     * ([[graft.operators.Compaction.maybeCompactBatchTree]] — the fold

@@ -67,14 +67,23 @@ object StreamingSemanticDedup {
       .filter(col("cos") >= tau)
       .select(col("probe_id").as(idCol)).distinct()
     // intra-batch: the batch AS the lists, same probe geometry; drop
-    // the larger id of every verified pair in either probe orientation
+    // the larger id of every verified pair in either probe orientation.
+    // Deliberately NOT knnIvfIndexed: the full pair set is needed (no
+    // top-k), so a ranking window would sort every within-cell
+    // candidate list for ranks nobody reads — O(|cell|²·log) per
+    // skewed batch cell. The direct cell-equi-join (the semDedup
+    // shape) computes the same cosines with no window at all.
     val selfLists = Similarity.ivfAssign(
         probes.select(col("probe_id").as("cand_id"), col("pv").as("cv")),
         "cv", "cand_id", centroids)
       .withColumn("_cn", graft.functions.GraftFunctions.l2norm(col("cv")))
-    val intraDrop = Similarity.knnIvfIndexed(probes, centroids, selfLists,
-        k = Int.MaxValue, nprobe)
-      .filter(col("cos") >= tau)
+    val pc = Similarity.ivfAssign(probes, "pv", "probe_id", centroids,
+        nprobe)
+      .withColumn("_pn", graft.functions.GraftFunctions.l2norm(col("pv")))
+    val intraDrop = pc.join(selfLists, Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .filter(round(graft.functions.GraftFunctions.dot(col("pv"), col("cv"))
+        / (col("_pn") * col("_cn")), 6) >= tau)
       .select(greatest(col("probe_id"), col("cand_id")).as(idCol))
       .distinct()
     batch

@@ -114,4 +114,15 @@ class Queries23Spec extends SparkSpec {
     assert(boiler == 40L, s"banner count: $row")
     assert(dups == 0L, s"no dups in the distinct-vocab fixture: $row")
   }
+
+  test("q173 linesAfter: a doc scrubbed to EMPTY counts 0 lines, not " +
+    "split(\"\")'s phantom 1 — the oracle-divergence edge the fixture " +
+    "never exercises") {
+    val out = Seq("", "a\nb\na", "solo")
+      .toDF("text")
+      .select(Queries23.linesAfter($"text").as("la"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(0L, 2L, 1L),
+      s"empty → 0 (DuckDB len([]) parity), dup collapses, solo is 1: $out")
+  }
 }

@@ -352,6 +352,47 @@ class ContaminationSpec extends SparkSpec {
     assert(again == 0L, s"fixpoint output re-excised $again tokens")
   }
 
+  test("excision broadcast gate: an over-threshold matched/touched set " +
+    "takes the keyed-join path, outputs identical") {
+    // every doc quotes the pool shingle — the matched/touched sets are
+    // the WHOLE corpus, the boilerplate-heavy shape the size gate
+    // exists for; broadcastLimit = 1 forces the fallback while the
+    // default limit broadcasts as before
+    val wideCorpus = (0 until 12).map { i =>
+      (i.toLong, s"u$i v$i quoted span here w$i x$i")
+    }.toDF("doc_id", "text")
+    val bench = Seq((100L, "quoted span here")).toDF("doc_id", "text")
+    val pool = bench
+      .select(org.apache.spark.sql.functions.explode(
+        Contamination.shingleSet(col("text"))).as("h")).distinct()
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    val bcast = Contamination.exciseWithPool(wideCorpus, pool,
+      "doc_id", "text")
+    val keyed = Contamination.exciseWithPool(wideCorpus, pool,
+      "doc_id", "text", broadcastLimit = 1L)
+    assert(rows(keyed) == rows(bcast),
+      "the degraded path must rewrite identically")
+    // the gate is real: under the default limit the matched AND
+    // rewritten joins carry explicit broadcast hints; past the limit
+    // only the (bounded-by-contract) pool broadcast remains. The tiny
+    // fixture may still AUTO-broadcast physically — the gate removes
+    // the unconditional HINT, which is what would force a broadcast
+    // regardless of size at scale.
+    def nHints(d: org.apache.spark.sql.DataFrame) =
+      "ResolvedHint".r.findAllIn(d.queryExecution.analyzed.toString).length
+    assert(nHints(bcast) == nHints(keyed) + 2,
+      s"the gate must strip exactly the matched+rewritten hints: " +
+        s"${nHints(bcast)} vs ${nHints(keyed)}")
+    val fixB = Contamination.exciseToFixpoint(wideCorpus, pool,
+      "doc_id", "text")
+    val fixK = Contamination.exciseToFixpoint(wideCorpus, pool,
+      "doc_id", "text", broadcastLimit = 1L)
+    assert(rows(fixK) == rows(fixB),
+      "fixpoint's degraded path must rewrite identically")
+  }
+
   test("spanExcise maxDf drops high-document-frequency pool shingles " +
     "from the probe") {
     // the benchmark's first shingle ("a b c") is boilerplate — it

@@ -335,6 +335,102 @@ class SemDedupSpec extends SparkSpec {
         s"${manual -- out}")
   }
 
+  test("semDedupHierSharded matPath: row-identical to the filter form; " +
+    "the per-shard read prunes to one partition at planning time") {
+    val df = (0 until 40).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.17), math.sin(i * 0.17), 0.03 * (i % 4)))
+    }.toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("semdedup-mat")
+      .toString + "/shards"
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val filt = rows(Similarity.semDedupHierSharded(df, "embedding",
+      "vec_id", targetCell = 2L, tau = 0.97, shards = 4))
+    val mat = rows(Similarity.semDedupHierSharded(df, "embedding",
+      "vec_id", targetCell = 2L, tau = 0.97, shards = 4,
+      matPath = Some(p)))
+    assert(mat == filt,
+      s"materialized form must be row-identical: ${mat -- filt} vs " +
+        s"${filt -- mat}")
+    // the pruning receipt: a per-shard read of the materialization has
+    // the shard predicate as a PartitionFilter (planning-time, zero
+    // I/O for other shards), never a pushed row filter
+    val pruned = spark.read.parquet(p).filter($"_shard" === 0)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*_shard".r.findFirstIn(plan).isDefined,
+      s"the shard predicate must prune partitions at planning time:\n$plan")
+    assert(!"PushedFilters: \\[[^\\]]*_shard".r.findFirstIn(plan).isDefined,
+      s"the shard predicate must not re-check row-wise:\n$plan")
+    // and the pruned read sees exactly the filter form's shard slice
+    def shard(id: Long): Long =
+      graft.functions.Hash64Array.hashString(id.toString, 5) % 4
+    val want = (0 until 40).map(_.toLong).filter(shard(_) == 0L).toSet
+    assert(col1[Long](pruned.select($"vec_id")).toSet == want,
+      "the pruned partition must hold exactly shard 0's rows")
+  }
+
+  test("semDedupHierShardedByContent matPath: row-identical to the " +
+    "filter form; partitions are pruned per (table, shard)") {
+    val df = (0 until 24).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.26), math.sin(i * 0.26), 0.02 * (i % 5)))
+    }.toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("semdedup-cmat")
+      .toString + "/shards"
+    def rows(mp: Option[String]) = Similarity.semDedupHierShardedByContent(
+        df, "embedding", "vec_id", dims = 3, targetCell = 2L, tau = 0.97,
+        shardPlanes = 2, tables = 2, matPath = mp)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    val filt = rows(None)
+    val mat = rows(Some(p))
+    assert(mat == filt,
+      s"materialized form must be row-identical: ${mat -- filt} vs " +
+        s"${filt -- mat}")
+    val pruned = spark.read.parquet(p)
+      .filter($"_tbl" === 1 && $"_shard" === 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*_tbl".r.findFirstIn(plan).isDefined &&
+      "PartitionFilters: \\[[^\\]]*_shard".r.findFirstIn(plan).isDefined,
+      s"both partition keys must prune at planning time:\n$plan")
+    // the materialization holds every row exactly once per table
+    val perTbl = spark.read.parquet(p).groupBy($"_tbl")
+      .count().collect().map(r => r.getAs[Number]("_tbl").intValue() ->
+        r.getLong(1)).toMap
+    assert(perTbl == Map(0 -> 24L, 1 -> 24L),
+      s"one row per (input row, table): $perTbl")
+  }
+
+  test("semDedupHierMulti: family 0 is the flat verdict set; extra " +
+    "families only add dropped ids") {
+    val df = (0 until 30).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.21), math.sin(i * 0.21), 0.05 * (i % 3)))
+    }.toDF("vec_id", "embedding")
+    val flat = Similarity.semDedupHier(df, "embedding", "vec_id",
+        targetCell = 2L, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    def run(families: Int) = Similarity.semDedupHierMulti(df, "embedding",
+        "vec_id", targetCell = 2L, tau = 0.95, families = families)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val f1 = run(1)
+    val f2 = run(2)
+    assert(f1.map(t => (t._2, t._3, t._4, t._5, t._6)) == flat,
+      "families = 1 must be semDedupHier plus the family column")
+    assert(f2.filter(_._1 == 0) == f1,
+      "family 0 of the 2-family run must replay the 1-family run exactly")
+    val drops1 = f1.map(_._4)
+    val drops2 = f2.map(_._4)
+    assert(drops1.subsetOf(drops2),
+      s"OR-composition can only add drops: ${drops1 -- drops2} lost")
+    // the dial must actually dial on this fixture: family 1 draws
+    // different cell boundaries, so the 2-family union catches at
+    // least one pair family 0 alone does not
+    assert(drops2 != drops1,
+      "fixture must exercise the extra family's independent boundaries")
+  }
+
   test("semDedupHier: deterministic across reruns; nothing drops above every cosine") {
     val df = (0 until 20).map { i =>
       (i.toLong, Seq(math.cos(i * 0.3), math.sin(i * 0.3), 0.1 * (i % 3)))

@@ -477,6 +477,64 @@ class StreamingCurationChainSpec extends SparkSpec {
     assert(kept2 == Seq(10L, 12L), s"replay must be deterministic: $kept2")
   }
 
+  test("retrainLinePool: rebuilt == fresh derivation over the kept " +
+    "store; the swapped pool scrubs the DRIFTED banner the frozen " +
+    "pool never learned") {
+    import graft.operators.{Checkpoints, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("chainrt").toString
+    val prefix = "graft_spec_chain_rt"
+    // empty-store contract first: no batch committed -> empty pool
+    val empty = StreamingCurationChain.retrainLinePool(spark,
+      s"$dir/kept", maxDf = 1L)
+    assert(empty.count() == 0L, "pre-commit retrain must be empty")
+    Checkpoints.release(empty)
+    // frozen pool knows the OLD banner only
+    val ref = (0 until 3).map(i =>
+      (i.toLong, s"OLD BANNER\nbody $i")).toDF("doc_id", "text")
+    val poolV1 = TextAnalysis.boilerplateLinePool(ref, "text", maxDf = 1L)
+      .localCheckpoint(true)
+    def runBatch(id: Long, lc: StreamingCurationChain.LineCuration,
+                 docs: ChainDoc*): Unit =
+      StreamingCurationChain.processBatch(spark, docs.toDF(), prefix,
+        s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post",
+        centroids, id, lineCuration = Some(lc))
+    StreamingContentDedup.bootstrapIndex(spark, prefix, buckets = 8)
+    // the drift: a NEW site template arrives on every admitted doc —
+    // invisible to poolV1, so it lands in the kept store verbatim
+    val lcV1 = StreamingCurationChain.LineCuration(poolV1)
+    runBatch(0L, lcV1,
+      ChainDoc(20L, "NEW TEMPLATE FOOTER\nalpha content", "en", "web"),
+      ChainDoc(21L, "NEW TEMPLATE FOOTER\nbeta content", "en", "web"))
+    runBatch(1L, lcV1,
+      ChainDoc(22L, "NEW TEMPLATE FOOTER\ngamma content", "en", "web"))
+    // retrain from the chain's own curated store
+    val poolV2 = StreamingCurationChain.retrainLinePool(spark,
+      s"$dir/kept", maxDf = 2L)
+    // bit-identical to the definitional fresh derivation
+    val fresh = TextAnalysis.boilerplateLinePool(
+      spark.read.parquet(s"$dir/kept"), "text", maxDf = 2L)
+    assert(col1[Long](poolV2).sorted == col1[Long](fresh).sorted,
+      "rebuilt pool must equal a fresh derivation over the kept store")
+    assert(poolV2.count() == 1L,
+      "exactly the drifted footer (df 3 > 2) crosses the cap")
+    // the batch-boundary swap: the next batch scrubs the drifted
+    // banner; docs admitted under poolV1 stay as admitted (store
+    // untouched for batches 0-1)
+    runBatch(2L, lcV1.copy(pool = poolV2),
+      ChainDoc(23L, "NEW TEMPLATE FOOTER\ndelta epsilon content words here",
+        "en", "web"))
+    val kept = spark.read.parquet(s"$dir/kept")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    assert(kept.contains(23L),
+      s"the post-swap doc must be admitted: ${kept.keySet}")
+    assert(kept(23L) == "delta epsilon content words here",
+      s"post-swap batch must scrub the drifted footer: '${kept(23L)}'")
+    assert(kept(20L) == "NEW TEMPLATE FOOTER\nalpha content",
+      "old admissions are a record — never retroactively re-scrubbed")
+    Checkpoints.release(poolV2)
+  }
+
   test("semantic dedup in-chain: a lexically-DISTINCT document whose " +
     "embedding matches an admitted one is refused; the index and gate " +
     "share the embed function") {

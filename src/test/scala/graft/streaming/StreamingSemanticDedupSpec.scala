@@ -89,6 +89,83 @@ class StreamingSemanticDedupSpec extends SparkSpec {
       "the second-nearest cell recovers the match")
   }
 
+  test("in-stream catch-rate on amplitude-spread plants: no false " +
+    "drops, the nprobe dial is monotone and real, and nprobe = 1 is " +
+    "verdict-identical to batch semDedup on the union") {
+    import graft.operators.Similarity
+    val dims = 8
+    val tau = 0.9
+    // 96 deterministic pseudo-random corpus vectors (the hpComponent
+    // hash recipe — NOT the trig family, whose common phase slope
+    // makes cos(i,j) ≈ cos(c·(i−j)) and floods the fixture with
+    // organic near-dups), a TRAINED quantizer (data-adapted cells, so
+    // plants can straddle real boundaries), all 96 admitted as batch 0
+    def h(tag: String, i: Int, d: Int): Double =
+      graft.functions.Hash64Array.hashString(s"$tag:$i:$d", 3) % 1000 /
+        1000.0 - 0.5
+    def vec(i: Int): Seq[Double] = Seq.tabulate(dims)(d => h("v", i, d))
+    val corpus = (0 until 96).map(i => (i.toLong, vec(i)))
+    val corpusDf = corpus.toDF("doc_id", "cv")
+    val trained = Similarity.kmeans(corpusDf, "cv", "doc_id", k = 12,
+      iters = 2).localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("ssd6").toString
+    StreamingVectorIndex.writeBatch(
+      corpusDf.select($"doc_id".as("cand_id"), $"cv"),
+      trained, s"$dir/ivf", 0L)
+    // the streamed batch: 32 plants at the q169 amplitude spread
+    // (near-dups of corpus rows, amp in {0.05 .. 0.55} — the heavy
+    // ones fall below tau, so truth is a strict subset) + 8 clean
+    // docs drawn fresh from the hash family
+    def plant(i: Int): Seq[Double] = {
+      val amp = (5 + (i % 6) * 10) / 100.0
+      vec(i).zipWithIndex.map { case (x, d) => x + amp * h("n", i, d) }
+    }
+    val plants = (0 until 32).map(i => (1000L + i, plant(i)))
+    val clean = (0 until 8).map(i =>
+      (2000L + i, Seq.tabulate(dims)(d => h("c", i, d))))
+    val batch = (plants ++ clean).toDF("doc_id", "cv")
+    // ground truth, brute force on the driver: a batch doc drops iff
+    // some CORPUS doc clears tau, or some batch-mate with SMALLER id
+    // clears tau (the gate's keep-smallest intra contract)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val all = plants ++ clean
+    val truth = all.filter { case (id, v) =>
+      corpus.exists(c => cos(v, c._2) >= tau) ||
+        all.exists(b => b._1 < id && cos(v, b._2) >= tau)
+    }.map(_._1).toSet
+    assert(truth.nonEmpty && truth.size < 32,
+      s"fixture must mix catchable and uncatchable plants: ${truth.size}")
+    def drops(nprobe: Int): Set[Long] = {
+      val admitted = StreamingSemanticDedup.gateBatch(spark, batch,
+          "doc_id", "cv", trained, s"$dir/ivf", tau, nprobe)
+        .select("doc_id").as[Long].collect().toSet
+      all.map(_._1).toSet -- admitted
+    }
+    val d1 = drops(1); val d2 = drops(2); val d4 = drops(4)
+    // every drop is verified (cos >= tau) — never a false positive
+    assert(d4.subsetOf(truth), s"false drops: ${d4 -- truth}")
+    // the dial only widens the probe
+    assert(d1.subsetOf(d2) && d2.subsetOf(d4),
+      s"nprobe must be monotone: $d1 / $d2 / $d4")
+    // and it is a REAL dial on boundary-straddling plants
+    assert(d4.size > d1.size,
+      s"fixture must exercise a straddler: np1=${d1.size} np4=${d4.size}")
+    // verdict parity with the batch operator at the same geometry:
+    // nprobe = 1 gate drops == batch semDedup's batch-side drops on
+    // corpus ∪ batch (plant ids are all larger than corpus ids, so
+    // keep-smallest always drops the batch side of a cross pair)
+    val union = corpusDf.unionByName(batch)
+    val batchSideDrops = Similarity.semDedup(union, "cv", "doc_id",
+        trained, tau)
+      .select("doc_id").as[Long].collect().toSet.filter(_ >= 1000L)
+    assert(d1 == batchSideDrops,
+      s"gate must equal the batch operator: gate-only=${d1 -- batchSideDrops} " +
+        s"batch-only=${batchSideDrops -- d1}")
+  }
+
   test("a tombstoned index entry is invisible: the takedown un-blocks " +
     "future equivalents immediately") {
     val dir = java.nio.file.Files.createTempDirectory("ssd5").toString
