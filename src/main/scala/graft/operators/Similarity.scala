@@ -273,6 +273,10 @@ object Similarity {
     * the same seeds (spec-pinned), and extra families only ADD
     * dropped ids (the same id can recur across families with
     * different partners — `distinct` on `idCol` for the drop set).
+    * Callers PERSIST `vectors` across the families (the [[kmeans]]
+    * contract): each family re-reads the input for its own count,
+    * trainings and pair pass, so an unpinned frame pays its full
+    * lineage `families ×` — q174 and `Receipts` both pin.
     */
   def semDedupHierMulti(vectors: DataFrame, vecCol: String, idCol: String,
                         targetCell: Long, tau: Double, families: Int,
