@@ -354,9 +354,13 @@ object Similarity {
     val shardSlice: Int => DataFrame = matPath match {
       case None => s => vectors.filter(shardOf === s.toLong)
       case Some(p) =>
-        vectors.withColumn("_shard", shardOf)
-          .write.mode("overwrite").partitionBy("_shard").parquet(p)
-        val mat = vectors.sparkSession.read.parquet(p)
+        val keyed = vectors.withColumn("_shard", shardOf)
+        keyed.write.mode("overwrite").partitionBy("_shard").parquet(p)
+        // explicit schema: inference-free (the partition column's type
+        // is declared, not re-derived from directory names) and an
+        // EMPTY corpus reads back as an empty frame instead of failing
+        // schema inference on a data-less directory
+        val mat = vectors.sparkSession.read.schema(keyed.schema).parquet(p)
         s => mat.filter(col("_shard") === s).select(cols.map(col): _*)
     }
     (0 until shards).map { s =>
@@ -415,12 +419,13 @@ object Similarity {
     * are per TABLE): the default slice recomputes the hyperplane code
     * over the full corpus once per (table, shard) — O(tables · 2^b)
     * full-input scans AND code recomputations. `matPath` assigns
-    * every row its per-table shard ONCE (one pass per table, the
+    * every row its per-table shard in ONE input pass (the
     * [[multiTableBuckets]] fan-out written as `_tbl=/_shard=`
-    * partitioned parquet) and each sub-run prunes to exactly one
-    * partition at planning time — total read is `tables` passes at
-    * any shard depth, and the 64-dim × planes dot products run once
-    * per (row, table) instead of once per (row, table, shard).
+    * partitioned parquet, `tables` rows per input row) and each
+    * sub-run prunes to exactly one partition at planning time — total
+    * read is one pass + one `tables`-sized write at any shard depth,
+    * and the dims × planes dot products run once per (row, table)
+    * instead of once per (row, table, shard).
     */
   def semDedupHierShardedByContent(vectors: DataFrame, vecCol: String,
       idCol: String, dims: Int, targetCell: Long, tau: Double,
@@ -440,15 +445,15 @@ object Similarity {
           hyperplaneBucketAt(col(vecCol), dims, shardPlanes,
             tbl * shardPlanes) === s)
       case Some(p) =>
-        (0 until tables).map { tbl =>
-          vectors
-            .withColumn("_tbl", lit(tbl))
-            .withColumn("_shard",
-              hyperplaneBucketAt(col(vecCol), dims, shardPlanes,
-                tbl * shardPlanes))
-        }.reduce(_ unionByName _)
-          .write.mode("overwrite").partitionBy("_tbl", "_shard").parquet(p)
-        val mat = vectors.sparkSession.read.parquet(p)
+        // ONE input pass: multiTableBuckets fans each row into its
+        // `tables` (table, code) rows with the identical per-table
+        // plane-slice arithmetic the filter form evaluates per shard
+        val keyed = multiTableBuckets(vectors, vecCol, dims, shardPlanes,
+          tables, "_tbl", "_shard")
+        keyed.write.mode("overwrite").partitionBy("_tbl", "_shard").parquet(p)
+        // explicit schema: inference-free, and an empty corpus reads
+        // back empty instead of failing inference (the id-hash note)
+        val mat = vectors.sparkSession.read.schema(keyed.schema).parquet(p)
         (tbl, s) => mat
           .filter(col("_tbl") === tbl && col("_shard") === s)
           .select(cols.map(col): _*)
