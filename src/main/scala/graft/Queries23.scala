@@ -564,12 +564,14 @@ object Queries23 {
     * also keeps the two full train+pair passes from dominating the
     * integrated session at 100×) plus the q169 planted pairs drawn
     * from the sample's 64 md5-smallest rows at the {0.05..0.55}
-    * amplitude spread. One `families = 2` run; the `families = 1` row
-    * is family 0's prefix (the seed-prefix structure, so the curve is
-    * provably monotone in the one run). Reported per prefix: distinct
-    * dropped ids, plants caught, recall — the oracle replays BOTH
-    * hierarchical trainings (seed pairs (31, 37) and (1031, 1037))
-    * through the prefixed CTE family and both pair passes.
+    * amplitude spread. One `families = 3` run; the `families = 1/2`
+    * rows are seed prefixes (the seed-prefix structure, so the curve
+    * is provably monotone in the one run) — three rungs price the
+    * KNEE of the OR-composition, not just its first step. Reported
+    * per prefix: distinct dropped ids, plants caught, recall — the
+    * oracle replays ALL THREE hierarchical trainings (seed pairs
+    * (31, 37), (1031, 1037), (2031, 2037)) through the prefixed CTE
+    * family and all three pair passes.
     */
   val q174FamilyDial = {
     import KmeansSql.{sqlCos, trainAssignCtesHierP}
@@ -600,7 +602,7 @@ object Queries23 {
           .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
         val corpus = sub.unionByName(vplant).localCheckpoint(true)
         val multi = Similarity.semDedupHierMulti(corpus, "embedding",
-            "vec_id", targetCell = 64L, tau = 0.8, families = 2)
+            "vec_id", targetCell = 64L, tau = 0.8, families = 3)
           .select($"family", $"vec_id").localCheckpoint(true)
         def statsFor(k: Int): DataFrame = multi
           .filter($"family" < k)
@@ -610,7 +612,8 @@ object Queries23 {
               .cast("long").as("plants_caught"))
           .select(lit(k.toLong).as("families"), $"drops", $"plants_caught",
             round($"plants_caught".cast("double") / TestN, 6).as("recall"))
-        statsFor(1).unionByName(statsFor(2)).orderBy($"families")
+        statsFor(1).unionByName(statsFor(2)).unionByName(statsFor(3))
+          .orderBy($"families")
       },
       Some(s"""
         WITH sub AS (
@@ -635,6 +638,7 @@ object Queries23 {
           SELECT vec_id + 1000000000 AS vec_id, embedding FROM vperturb),
         ${trainAssignCtesHierP("m0", "ec", 64L, 31, 37)},
         ${trainAssignCtesHierP("m1", "ec", 64L, 1031, 1037)},
+        ${trainAssignCtesHierP("m2", "ec", 64L, 2031, 2037)},
         m0d AS (
           SELECT DISTINCT b.vec_id
           FROM m0hfin a JOIN m0hfin b
@@ -649,12 +653,23 @@ object Queries23 {
           JOIN ec ea ON ea.vec_id = a.vec_id
           JOIN ec eb ON eb.vec_id = b.vec_id
           WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.8),
+        m2d AS (
+          SELECT DISTINCT b.vec_id
+          FROM m2hfin a JOIN m2hfin b
+            ON a.gid = b.gid AND a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN ec ea ON ea.vec_id = a.vec_id
+          JOIN ec eb ON eb.vec_id = b.vec_id
+          WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.8),
         u AS (
           SELECT 1 AS families, vec_id FROM m0d
           UNION ALL
           SELECT 2 AS families, vec_id FROM
-            (SELECT vec_id FROM m0d UNION SELECT vec_id FROM m1d)),
-        scaffold AS (SELECT * FROM (VALUES (1), (2)) s(families))
+            (SELECT vec_id FROM m0d UNION SELECT vec_id FROM m1d)
+          UNION ALL
+          SELECT 3 AS families, vec_id FROM
+            (SELECT vec_id FROM m0d UNION SELECT vec_id FROM m1d
+             UNION SELECT vec_id FROM m2d)),
+        scaffold AS (SELECT * FROM (VALUES (1), (2), (3)) s(families))
         SELECT CAST(s.families AS BIGINT) AS families,
                CAST(count(u.vec_id) AS BIGINT) AS drops,
                CAST(coalesce(sum(CASE WHEN u.vec_id >= 1000000000
@@ -665,9 +680,9 @@ object Queries23 {
         GROUP BY s.families ORDER BY families"""),
       notes = "quantizer-family dial for flat SemDeDup on a 1/4 " +
         "calibration sample + q169 planted pairs: distinct drops, " +
-        "plants caught and recall at families = 1/2 from one " +
-        "2-family run — the OR-of-quantizers recall curve, oracle " +
-        "replays both trainings end to end")
+        "plants caught and recall at families = 1/2/3 from one " +
+        "3-family run — the OR-of-quantizers recall curve with its " +
+        "knee, oracle replays all three trainings end to end")
   }
 
   def all: Seq[QueryDef] =

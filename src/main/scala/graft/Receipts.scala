@@ -21,15 +21,23 @@ import graft.operators.Similarity
   * queries measure the same planted structure.
   *
   * Usage: `Receipts <cmd> <sfDir> [args…]` with commands
-  *  - `sharded <dir> <shards> <kmax> <filter|mat>` — id-hash sharded
-  *    SemDeDup, one form;
-  *  - `content <dir> <planes> <tables> <filter|mat> [kmax]` —
-  *    content-keyed sharded SemDeDup with the 64 plants aboard;
+  *  - `sharded <dir> <shards> <kmax> <filter|mat> [parallelism]` —
+  *    id-hash sharded SemDeDup, one form;
+  *  - `content <dir> <planes> <tables> <filter|mat> [kmax]
+  *    [parallelism]` — content-keyed sharded SemDeDup with the 64
+  *    plants aboard (verdict_md5 pins byte-identity across forms and
+  *    parallelism levels);
   *  - `family <dir> <families>` — flat multi-family SemDeDup with the
   *    plants aboard (per-family-prefix recall from one run);
-  *  - `streamsem <dir> <nprobe>` — streaming semantic gate: soak index
-  *    from the embeddings table, one 64-plant + 16-clean batch gated,
-  *    in-stream recall + per-batch wall.
+  *  - `contentfam <dir> <planes> <tables> <families> [parallelism]` —
+  *    the COMPOSED deployment point: content sharding × the families
+  *    dial ([[graft.operators.Similarity.semDedupHierShardedByContentMulti]],
+  *    one shared materialization), per-family-prefix recall from one
+  *    run;
+  *  - `streamsem <dir> <nprobe> [families]` — streaming semantic gate:
+  *    soak index from the embeddings table (plus an independently
+  *    seeded second quantizer tree per extra family), one 64-plant +
+  *    16-clean batch gated, in-stream recall + per-batch wall.
   */
 object Receipts {
   private val TestN = 64
@@ -49,18 +57,21 @@ object Receipts {
 
     val out = cmd match {
       case "sharded" =>
-        val Seq(shards, kmax, form) = args.drop(2).toSeq
+        val shards = args(2).toInt; val kmax = args(3).toInt
+        val form = args(4)
+        val par = if (args.length > 5) args(5).toInt else 1
         val vecs = embeddings(spark, dir).persist()
         vecs.count()
         val mp = if (form == "mat") Some(tmp("sharded")) else None
         val (wall, n) = timeCount(Similarity.semDedupHierSharded(vecs,
           "embedding", "vec_id", targetCell = 64L, tau = 0.95,
-          shards = shards.toInt, kmax = kmax.toInt, matPath = mp))
-        s"""{"cmd":"sharded","form":"$form","shards":$shards,"kmax":$kmax,"wall_sec":$wall,"rows":$n}"""
+          shards = shards, kmax = kmax, matPath = mp, parallelism = par))
+        s"""{"cmd":"sharded","form":"$form","shards":$shards,"kmax":$kmax,"parallelism":$par,"wall_sec":$wall,"rows":$n}"""
       case "content" =>
         val planes = args(2).toInt; val tables = args(3).toInt
         val form = args(4)
         val kmax = if (args.length > 5) args(5).toInt else Int.MaxValue
+        val par = if (args.length > 6) args(6).toInt else 1
         val vecs = withPlants(spark, dir).persist()
         vecs.count()
         val mp = if (form == "mat") Some(tmp("content")) else None
@@ -68,12 +79,38 @@ object Receipts {
         val drops = Similarity.semDedupHierShardedByContent(vecs,
             "embedding", "vec_id", dims = 64, targetCell = 64L,
             tau = 0.8, shardPlanes = planes, tables = tables,
-            kmax = kmax, matPath = mp)
+            kmax = kmax, matPath = mp, parallelism = par)
           .select(col("vec_id")).distinct().persist()
         val nDrops = drops.count()
         val wall = (System.nanoTime() - t0) / 1e9
         val caught = drops.filter(col("vec_id") >= 1000000000L).count()
-        s"""{"cmd":"content","form":"$form","planes":$planes,"tables":$tables,"kmax":$kmax,"wall_sec":$wall,"drops":$nDrops,"plants_caught":$caught,"plants":$TestN}"""
+        val vmd5 = verdictMd5(drops)
+        s"""{"cmd":"content","form":"$form","planes":$planes,"tables":$tables,"kmax":$kmax,"parallelism":$par,"wall_sec":$wall,"drops":$nDrops,"plants_caught":$caught,"plants":$TestN,"verdict_md5":"$vmd5"}"""
+      case "contentfam" =>
+        val planes = args(2).toInt; val tables = args(3).toInt
+        val families = args(4).toInt
+        val par = if (args.length > 5) args(5).toInt else 1
+        val vecs = withPlants(spark, dir).persist()
+        vecs.count()
+        val t0 = System.nanoTime()
+        val all = Similarity.semDedupHierShardedByContentMulti(vecs,
+            "embedding", "vec_id", dims = 64, targetCell = 64L,
+            tau = 0.8, shardPlanes = planes, tables = tables,
+            families = families, matPath = Some(tmp("contentfam")),
+            parallelism = par)
+          .select(col("family"), col("vec_id")).persist()
+        all.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // per-prefix stats from the ONE run (the `family` mode shape):
+        // families = k is exactly the union of families 0..k-1
+        val rows = (1 to families).map { k =>
+          val d = all.filter(col("family") < k)
+            .select(col("vec_id")).distinct()
+          val nD = d.count()
+          val c = d.filter(col("vec_id") >= 1000000000L).count()
+          s"""{"families":$k,"drops":$nD,"plants_caught":$c}"""
+        }
+        s"""{"cmd":"contentfam","planes":$planes,"tables":$tables,"families":$families,"parallelism":$par,"wall_sec":$wall,"plants":$TestN,"per_prefix":[${rows.mkString(",")}]}"""
       case "family" =>
         val families = args(2).toInt
         val vecs = withPlants(spark, dir).persist()
@@ -96,23 +133,29 @@ object Receipts {
         s"""{"cmd":"family","families":$families,"wall_sec":$wall,"plants":$TestN,"per_prefix":[${rows.mkString(",")}]}"""
       case "streamsem" =>
         val nprobe = args(2).toInt
+        val families = if (args.length > 3) args(3).toInt else 1
         val vecs = embeddings(spark, dir).persist()
         val n = vecs.count()
-        // soak index: trained coarse quantizer at the semDedup target
-        // occupancy, whole corpus admitted as batch 0
+        // soak index: per FAMILY an independently seeded trained coarse
+        // quantizer at the semDedup target occupancy (the
+        // semDedupHierMulti seed convention, seed = f·1000), whole
+        // corpus admitted as batch 0 into every family's own tree
         val k = Similarity.coarseCells(n, 64L)
-        val cents = Similarity.kmeans(vecs, "embedding", "vec_id",
-          k = k, iters = 2).localCheckpoint(true)
-        val ivf = tmp("streamsem")
-        graft.streaming.StreamingVectorIndex.writeBatch(
-          vecs.select(col("vec_id").as("cand_id"),
-            col("embedding").as("cv")),
-          cents, ivf, 0L)
+        val fams = (0 until families).map { f =>
+          val cents = Similarity.kmeans(vecs, "embedding", "vec_id",
+            k = k, iters = 2, seed = 1000 * f).localCheckpoint(true)
+          val ivf = tmp(s"streamsem-f$f")
+          graft.streaming.StreamingVectorIndex.writeBatch(
+            vecs.select(col("vec_id").as("cand_id"),
+              col("embedding").as("cv")),
+            cents, ivf, 0L)
+          graft.streaming.StreamingSemanticDedup.QuantizerFamily(cents, ivf)
+        }
         val batch = plantBatch(spark, dir).persist()
         batch.count()
         val t0 = System.nanoTime()
-        val admitted = graft.streaming.StreamingSemanticDedup.gateBatch(
-            spark, batch, "vec_id", "embedding", cents, ivf,
+        val admitted = graft.streaming.StreamingSemanticDedup.gateBatchMulti(
+            spark, batch, "vec_id", "embedding", fams,
             tau = 0.8, nprobe = nprobe)
           .select(col("vec_id")).persist()
         val nAdm = admitted.count()
@@ -123,7 +166,7 @@ object Receipts {
         val cleanAdmitted = admitted
           .filter(col("vec_id") >= 2000000000L).count()
         val caught = TestN - plantsAdmitted
-        s"""{"cmd":"streamsem","nprobe":$nprobe,"corpus":$n,"cells":$k,"wall_sec":$wall,"batch":${TestN + 16},"admitted":$nAdm,"plants_caught":$caught,"plants":$TestN,"clean_admitted":$cleanAdmitted}"""
+        s"""{"cmd":"streamsem","nprobe":$nprobe,"families":$families,"corpus":$n,"cells":$k,"wall_sec":$wall,"batch":${TestN + 16},"admitted":$nAdm,"plants_caught":$caught,"plants":$TestN,"clean_admitted":$cleanAdmitted}"""
       case other => sys.error(s"unknown receipt: $other")
     }
     println(out)
@@ -176,6 +219,14 @@ object Receipts {
         transform(col("embedding"), x => -x).as("embedding"))
     plants(spark, dir).unionByName(clean)
   }
+
+  /** md5 over the sorted distinct drop-id list — byte-identity of a
+    * verdict set across forms/parallelism in one comparable string.
+    */
+  private def verdictMd5(drops: DataFrame): String =
+    drops.agg(md5(concat_ws(",",
+        sort_array(collect_list(col("vec_id"))))).as("h"))
+      .head().getString(0)
 
   private def timeCount(df: DataFrame): (Double, Long) = {
     val t0 = System.nanoTime()

@@ -426,12 +426,13 @@ object Contamination {
   def spanExcise(corpus: DataFrame, testSet: DataFrame, idCol: String,
                  textCol: String, minKeepTokens: Int = 1,
                  maxDf: Long = Long.MaxValue,
-                 broadcastLimit: Long = DefaultBroadcastLimit): DataFrame = {
+                 broadcastLimit: Long = DefaultBroadcastLimit,
+                 broadcastBytes: Long = DefaultBroadcastBytes): DataFrame = {
     boundTestSide(testSet, "spanExcise")
     val pool = testSet
       .select(explode(shingleSet(col(textCol))).as("h")).distinct()
     exciseWithPool(corpus, dfCapPool(pool, corpus, textCol, maxDf),
-      idCol, textCol, minKeepTokens, broadcastLimit)
+      idCol, textCol, minKeepTokens, broadcastLimit, broadcastBytes)
   }
 
   /** Row-count ceiling under which the excision operators broadcast
@@ -440,10 +441,30 @@ object Contamination {
     * larger one — a boilerplate-heavy pool without [[spanExcise]]'s
     * `maxDf` screen can make the touched set a corpus FRACTION —
     * degrades to a plain id-keyed shuffle join instead of OOMing the
-    * driver. 4M rows ≈ low hundreds of MB of ids+positions, inside
-    * any executor/driver broadcast budget.
+    * driver. 4M rows ≈ low hundreds of MB for an IDS-ONLY set (the
+    * [[exciseToFixpoint]] touched split); the excision's matched and
+    * rewritten relations carry per-doc PAYLOADS (a position array, the
+    * full rewritten text), so those joins are additionally gated on
+    * [[DefaultBroadcastBytes]] — a few rows of 16k-token hosts and
+    * 4M rows of them are different broadcasts, and the row count alone
+    * cannot tell.
     */
   val DefaultBroadcastLimit: Long = 4000000L
+
+  /** Estimated-PAYLOAD ceiling for the excision broadcasts, measured
+    * in what is actually shipped: the matched relation's bytes are
+    * estimated as `rows · 16 + Σ size(_mj) · 4` (ids plus one int per
+    * matched shingle position) and the rewritten relation's as
+    * `rows · 24 + Σ size(_w) · 8` (ids/counts plus the rewritten text,
+    * upper-bounded by the ORIGINAL token count at ~8 bytes per token —
+    * computable in the same count pass, before any rewrite runs).
+    * Either estimate past this ceiling degrades its join to the keyed
+    * shuffle path even when the row count looks small — the
+    * heavily-quoted-long-host regime where a 4M-row gate would wave
+    * multiple GB of text through. 256 MB sits inside any executor
+    * broadcast budget with room for the exchange's copies.
+    */
+  val DefaultBroadcastBytes: Long = 256L << 20
 
   /** `df` with a broadcast hint iff `small` — the size-gated fallback
     * shared by the excision operators. The caller passes a verdict it
@@ -482,23 +503,46 @@ object Contamination {
     */
   def exciseWithPool(corpus: DataFrame, pool: DataFrame, idCol: String,
                      textCol: String, minKeepTokens: Int = 1,
-                     broadcastLimit: Long = DefaultBroadcastLimit): DataFrame = {
+                     broadcastLimit: Long = DefaultBroadcastLimit,
+                     broadcastBytes: Long = DefaultBroadcastBytes): DataFrame =
+    exciseWithPoolPinned(corpus, pool, idCol, textCol, minKeepTokens,
+      broadcastLimit, broadcastBytes)._1
+
+  /** [[exciseWithPool]] that also returns the pinned matched relation
+    * so an iterating caller can [[Checkpoints.release]] it once the
+    * RESULT frame is materialized downstream ([[exciseToFixpoint]]
+    * does — without the release each pass would leave one pinned
+    * match-set reclaimed only by GC-driven cleanup). The public form
+    * discards the handle: its returned frame reads the pin lazily, the
+    * documented final-pin contract.
+    */
+  private def exciseWithPoolPinned(corpus: DataFrame, pool: DataFrame,
+      idCol: String, textCol: String, minKeepTokens: Int,
+      broadcastLimit: Long,
+      broadcastBytes: Long): (DataFrame, DataFrame) = {
     require(minKeepTokens >= 0, "minKeepTokens must be >= 0")
     val id = col(idCol)
     val toks = corpus.select(id, words(col(textCol)).as("_w"))
-    // positional (NOT distinct) shingles: element j starts at token j
-    val matched = Checkpoints.pin(toks
-      .select(id, posexplode(
-        Dedup.shingleHashes3(Dedup.wordHashes(col("_w")))))
-      .withColumnRenamed("pos", "_j").withColumnRenamed("col", "h")
-      .join(broadcast(pool), "h")
-      .groupBy(id).agg(collect_set(col("_j")).as("_mj")))
+    val matched = Checkpoints.pin(matchedPositions(toks, pool, idCol))
     // the broadcast gate: matched is contamination-sized under the
-    // operator's design assumption, but nothing ENFORCES that — count
-    // the pinned frame and fall back to the keyed shuffle join when
-    // it blows past the limit (rewritten carries exactly matched's id
-    // set, so one verdict gates both joins)
-    val small = matched.count() <= broadcastLimit
+    // operator's design assumption, but nothing ENFORCES that — ONE
+    // aggregate pass over the pinned frame prices both relations
+    // (rewritten carries exactly matched's id set) and each join falls
+    // back to the keyed shuffle when its rows OR its estimated payload
+    // blow past the limits. Bytes are estimated from what each side
+    // ships: matched carries the per-doc matched-position ARRAY,
+    // rewritten the full rewritten TEXT (bounded by the original token
+    // count, `_wn`, priced at ~8 bytes/token) — a row count alone
+    // cannot see a few million 16k-token hosts.
+    val st = matched.agg(count(lit(1)),
+      coalesce(sum(size(col("_mj"))), lit(0L)),
+      coalesce(sum(col("_wn")), lit(0L))).head()
+    val (rows, positions, toksTotal) =
+      (st.getLong(0), st.getLong(1), st.getLong(2))
+    val smallM = rows <= broadcastLimit &&
+      rows * 16L + positions * 4L <= broadcastBytes
+    val smallR = rows <= broadcastLimit &&
+      rows * 24L + toksTotal * 8L <= broadcastBytes
     // LINEAR rewrite: a matched shingle starting at j covers tokens
     // {j, j+1, j+2} (every start position is <= n-3, so the covered
     // positions are always in range); the kept positions come from ONE
@@ -512,19 +556,42 @@ object Contamination {
     // matched is contamination-sized (docs sharing >= 1 pool shingle)
     // under the maxDf-screened assumption, so the rewrite probe
     // broadcasts it and the corpus side never shuffles — unless the
-    // gate above found it oversized, in which case both joins degrade
-    // to id-keyed shuffles (a slow pass, never an OOM)
-    val rewritten = toks.join(hintIf(matched, small), Seq(idCol))
+    // gate above found either side oversized in rows or bytes, in
+    // which case that join degrades to an id-keyed shuffle (a slow
+    // pass, never an OOM)
+    val rewritten = toks.join(hintIf(matched, smallM), Seq(idCol))
       .select(id, kept.as("_kept"), size(col("_w")).as("_n"))
       .select(id, array_join(col("_kept"), " ").as("_newtext"),
         (col("_n") - size(col("_kept"))).cast("long").as("_nex"),
         size(col("_kept")).as("_keptn"))
-    corpus.join(hintIf(rewritten, small), Seq(idCol), "left")
+    val out = corpus.join(hintIf(rewritten, smallR), Seq(idCol), "left")
       .filter(col("_keptn").isNull || col("_keptn") >= minKeepTokens)
       .withColumn(textCol, coalesce(col("_newtext"), col(textCol)))
       .withColumn("n_excised", coalesce(col("_nex"), lit(0L)))
       .drop("_newtext", "_nex", "_keptn")
+    (out, matched)
   }
+
+  /** The per-doc matched-position aggregate the excision rewrites
+    * from: one narrow positional-shingle probe of `toks` (`idCol` +
+    * `_w`, the token array) against the broadcast pool, collapsed to
+    * `(id, _mj, _wn)` — the matched start-position set and the doc's
+    * token count (which prices the rewritten-text broadcast before any
+    * rewrite runs). Package-visible so the plan audit can pin its
+    * map-side combine on the PRE-pin plan — inside [[exciseWithPool]]
+    * the aggregate executes during the size gate's pin job and the
+    * query plan only shows the pinned relation.
+    */
+  private[graft] def matchedPositions(toks: DataFrame, pool: DataFrame,
+                                      idCol: String): DataFrame =
+    // positional (NOT distinct) shingles: element j starts at token j
+    toks
+      .select(col(idCol), size(col("_w")).as("_wn"), posexplode(
+        Dedup.shingleHashes3(Dedup.wordHashes(col("_w")))))
+      .withColumnRenamed("pos", "_j").withColumnRenamed("col", "h")
+      .join(broadcast(pool), "h")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("_j")).as("_mj"), first(col("_wn")).as("_wn"))
 
   /** [[exciseWithPool]] iterated to the FIXED POINT — the adversarial-
     * splice closure the single pass cannot promise: a cut can join two
@@ -551,7 +618,8 @@ object Contamination {
   def exciseToFixpoint(corpus: DataFrame, pool: DataFrame, idCol: String,
                        textCol: String, minKeepTokens: Int = 1,
                        maxPasses: Int = 8,
-                       broadcastLimit: Long = DefaultBroadcastLimit): DataFrame = {
+                       broadcastLimit: Long = DefaultBroadcastLimit,
+                       broadcastBytes: Long = DefaultBroadcastBytes): DataFrame = {
     require(maxPasses >= 1, "maxPasses must be >= 1")
     val id = col(idCol)
     val touched = Checkpoints.pin(corpus
@@ -574,12 +642,16 @@ object Contamination {
     while (excised > 0L && pass < maxPasses) {
       // exciseWithPool preserves extra columns, so the running total
       // rides through as _acc
+      val (ex, matchedPin) = exciseWithPoolPinned(dirty, pool, idCol,
+        textCol, minKeepTokens, broadcastLimit, broadcastBytes)
       val next = Checkpoints.pin(
-        exciseWithPool(dirty, pool, idCol, textCol, minKeepTokens,
-            broadcastLimit)
-          .withColumn("_acc", col("_acc") + col("n_excised")))
+        ex.withColumn("_acc", col("_acc") + col("n_excised")))
       excised = next.agg(coalesce(sum(col("n_excised")), lit(0L)))
         .head().getLong(0)
+      // next is materialized, so nothing reads this pass's matched pin
+      // again — release it here instead of leaving one pinned match
+      // set per pass to GC-driven cleanup
+      Checkpoints.release(matchedPin)
       Checkpoints.release(dirty)
       dirty = next
       pass += 1

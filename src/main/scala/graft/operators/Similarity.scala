@@ -340,13 +340,30 @@ object Similarity {
     * filter form (spec-pinned — every per-shard step is
     * row-order-insensitive by construction: hash-rank init, exact
     * decimal means, total-ordered argmax windows).
+    *
+    * `matPath` is a SCRATCH path owned by this call: anything already
+    * there is destroyed (`mode("overwrite")`), and the materialization
+    * job runs eagerly at composition time — before the returned frame
+    * is ever consumed — because every slice's count/training reads it.
+    * Never point it at data you keep.
+    *
+    * `parallelism` > 1 runs that many per-shard chains CONCURRENTLY
+    * from a bounded thread pool — each chain's count + trainings +
+    * pair pass is submitted as independent Spark jobs and its verdict
+    * frame pinned inside its thread, so the driver-side serialization
+    * the scaladoc's fan-out note describes disappears without leaving
+    * the JVM (the separate-jobs recipe remains the cross-JVM form).
+    * Verdicts are row-identical to the sequential form (spec-pinned;
+    * the chains share nothing). Pair it with `matPath` so concurrent
+    * chains read pruned partitions instead of racing full input scans.
     */
   def semDedupHierSharded(vectors: DataFrame, vecCol: String, idCol: String,
                           targetCell: Long, tau: Double, shards: Int,
                           iters: Int = 2, seedCoarse: Int = 31,
                           seedFine: Int = 37, shardSeed: Int = 5,
                           kmax: Int = Int.MaxValue,
-                          matPath: Option[String] = None): DataFrame = {
+                          matPath: Option[String] = None,
+                          parallelism: Int = 1): DataFrame = {
     require(shards >= 1, "shards must be >= 1")
     val shardOf = graft.functions.GraftFunctions.hash64(
       col(idCol).cast("string"), shardSeed) % shards
@@ -363,12 +380,44 @@ object Similarity {
         val mat = vectors.sparkSession.read.schema(keyed.schema).parquet(p)
         s => mat.filter(col("_shard") === s).select(cols.map(col): _*)
     }
-    (0 until shards).map { s =>
+    unionSlices((0 until shards).map { s => () =>
       semDedupHier(shardSlice(s), vecCol, idCol,
         targetCell, tau, iters, seedCoarse, seedFine, kmax)
         .select(lit(s.toLong).as("shard"), col("coarse"), col("cell"),
           col(idCol), col("dup_of"), col("cos"))
-    }.reduce(_ unionByName _)
+    }, parallelism)
+  }
+
+  /** Union the per-slice verdict frames, sequentially (`parallelism`
+    * = 1, the frames stay lazy — exactly the old reduce) or from a
+    * bounded thread pool: each slice's whole chain (count, trainings,
+    * pair pass) runs inside its thread and the verdict is PINNED there
+    * ([[Checkpoints.pin]] — the eager materialization is what makes
+    * the concurrency real; a lazy union would serialize everything
+    * again at the first action). Slice chains are independent by
+    * construction, and every per-shard step is row-order-insensitive,
+    * so the union is row-identical either way (spec-pinned). The pins
+    * are final pins read lazily by the returned union — storage is
+    * verdict-sized (drops only) and reclaimed by reference-tracking
+    * cleanup, the [[Checkpoints.pin]] final-pin contract.
+    */
+  private def unionSlices(slices: Seq[() => DataFrame],
+                          parallelism: Int): DataFrame = {
+    require(parallelism >= 1, "parallelism must be >= 1")
+    if (parallelism == 1) slices.map(_()).reduce(_ unionByName _)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, slices.size))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try
+        Await.result(
+          Future.sequence(slices.map(s => Future(Checkpoints.pin(s())))),
+          Duration.Inf).reduce(_ unionByName _)
+      finally pool.shutdown()
+    }
   }
 
   /** CONTENT-keyed sharded [[semDedupHier]] — closes the cross-shard
@@ -409,10 +458,18 @@ object Similarity {
     * two k-means trainings + pair pass) union-reduced into one frame
     * — the per-shard chain is the unit of work the deep-shard design
     * wants, but the DRIVER serves every chain, so `shardPlanes` is
-    * capped at 10 (≤ 1024 shards per table, the regime a single
-    * driver loop actually sustains; past that, run the per-shard
-    * chains as separate jobs over the `matPath` materialization,
-    * which any orchestrator can fan out by partition directory).
+    * capped at 10 (≤ 1024 shards per table; TIGHTENED from 16 in
+    * round 17 — shardPlanes 11–16 calls that used to be accepted now
+    * throw, deliberately: 2^16 chains per table is not a regime one
+    * driver loop sustains; past 10, run the per-shard chains as
+    * separate jobs over the `matPath` materialization, which any
+    * orchestrator can fan out by partition directory).
+    * `parallelism` > 1 runs that many chains concurrently from a
+    * bounded thread pool WITHIN this driver (the
+    * [[semDedupHierSharded]] note: verdicts pinned per thread,
+    * row-identical to sequential, spec-pinned) — the in-JVM form of
+    * the fan-out, receipted in BASELINE.md at the q172 deployment
+    * point.
     *
     * READ AMPLIFICATION, and the `matPath` rail (the
     * [[semDedupHierSharded]] note, worse here because shard counts
@@ -425,21 +482,47 @@ object Similarity {
     * sub-run prunes to exactly one partition at planning time — total
     * read is one pass + one `tables`-sized write at any shard depth,
     * and the dims × planes dot products run once per (row, table)
-    * instead of once per (row, table, shard).
+    * instead of once per (row, table, shard). `matPath` is a SCRATCH
+    * path owned by this call: pre-existing data there is destroyed
+    * (`mode("overwrite")`) and the write runs eagerly at composition
+    * time — never point it at data you keep.
     */
   def semDedupHierShardedByContent(vectors: DataFrame, vecCol: String,
       idCol: String, dims: Int, targetCell: Long, tau: Double,
       shardPlanes: Int, tables: Int = 1, iters: Int = 2,
       seedCoarse: Int = 31, seedFine: Int = 37,
       kmax: Int = Int.MaxValue,
-      matPath: Option[String] = None): DataFrame = {
+      matPath: Option[String] = None,
+      parallelism: Int = 1): DataFrame = {
     require(shardPlanes >= 1 && shardPlanes <= 10,
       "shardPlanes must be in [1, 10] — tables*2^shardPlanes " +
         "independent job chains run from one driver loop")
     require(tables >= 1, "tables must be >= 1")
     val shards = 1 << shardPlanes
+    val slice = contentSlices(vectors, vecCol, dims, shardPlanes, tables,
+      matPath)
+    unionSlices(
+      (for { tbl <- 0 until tables; s <- 0 until shards } yield { () =>
+        semDedupHier(slice(tbl, s), vecCol, idCol, targetCell, tau, iters,
+          seedCoarse, seedFine, kmax)
+          .select(lit(tbl).as("tbl"), lit(s.toLong).as("shard"),
+            col("coarse"), col("cell"), col(idCol), col("dup_of"),
+            col("cos"))
+      }), parallelism)
+  }
+
+  /** The per-(table, shard) input slice of the content-sharded forms:
+    * the filter form recomputes the plane-slice code per call; the
+    * `matPath` form assigns every row its per-table shard in ONE input
+    * pass and reads back pruned partitions (the
+    * [[semDedupHierShardedByContent]] read-amplification note — the
+    * write is eager and owns the path).
+    */
+  private def contentSlices(vectors: DataFrame, vecCol: String, dims: Int,
+      shardPlanes: Int, tables: Int,
+      matPath: Option[String]): (Int, Int) => DataFrame = {
     val cols = vectors.columns.toSeq
-    val slice: (Int, Int) => DataFrame = matPath match {
+    matPath match {
       case None => (tbl, s) =>
         vectors.filter(
           hyperplaneBucketAt(col(vecCol), dims, shardPlanes,
@@ -458,13 +541,52 @@ object Similarity {
           .filter(col("_tbl") === tbl && col("_shard") === s)
           .select(cols.map(col): _*)
     }
-    (for { tbl <- 0 until tables; s <- 0 until shards } yield {
-      semDedupHier(slice(tbl, s), vecCol, idCol, targetCell, tau, iters,
-        seedCoarse, seedFine, kmax)
-        .select(lit(tbl).as("tbl"), lit(s.toLong).as("shard"),
-          col("coarse"), col("cell"), col(idCol), col("dup_of"),
-          col("cos"))
-    }).reduce(_ unionByName _)
+  }
+
+  /** [[semDedupHierShardedByContent]] × the quantizer-FAMILIES dial —
+    * the composed deployment point a recall-sensitive sharded run
+    * actually wants: content sharding closes the CROSS-shard miss
+    * (near-dups co-locate by construction), the [[semDedupHierMulti]]
+    * families close the WITHIN-shard cell-straddle miss (family f
+    * trains each shard's quantizers with seeds `(seedCoarse + 1000·f,
+    * seedFine + 1000·f)`; a pair is caught when ANY family co-cells it
+    * inside ANY agreeing (table, shard)). The two dials multiply in
+    * cost — `families × tables × 2^shardPlanes` chains — but the
+    * `matPath` materialization is written ONCE and shared across
+    * families (the shard key is family-independent), so the input is
+    * still read one time plus one `tables`-sized write no matter how
+    * many families run; `parallelism` fans the chains out as in the
+    * base form.
+    *
+    * Returns the base form's schema with a leading `family` column;
+    * `family = 0` rows are exactly [[semDedupHierShardedByContent]]
+    * with the same arguments (spec-pinned), and extra families only
+    * ADD dropped ids — `distinct` on `idCol` for the drop set.
+    */
+  def semDedupHierShardedByContentMulti(vectors: DataFrame, vecCol: String,
+      idCol: String, dims: Int, targetCell: Long, tau: Double,
+      shardPlanes: Int, tables: Int = 1, families: Int = 1,
+      iters: Int = 2, seedCoarse: Int = 31, seedFine: Int = 37,
+      kmax: Int = Int.MaxValue,
+      matPath: Option[String] = None,
+      parallelism: Int = 1): DataFrame = {
+    require(shardPlanes >= 1 && shardPlanes <= 10,
+      "shardPlanes must be in [1, 10] — tables*2^shardPlanes " +
+        "independent job chains run from one driver loop")
+    require(tables >= 1, "tables must be >= 1")
+    require(families >= 1, "families must be >= 1")
+    val shards = 1 << shardPlanes
+    val slice = contentSlices(vectors, vecCol, dims, shardPlanes, tables,
+      matPath)
+    unionSlices(
+      (for { f <- 0 until families; tbl <- 0 until tables;
+             s <- 0 until shards } yield { () =>
+        semDedupHier(slice(tbl, s), vecCol, idCol, targetCell, tau, iters,
+          seedCoarse + 1000 * f, seedFine + 1000 * f, kmax)
+          .select(lit(f).as("family"), lit(tbl).as("tbl"),
+            lit(s.toLong).as("shard"), col("coarse"), col("cell"),
+            col(idCol), col("dup_of"), col("cos"))
+      }), parallelism)
   }
 
   /** Sign-of-projection bucket code (0 .. 2^planes-1) for a vector

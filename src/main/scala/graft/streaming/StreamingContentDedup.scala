@@ -125,4 +125,27 @@ object StreamingContentDedup {
       .option("checkpointLocation", checkpoint)
       .start()
   }
+
+  /** Rebuild the band index FROM a `(doc_id, text)` corpus — the
+    * re-derivation entry a text-rewriting maintenance pass needs
+    * (boilerplate fingerprints live in the shingles, so a retroactive
+    * scrub that rewrites kept text must re-fingerprint; a
+    * [[Dedup.compactBandIndex]] only distincts the STALE rows). The
+    * corpus flows through the exact per-batch shingle/band expressions,
+    * so the rebuilt tables are bit-identical to what a fresh stream
+    * over the same text would have appended. Catalog overwrite, the
+    * [[Dedup.compactBandIndexWith]] swap semantics — run it with the
+    * stream stopped (the retroactive-scrub contract) or accept the
+    * missing-table window
+    * [[graft.streaming.StreamingVectorIndex.rebuildIndex]] documents.
+    */
+  def rebuildIndexFrom(spark: SparkSession, corpus: DataFrame,
+                       prefix: String, buckets: Int): Unit = {
+    val sh = shingled(corpus)
+    // materialize BEFORE the overwrite (the compactBandIndexWith
+    // note): the corpus frame may read through catalog state
+    val bands = banded(sh).localCheckpoint(true)
+    val shD = sh.select(col("doc_id"), col("sh")).localCheckpoint(true)
+    Dedup.writeBandIndex(bands, shD, "doc_id", prefix, buckets)
+  }
 }

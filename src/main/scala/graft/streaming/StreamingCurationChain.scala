@@ -100,9 +100,23 @@ object StreamingCurationChain {
     * [[textEmbedding]] stand-in for BOTH the gate and the stage-3
     * index append (they must agree, or the index would not describe
     * the vectors the gate probes).
+    *
+    * `extraFamilies` is the recall dial past nprobe saturation
+    * ([[StreamingSemanticDedup.gateBatchMulti]]): each entry is an
+    * EXTRA frozen quantizer (its centroids, trained with an
+    * independent seed) and the path its own index tree lives under —
+    * a SIBLING directory of the chain's `indexDir`, never inside it
+    * (a `family=` subdir would corrupt the main tree's partition
+    * discovery). The chain probes every family per batch, drops under
+    * ANY, and stage 3 appends each admitted batch to EVERY family's
+    * tree, so all trees describe the same admitted corpus under
+    * different cell geometries. Takedowns purge the extra trees too —
+    * pass the same paths to [[deleteDocs]]' `extraIndexDirs` (and the
+    * chain's own stage-5 maintenance covers them automatically).
     */
   case class SemanticDedup(tau: Double, nprobe: Int = 1,
-                           embed: Option[Column => Column] = None)
+                           embed: Option[Column => Column] = None,
+                           extraFamilies: Seq[(DataFrame, String)] = Nil)
 
   /** One batch through the whole chain. `onStage(batchId, k)` fires
     * after stage k commits — an observability/test seam (the crash spec
@@ -188,9 +202,12 @@ object StreamingCurationChain {
     // measured shape (BASELINE.md round-16; the semDedupHier
     // no-cache precedent)
     val gatedLive = semanticDedup.fold(curated) { sd =>
-      StreamingSemanticDedup.gateBatch(spark,
+      StreamingSemanticDedup.gateBatchMulti(spark,
         curated.withColumn("_cv", embedFn(col("text"))), "doc_id", "_cv",
-        centroids, indexDir, sd.tau, sd.nprobe, entrySnap).drop("_cv")
+        StreamingSemanticDedup.QuantizerFamily(centroids, indexDir) +:
+          sd.extraFamilies.map { case (c, p) =>
+            StreamingSemanticDedup.QuantizerFamily(c, p) },
+        sd.tau, sd.nprobe, entrySnap).drop("_cv")
     }
     // pin the gated batch ONCE when any pre-dedup stage is configured:
     // the dedup pass and the kept-store (lang, source) enrichment both
@@ -222,10 +239,18 @@ object StreamingCurationChain {
       onStage(batchId, 1)
       StreamingCardStats.writeBatch(kept, cardDir, batchId)
       onStage(batchId, 2)
-      StreamingVectorIndex.writeBatch(
-        kept.select(col("doc_id").as("cand_id"),
-          embedFn(col("text")).as("cv")),
-        centroids, indexDir, batchId)
+      val keptVecs = kept.select(col("doc_id").as("cand_id"),
+        embedFn(col("text")).as("cv"))
+      StreamingVectorIndex.writeBatch(keptVecs, centroids, indexDir, batchId)
+      // every EXTRA quantizer family's tree gets the same admitted
+      // vectors under ITS centroids — per-batch overwrite, so a crash
+      // that reached only some families replays idempotently (and the
+      // gate's verdict is replay-identical either way, the
+      // gateBatchMulti per-family argument)
+      semanticDedup.toSeq.flatMap(_.extraFamilies).foreach {
+        case (cents, dir) =>
+          StreamingVectorIndex.writeBatch(keptVecs, cents, dir, batchId)
+      }
       onStage(batchId, 3)
       StreamingPostingsIndex.writeBatch(
         kept.select(col("doc_id"), col("text")), "doc_id", "text",
@@ -233,7 +258,8 @@ object StreamingCurationChain {
       onStage(batchId, 4)
       if (maxSegments > 0) {
         maintain(spark, prefix, keptDir, cardDir, indexDir, postingsDir,
-          maxSegments, buckets, batchId)
+          maxSegments, buckets, batchId,
+          semanticDedup.toSeq.flatMap(_.extraFamilies).map(_._2))
         onStage(batchId, 5)
       }
     } finally {
@@ -268,9 +294,9 @@ object StreamingCurationChain {
     * ([[graft.operators.Checkpoints.release]]). Documents admitted
     * under the OLD pool are NOT retroactively re-scrubbed: the kept
     * store records what was admitted, and the new pool governs future
-    * batches only (a retroactive cleanup is a batch job —
-    * `scrubBoilerplateLinesWithPool` over the store — with its own
-    * index-rebuild epilogue, deliberately not hidden in here).
+    * batches only (the retroactive cleanup is [[retroactiveScrub]], a
+    * separate batch job run with the stream stopped — deliberately not
+    * hidden in here).
     *
     * Replay safety is inherited, not new: the pool a batch scrubs
     * against is whatever frozen frame its `processBatch` call was
@@ -289,6 +315,97 @@ object StreamingCurationChain {
       else spark.range(0).select(lit("").as("text"))
     Checkpoints.pin(
       TextAnalysis.boilerplateLinePool(kept, "text", maxDf, sep))
+  }
+
+  /** The RETROACTIVE half of a [[retrainLinePool]] swap — the batch
+    * composition its scaladoc defers: documents admitted under the OLD
+    * pool keep their old boilerplate in the kept store and in every
+    * derived artifact, and this pass cleans them in place, the
+    * takedown discipline (mutate the kept store first, re-derive
+    * everything else from surviving kept rows):
+    *
+    *  1. every kept `batch=<id>` partition is rewritten with the new
+    *     pool's scrub ([[graft.operators.TextAnalysis.scrubBoilerplateLinesWithPool]],
+    *     plus the within-doc line dedup when `dedupWithin`) via the
+    *     staged atomic swap — a crash mid-rewrite never loses a
+    *     partition's rows;
+    *  2. the card partials, vector lists and BM25 postings of EVERY
+    *     kept batch are re-derived from the post-scrub kept partitions
+    *     (per-batch overwrite, the replay-idempotent write each stage
+    *     already uses) — scrubbing changes text, and text is what all
+    *     three describe;
+    *  3. the band index is re-fingerprinted from the scrubbed kept
+    *     store ([[StreamingContentDedup.rebuildIndexFrom]]) — nav
+    *     chrome lives in the old shingles, and leaving them would keep
+    *     refusing future documents for matching boilerplate the corpus
+    *     no longer contains.
+    *
+    * Idempotent under crash/repeat BY RE-RUNNING: the scrub is a
+    * fixed point on already-scrubbed text (the pool's lines are gone,
+    * so a second pass removes nothing), every step-2/3 write is an
+    * idempotent re-derivation from current kept state, and a crash
+    * anywhere leaves a state from which the same call completes — the
+    * spec crashes between steps and pins that the re-run converges to
+    * the never-crashed artifacts. Runs under the
+    * [[graft.operators.MaintenanceLock]] with the STREAM STOPPED (it
+    * rewrites what a live batch would read); `onStep(k)` fires after
+    * step k, the crash-injection seam. `embed`/`dims` must match the
+    * chain's config, or step 2's vectors would not describe what the
+    * gate probes; `extraFamilies` re-derives each extra quantizer
+    * family's tree ([[SemanticDedup.extraFamilies]]).
+    */
+  def retroactiveScrub(spark: SparkSession, pool: DataFrame, prefix: String,
+                       keptDir: String, cardDir: String, indexDir: String,
+                       postingsDir: String, centroids: DataFrame,
+                       buckets: Int, dims: Int = 8, sep: String = "\n",
+                       dedupWithin: Boolean = true,
+                       embed: Option[Column => Column] = None,
+                       extraFamilies: Seq[(DataFrame, String)] = Nil,
+                       onStep: Int => Unit = _ => ()): Unit = {
+    import graft.operators.{MaintenanceLock, TextAnalysis}
+    MaintenanceLock.withLock(spark, prefix) {
+      healSwaps(spark, keptDir)
+      val batches = StreamingBatchDirs.list(spark, keptDir)
+      val embedFn: Column => Column =
+        embed.getOrElse(textEmbedding(_: Column, dims))
+      // 1. scrub every kept partition in place (staged swaps)
+      batches.foreach { b =>
+        swapInPartition(spark, keptDir, b) { staging =>
+          val part = spark.read.parquet(s"$keptDir/batch=$b")
+          val scrubbed = TextAnalysis.scrubBoilerplateLinesWithPool(
+            part, pool, "doc_id", "text", sep).drop("n_scrubbed")
+          val cleaned =
+            if (dedupWithin) scrubbed.withColumn("text",
+              TextAnalysis.dedupLines(col("text"), sep))
+            else scrubbed
+          cleaned.write.mode("overwrite").parquet(staging)
+        }
+        MaintenanceLock.heartbeat(spark, prefix)
+      }
+      onStep(1)
+      // 2. re-derive the per-batch row-level artifacts from the NEW text
+      batches.foreach { b =>
+        val kept = spark.read.parquet(s"$keptDir/batch=$b")
+        StreamingCardStats.writeBatch(kept, cardDir, b)
+        val vecs = kept.select(col("doc_id").as("cand_id"),
+          embedFn(col("text")).as("cv"))
+        StreamingVectorIndex.writeBatch(vecs, centroids, indexDir, b)
+        extraFamilies.foreach { case (cents, dir) =>
+          StreamingVectorIndex.writeBatch(vecs, cents, dir, b) }
+        StreamingPostingsIndex.writeBatch(
+          kept.select(col("doc_id"), col("text")), "doc_id", "text",
+          postingsDir, b)
+        MaintenanceLock.heartbeat(spark, prefix)
+      }
+      onStep(2)
+      // 3. re-fingerprint the band index from the scrubbed store
+      if (batches.nonEmpty)
+        StreamingContentDedup.rebuildIndexFrom(spark,
+          readTree(spark, keptDir, batches)
+            .select(col("doc_id"), col("text")),
+          prefix, buckets)
+      onStep(3)
+    }
   }
 
   /** Stage-5 maintenance policy: fold any batch tree that exceeds
@@ -319,9 +436,10 @@ object StreamingCurationChain {
     */
   def maintain(spark: SparkSession, prefix: String, keptDir: String,
                cardDir: String, indexDir: String, postingsDir: String,
-               maxSegments: Int, buckets: Int, batchId: Long): Unit = {
+               maxSegments: Int, buckets: Int, batchId: Long,
+               extraIndexDirs: Seq[String] = Nil): Unit = {
     import graft.operators.{Checkpoints, Compaction, Dedup, MaintenanceLock, Tombstones}
-    Seq(keptDir, cardDir, indexDir, postingsDir)
+    (Seq(keptDir, cardDir, indexDir, postingsDir) ++ extraIndexDirs)
       .foreach(d => Compaction.maybeCompactBatchTree(spark, d, maxSegments))
     if (Tombstones.read(spark, prefix).isDefined)
       MaintenanceLock.withLock(spark, prefix) {
@@ -331,8 +449,10 @@ object StreamingCurationChain {
           // heartbeat between the corpus-touching stages: each purge is
           // O(affected) but an affected partition rewrite can be long at
           // scale, and the lock must keep reading as live meanwhile
-          purgeTree(spark, indexDir, "cand_id", del)
-          MaintenanceLock.heartbeat(spark, prefix)
+          (indexDir +: extraIndexDirs).foreach { d =>
+            purgeTree(spark, d, "cand_id", del)
+            MaintenanceLock.heartbeat(spark, prefix)
+          }
           purgeTree(spark, postingsDir, "doc_id", del)
           MaintenanceLock.heartbeat(spark, prefix)
           purgeKeptAndCards(spark, keptDir, cardDir, del)
@@ -400,7 +520,8 @@ object StreamingCurationChain {
     */
   def deleteDocs(spark: SparkSession, ids: DataFrame, prefix: String,
                  keptDir: String, cardDir: String, indexDir: String,
-                 postingsDir: String): Map[String, Seq[Long]] = {
+                 postingsDir: String,
+                 extraIndexDirs: Seq[String] = Nil): Map[String, Seq[Long]] = {
     import graft.operators.{Checkpoints, MaintenanceLock, Tombstones}
     MaintenanceLock.withLock(spark, prefix) {
       val del = Checkpoints.pin(ids.select(col("doc_id")).distinct())
@@ -411,7 +532,9 @@ object StreamingCurationChain {
       val affected = Map(
         indexDir -> beat(purgeTree(spark, indexDir, "cand_id", del)),
         postingsDir -> beat(purgeTree(spark, postingsDir, "doc_id", del)),
-        keptDir -> beat(purgeKeptAndCards(spark, keptDir, cardDir, del)))
+        keptDir -> beat(purgeKeptAndCards(spark, keptDir, cardDir, del))) ++
+        extraIndexDirs.map(d =>
+          d -> beat(purgeTree(spark, d, "cand_id", del))).toMap
       Checkpoints.release(del)
       affected
     }

@@ -44,15 +44,75 @@ import graft.operators.Similarity
   */
 object StreamingSemanticDedup {
 
+  /** One frozen quantizer family for the multi-family gate: its
+    * centroids and the batch-tree path its inverted lists live under
+    * (a [[StreamingVectorIndex]] tree — each family maintains its OWN
+    * tree, written per batch under `indexPath/batch=<id>`).
+    */
+  final case class QuantizerFamily(centroids: DataFrame, indexPath: String)
+
   /** The admitted subset of `batch` (all its columns, order preserved
     * modulo the anti-joins). `batch` must carry `idCol` and `vecCol`.
     */
   def gateBatch(spark: SparkSession, batch: DataFrame, idCol: String,
                 vecCol: String, centroids: DataFrame, indexPath: String,
                 tau: Double, nprobe: Int = 1,
-                tombstones: Option[DataFrame] = None): DataFrame = {
+                tombstones: Option[DataFrame] = None): DataFrame =
+    gateBatchMulti(spark, batch, idCol, vecCol,
+      Seq(QuantizerFamily(centroids, indexPath)), tau, nprobe, tombstones)
+
+  /** The FAMILIES dial on the gate — the [[graft.operators.Similarity.semDedupHierMulti]]
+    * OR-composition applied in-stream, closing the recall floor the
+    * single quantizer leaves: `nprobe` saturates once every probed
+    * cell is exhausted (the BASELINE round-17 streamsem receipt:
+    * recall flat at 0.922 past nprobe = 4 because the residual misses
+    * STRADDLE the one quantizer's cells), whereas a second independent
+    * quantizer draws DIFFERENT cell boundaries, so a pair the first
+    * family splits is co-celled by the second with fresh probability —
+    * a document is dropped when ANY family's probe verifies a match
+    * (cos ≥ tau, cross-corpus or smaller-id batch-mate).
+    *
+    * Each family is a full [[gateBatch]] probe geometry against its
+    * OWN centroids and its OWN index tree; cost per batch is
+    * `families ×` the single-family cost (nothing is shared, by
+    * design — shared structure is what correlates the misses). Extra
+    * families only ADD drops (spec-pinned: admitted(families = k+1) ⊆
+    * admitted(families = k)), and `families = Seq(one)` IS
+    * [[gateBatch]]. Replay safety is inherited PER FAMILY from the
+    * single-family argument (every family's own-batch appends are
+    * covered by that family's intra-batch pass through the same
+    * cells), so a crash that appended to only SOME family trees still
+    * replays to the identical verdict — the spec crashes between
+    * family appends and pins this.
+    */
+  def gateBatchMulti(spark: SparkSession, batch: DataFrame, idCol: String,
+                     vecCol: String, families: Seq[QuantizerFamily],
+                     tau: Double, nprobe: Int = 1,
+                     tombstones: Option[DataFrame] = None): DataFrame = {
     require(tau >= -1.0 && tau <= 1.0, "tau must be in [-1, 1]")
     require(nprobe >= 1, "nprobe must be >= 1")
+    require(families.nonEmpty, "at least one quantizer family")
+    families.map(f =>
+        dropIds(batch, idCol, vecCol, f.centroids, f.indexPath, tau,
+          nprobe, tombstones))
+      .reduceLeft[(DataFrame, DataFrame)] { case ((i1, c1), (i2, c2)) =>
+        (i1.unionByName(i2), c1.unionByName(c2)) } match {
+      case (intra, cross) =>
+        batch
+          .join(intra.distinct(), Seq(idCol), "left_anti")
+          .join(cross.distinct(), Seq(idCol), "left_anti")
+    }
+  }
+
+  /** One family's verified drop ids over `batch`: (intra-batch,
+    * cross-corpus) — the [[gateBatch]] verdict arithmetic, factored so
+    * the multi-family gate can OR the sets.
+    */
+  private def dropIds(batch: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, indexPath: String, tau: Double,
+                      nprobe: Int,
+                      tombstones: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
     val probes = batch.select(col(idCol).as("probe_id"),
       col(vecCol).as("pv"))
     // the on-disk lists, empty-schema-safe before the first commit,
@@ -86,8 +146,6 @@ object StreamingSemanticDedup {
         / (col("_pn") * col("_cn")), 6) >= tau)
       .select(greatest(col("probe_id"), col("cand_id")).as(idCol))
       .distinct()
-    batch
-      .join(intraDrop, Seq(idCol), "left_anti")
-      .join(crossDrop, Seq(idCol), "left_anti")
+    (intraDrop, crossDrop)
   }
 }

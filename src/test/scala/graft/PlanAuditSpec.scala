@@ -1134,12 +1134,27 @@ class PlanAuditSpec extends SparkSpec {
     // pin job (round 17: exciseWithPool counts the pinned matched set
     // before choosing broadcast vs keyed join), so the returned plan
     // reads the pinned relation instead of showing the collect_set —
-    // assert the pin is what the rewrite consumes; the aggregate's own
-    // map-side combine is Spark's standard plan for a groupBy
-    // collect_set over the narrow exploded join and is exercised by
-    // the same query's correctness row + wall measurements
+    // assert the pin is what the rewrite consumes…
     assert(p.contains("ExistingRDD"),
       s"the rewrite must consume the pinned matched relation:\n$p")
+    // …and pin the aggregate's own shape on the PRE-pin plan of the
+    // matched frame itself (the round-17 audit only checked for SOME
+    // pinned relation): the collect_set combines map-side before its
+    // one match-sized exchange, and the pool probe broadcasts
+    import spark.implicits._
+    val toks = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.functions.GraftFunctions.words($"text").as("_w"))
+    val pool = Seq(Tuple1(7L)).toDF("h")
+    val mp = graft.operators.Contamination
+      .matchedPositions(toks, pool, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(mp.contains("partial_collect_set"),
+      s"the matched-position aggregate must combine map-side:\n$mp")
+    assert("Exchange hashpartitioning".r.findAllIn(mp).size == 1,
+      s"exactly one (match-sized) exchange feeds the aggregate:\n$mp")
+    assert(mp.contains("BroadcastExchange"),
+      s"the pool probe must broadcast:\n$mp")
   }
 
   test("q170_line_dedup: pure per-row map — no hash exchange, no join") {

@@ -393,6 +393,45 @@ class ContaminationSpec extends SparkSpec {
       "fixpoint's degraded path must rewrite identically")
   }
 
+  test("excision BYTE gate: few rows with huge per-doc payloads take " +
+    "the keyed path even under the row limit, outputs identical") {
+    // 3 long hosts, each quoting the pool shingle once — the row count
+    // is trivially small, but `rewritten` would broadcast each host's
+    // FULL text: the regime the round-17 row gate waved through
+    val longCorpus = (0 until 3).map { i =>
+      val filler = (0 until 50).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, s"$filler quoted span here")
+    }.toDF("doc_id", "text")
+    val bench = Seq((100L, "quoted span here")).toDF("doc_id", "text")
+    val pool = bench
+      .select(org.apache.spark.sql.functions.explode(
+        Contamination.shingleSet(col("text"))).as("h")).distinct()
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    def nHints(d: org.apache.spark.sql.DataFrame) =
+      "ResolvedHint".r.findAllIn(d.queryExecution.analyzed.toString).length
+    val bcast = Contamination.exciseWithPool(longCorpus, pool,
+      "doc_id", "text")
+    // rewritten's estimate (3·24 + 159 tokens · 8 ≈ 1.3 KB) trips a
+    // 500-byte ceiling; matched's (3·16 + 3 positions · 4 = 60 B) does
+    // not — exactly one hint (the text-carrying join) must strip
+    val keyedText = Contamination.exciseWithPool(longCorpus, pool,
+      "doc_id", "text", broadcastBytes = 500L)
+    assert(rows(keyedText) == rows(bcast),
+      "the byte-degraded path must rewrite identically")
+    assert(nHints(bcast) == nHints(keyedText) + 1,
+      s"only the rewritten hint strips at 500 B: ${nHints(bcast)} vs " +
+        s"${nHints(keyedText)}")
+    // a 50-byte ceiling trips both estimates
+    val keyedBoth = Contamination.exciseWithPool(longCorpus, pool,
+      "doc_id", "text", broadcastBytes = 50L)
+    assert(rows(keyedBoth) == rows(bcast),
+      "the fully-degraded path must rewrite identically")
+    assert(nHints(bcast) == nHints(keyedBoth) + 2,
+      s"both hints strip at 50 B: ${nHints(bcast)} vs ${nHints(keyedBoth)}")
+  }
+
   test("spanExcise maxDf drops high-document-frequency pool shingles " +
     "from the probe") {
     // the benchmark's first shingle ("a b c") is boilerplate — it

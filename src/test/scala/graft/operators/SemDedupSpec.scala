@@ -431,6 +431,69 @@ class SemDedupSpec extends SparkSpec {
       "fixture must exercise the extra family's independent boundaries")
   }
 
+  test("parallelism: concurrent per-shard chains are row-identical to " +
+    "the sequential form (both sharded rails)") {
+    val df = (0 until 40).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.17), math.sin(i * 0.17), 0.03 * (i % 4)))
+    }.toDF("vec_id", "embedding")
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"semdedup-$tag").toString + "/shards"
+    def idRows(par: Int, mp: Option[String]) =
+      Similarity.semDedupHierSharded(df, "embedding", "vec_id",
+          targetCell = 2L, tau = 0.97, shards = 4, matPath = mp,
+          parallelism = par)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val seqI = idRows(1, None)
+    val parI = idRows(4, Some(tmp("par-id")))
+    assert(parI == seqI,
+      s"parallel id-hash chains must replay: ${parI -- seqI} vs ${seqI -- parI}")
+    def cRows(par: Int, mp: Option[String]) =
+      Similarity.semDedupHierShardedByContent(df, "embedding", "vec_id",
+          dims = 3, targetCell = 2L, tau = 0.97, shardPlanes = 2,
+          tables = 2, matPath = mp, parallelism = par)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    val seqC = cRows(1, None)
+    val parC = cRows(4, Some(tmp("par-c")))
+    assert(parC == seqC,
+      s"parallel content chains must replay: ${parC -- seqC} vs ${seqC -- parC}")
+  }
+
+  test("semDedupHierShardedByContentMulti: family 0 is the base form; " +
+    "extra families only add drops; the materialization is written once") {
+    val df = (0 until 24).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.26), math.sin(i * 0.26), 0.02 * (i % 5)))
+    }.toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("semdedup-fam")
+      .toString + "/shards"
+    val base = Similarity.semDedupHierShardedByContent(df, "embedding",
+        "vec_id", dims = 3, targetCell = 2L, tau = 0.97, shardPlanes = 2,
+        tables = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    val multi = Similarity.semDedupHierShardedByContentMulti(df, "embedding",
+        "vec_id", dims = 3, targetCell = 2L, tau = 0.97, shardPlanes = 2,
+        tables = 2, families = 2, matPath = Some(p), parallelism = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7))).toSet
+    assert(multi.filter(_._1 == 0).map(t =>
+        (t._2, t._3, t._4, t._5, t._6, t._7, t._8)) == base,
+      "family 0 must be semDedupHierShardedByContent exactly")
+    val drops0 = multi.filter(_._1 == 0).map(_._6)
+    val dropsAll = multi.map(_._6)
+    assert(drops0.subsetOf(dropsAll),
+      "OR-composition can only add drops")
+    // the shard key is family-independent, so ONE materialization
+    // serves both families: each input row appears once per table
+    val perTbl = spark.read.parquet(p).groupBy($"_tbl")
+      .count().collect().map(r => r.getAs[Number]("_tbl").intValue() ->
+        r.getLong(1)).toMap
+    assert(perTbl == Map(0 -> 24L, 1 -> 24L),
+      s"one shared materialization, one row per (input row, table): $perTbl")
+  }
+
   test("semDedupHier: deterministic across reruns; nothing drops above every cosine") {
     val df = (0 until 20).map { i =>
       (i.toLong, Seq(math.cos(i * 0.3), math.sin(i * 0.3), 0.1 * (i % 3)))

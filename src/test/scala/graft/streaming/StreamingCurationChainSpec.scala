@@ -572,4 +572,155 @@ class StreamingCurationChainSpec extends SparkSpec {
       .select("cand_id").as[Long].collect().sorted.toSeq
     assert(idx == Seq(1L, 3L), s"index must hold admitted docs only: $idx")
   }
+
+  test("semantic FAMILIES in-chain: a cell-straddling near-dup the " +
+    "single quantizer misses is refused under an extra rotated family; " +
+    "every family tree describes the admitted set and takedowns purge " +
+    "them all") {
+    // embeds decouple lexical and semantic identity: 'a…' docs sit one
+    // side of the axis-aligned 45° boundary, 'b…' docs the other —
+    // family 0 (e0/e1 centroids) splits the pair at nprobe = 1, the
+    // rotated family co-cells it
+    val embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => transform(sequence(lit(0), lit(7)), d =>
+        when(substring(t, 1, 1) === "a",
+          when(d === 0, 1.0).when(d === 1, 0.999).otherwise(0.0))
+        .when(substring(t, 1, 1) === "b",
+          when(d === 0, 0.999).when(d === 1, 1.0).otherwise(0.0))
+        .otherwise(when(d === 2, 1.0).otherwise(0.0)))
+    val cents2 = Seq(
+      (0L, Seq(1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(-1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    ).toDF("centroid_id", "centroid_vec")
+    def run(dir: String, prefix: String,
+            extra: Seq[(org.apache.spark.sql.DataFrame, String)]): Seq[Long] = {
+      val sd = StreamingCurationChain.SemanticDedup(tau = 0.99,
+        embed = Some(embed), extraFamilies = extra)
+      def runBatch(id: Long, docs: ChainDoc*): Unit =
+        StreamingCurationChain.processBatch(spark, docs.toDF(), prefix,
+          s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post",
+          centroids, id, semanticDedup = Some(sd))
+      StreamingContentDedup.bootstrapIndex(spark, prefix, buckets = 8)
+      runBatch(0L,
+        ChainDoc(1L, "alpha content in the first batch", "en", "web"))
+      runBatch(1L,
+        ChainDoc(2L, "bravo straddles the quantizer boundary", "en", "web"),
+        ChainDoc(3L, "celery is orthogonal to both of those", "en", "web"))
+      spark.read.parquet(s"$dir/kept")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    val d1 = java.nio.file.Files.createTempDirectory("chainfam1").toString
+    assert(run(d1, "graft_spec_chain_fam1", Nil) == Seq(1L, 2L, 3L),
+      "premise: the single family misses the straddler at nprobe = 1")
+    val d2 = java.nio.file.Files.createTempDirectory("chainfam2").toString
+    val extra = Seq((cents2, s"$d2/ivf_f1"))
+    assert(run(d2, "graft_spec_chain_fam2", extra) == Seq(1L, 3L),
+      "the rotated family must refuse the straddler")
+    // both trees describe exactly the admitted docs (stage 3 appends
+    // each batch to every family's tree)
+    val main = StreamingVectorIndex.lists(spark, s"$d2/ivf")
+      .select("cand_id").as[Long].collect().sorted.toSeq
+    val fam1 = StreamingVectorIndex.lists(spark, s"$d2/ivf_f1")
+      .select("cand_id").as[Long].collect().sorted.toSeq
+    assert(main == Seq(1L, 3L) && fam1 == Seq(1L, 3L),
+      s"family trees must mirror the admitted set: $main / $fam1")
+    // takedown reaches the extra tree too
+    StreamingCurationChain.deleteDocs(spark, Seq(1L).toDF("doc_id"),
+      "graft_spec_chain_fam2", s"$d2/kept", s"$d2/card", s"$d2/ivf",
+      s"$d2/post", extraIndexDirs = Seq(s"$d2/ivf_f1"))
+    assert(StreamingVectorIndex.lists(spark, s"$d2/ivf_f1")
+      .select("cand_id").as[Long].collect().toSeq == Seq(3L),
+      "deleteDocs must purge every family's tree")
+  }
+
+  test("retroactiveScrub: admitted-under-old-pool docs are cleaned in " +
+    "place, all five artifacts re-derive from the scrubbed store, and " +
+    "a crash mid-composition heals by re-running") {
+    import graft.operators.{Checkpoints, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("chainrs").toString
+    val prefix = "graft_spec_chain_rs"
+    // poolV1 knows nothing; the drifted footer rides into the store
+    val poolV1 = TextAnalysis.boilerplateLinePool(
+      Seq((0L, "unrelated reference text")).toDF("doc_id", "text"),
+      "text", maxDf = 1L).localCheckpoint(true)
+    val lcV1 = StreamingCurationChain.LineCuration(poolV1)
+    def runBatch(id: Long, docs: ChainDoc*): Unit =
+      StreamingCurationChain.processBatch(spark, docs.toDF(), prefix,
+        s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post",
+        centroids, id, lineCuration = Some(lcV1))
+    StreamingContentDedup.bootstrapIndex(spark, prefix, buckets = 8)
+    runBatch(0L,
+      ChainDoc(20L, "NEW TEMPLATE FOOTER\nalpha content words here four five", "en", "web"),
+      ChainDoc(21L, "NEW TEMPLATE FOOTER\nbeta sentences carry other words", "en", "web"))
+    runBatch(1L,
+      ChainDoc(22L, "NEW TEMPLATE FOOTER\ngamma body travels its own path", "de", "web"))
+    // retrain: the footer (df 3 > 2) crosses the cap
+    val poolV2 = StreamingCurationChain.retrainLinePool(spark,
+      s"$dir/kept", maxDf = 2L)
+    def scrub(onStep: Int => Unit = _ => ()): Unit =
+      StreamingCurationChain.retroactiveScrub(spark, poolV2, prefix,
+        s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post",
+        centroids, buckets = 8, onStep = onStep)
+    // CRASH between the kept rewrite and the artifact re-derivation —
+    // the kept store is scrubbed, cards/index/postings still describe
+    // the old text
+    intercept[RuntimeException] {
+      scrub(k => if (k == 1) throw new RuntimeException("injected"))
+    }
+    val tornTokens = spark.read.parquet(s"$dir/card")
+      .agg(sum($"n_tokens_ws")).head().getLong(0)
+    // …then the documented recovery: re-run the same call to completion
+    scrub()
+    // 1. kept text cleaned in place, ids untouched
+    val kept = spark.read.parquet(s"$dir/kept")
+    val keptRows = kept.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(keptRows.keySet == Set(20L, 21L, 22L), s"${keptRows.keySet}")
+    assert(keptRows.values.forall(!_.contains("NEW TEMPLATE FOOTER")),
+      s"old admissions must be cleaned: $keptRows")
+    assert(keptRows(20L) == "alpha content words here four five")
+    // 2. cards re-derived from the NEW text (token sums shrank)
+    val cardTokens = spark.read.parquet(s"$dir/card")
+      .agg(sum($"n_tokens_ws")).head().getLong(0)
+    val freshTokens = StreamingCardStats.partials(kept)
+      .agg(sum($"n_tokens_ws")).head().getLong(0)
+    assert(cardTokens == freshTokens && cardTokens < tornTokens,
+      s"cards must describe the scrubbed text: $cardTokens vs " +
+        s"fresh $freshTokens, torn $tornTokens")
+    // 3. vector lists equal the one-shot assignment of the new text
+    val lists = StreamingVectorIndex.lists(spark, s"$dir/ivf")
+      .select("cand_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = graft.operators.Similarity.ivfAssign(
+        kept.select($"doc_id".as("cand_id"),
+          StreamingCurationChain.textEmbedding($"text").as("cv")),
+        "cv", "cand_id", centroids)
+      .select("cand_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lists == oneShot, s"lists must re-derive: $lists vs $oneShot")
+    // 4. postings equal the one-shot tokenize of the new text
+    val post = StreamingPostingsIndex.postings(spark, s"$dir/post",
+        kept.select($"doc_id", $"text"), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val freshPost = graft.operators.Retrieval
+      .tfPostings(kept.select($"doc_id", $"text"), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(post == freshPost, "postings must re-derive from the new text")
+    // 5. the band index fingerprints the SCRUBBED text: a new doc that
+    // equals cleaned doc 20 byte-for-byte is refused by the rebuilt
+    // index (the stale pre-scrub fingerprints are gone)
+    runBatch(2L,
+      ChainDoc(30L, "alpha content words here four five", "en", "web"))
+    assert(!spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().contains(30L),
+      "the cleaned form must dedup against the re-fingerprinted index")
+    // idempotent: re-running the completed scrub changes nothing
+    val snapshot = spark.read.parquet(s"$dir/kept").collect()
+      .map(_.toSeq).toSet
+    scrub()
+    assert(spark.read.parquet(s"$dir/kept").collect()
+      .map(_.toSeq).toSet == snapshot,
+      "a repeated scrub must be a fixed point")
+    Checkpoints.release(poolV2)
+  }
 }

@@ -166,6 +166,84 @@ class StreamingSemanticDedupSpec extends SparkSpec {
         s"batch-only=${batchSideDrops -- d1}")
   }
 
+  // the rotated second quantizer family: cells aligned to the 45°
+  // diagonals, so a pair that straddles the axis-aligned family's
+  // boundary sits DEEP inside one of these cells
+  private def cents2 = Seq(
+    (0L, Seq(1.0, 1.0)), (1L, Seq(-1.0, 1.0))
+  ).toDF("centroid_id", "centroid_vec")
+
+  private def fam(path: String) =
+    StreamingSemanticDedup.QuantizerFamily(cents, path)
+  private def fam2(path: String) =
+    StreamingSemanticDedup.QuantizerFamily(cents2, path)
+
+  private def gateMulti(batch: org.apache.spark.sql.DataFrame,
+                        fams: Seq[StreamingSemanticDedup.QuantizerFamily],
+                        tau: Double = 0.99, nprobe: Int = 1) =
+    StreamingSemanticDedup.gateBatchMulti(spark, batch, "doc_id", "cv",
+        fams, tau, nprobe)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+  test("families dial: one family IS gateBatch; a straddler of family " +
+    "0's cells is caught by the rotated family 1; families only add " +
+    "drops") {
+    val dir = java.nio.file.Files.createTempDirectory("ssd7").toString
+    // the ssd4 straddle pair: indexed (1.0, 0.999) and probe
+    // (0.999, 1.0) land on opposite sides of the axis-aligned 45°
+    // boundary, invisible at nprobe = 1 — but both sit in cents2's
+    // (1, 1) cell
+    val idxDoc = batchDf((1L, Seq(1.0, 0.999)))
+      .select($"doc_id".as("cand_id"), $"cv")
+    StreamingVectorIndex.writeBatch(idxDoc, cents, s"$dir/ivf", 0L)
+    StreamingVectorIndex.writeBatch(idxDoc, cents2, s"$dir/ivf_f1", 0L)
+    val probe = batchDf((9L, Seq(0.999, 1.0)))
+    assert(gateMulti(probe, Seq(fam(s"$dir/ivf"))) ==
+      gate(probe, s"$dir/ivf"),
+      "a single family must be gateBatch exactly")
+    assert(gate(probe, s"$dir/ivf") == Seq(9L),
+      "premise: family 0 alone misses the straddler at nprobe = 1")
+    assert(gateMulti(probe,
+        Seq(fam(s"$dir/ivf"), fam2(s"$dir/ivf_f1"))) == Seq(),
+      "the rotated family must catch the straddler")
+    // only-add-drops on a batch of clean admits (below tau everywhere)
+    val mixed = batchDf(
+      (5L, Seq(0.99, 0.0)),   // same family-0 cell as doc 1, cos < tau
+      (6L, Seq(-1.0, 0.2)))   // far from everything -> admitted
+    val adm1 = gateMulti(mixed, Seq(fam(s"$dir/ivf"))).toSet
+    val adm2 = gateMulti(mixed,
+      Seq(fam(s"$dir/ivf"), fam2(s"$dir/ivf_f1"))).toSet
+    assert(adm2.subsetOf(adm1),
+      s"extra families can only add drops: $adm1 -> $adm2")
+  }
+
+  test("families replay consistency: a crash that appended the batch " +
+    "to only SOME family trees re-gates to the identical verdict") {
+    val dir = java.nio.file.Files.createTempDirectory("ssd8").toString
+    val idxDoc = batchDf((1L, Seq(1.0, 0.0)))
+      .select($"doc_id".as("cand_id"), $"cv")
+    StreamingVectorIndex.writeBatch(idxDoc, cents, s"$dir/ivf", 0L)
+    StreamingVectorIndex.writeBatch(idxDoc, cents2, s"$dir/ivf_f1", 0L)
+    val fams = Seq(fam(s"$dir/ivf"), fam2(s"$dir/ivf_f1"))
+    // intra pair (10 < 11), a near-match of the indexed doc, a novel doc
+    val b = batchDf(
+      (10L, Seq(0.3, 1.0)),
+      (11L, Seq(0.3, 0.999)),
+      (12L, Seq(0.99, 0.02)),
+      (13L, Seq(-0.7, 0.7)))
+    val first = gateMulti(b, fams, nprobe = 2)
+    val keptVecs = b.join(first.toDF("doc_id"), Seq("doc_id"))
+      .select($"doc_id".as("cand_id"), $"cv")
+    // crash state: stage 3 reached family 0's tree only
+    StreamingVectorIndex.writeBatch(keptVecs, cents, s"$dir/ivf", 1L)
+    assert(gateMulti(b, fams, nprobe = 2) == first,
+      "partial-append replay must admit the same set")
+    // …then the replay completes every family's append
+    StreamingVectorIndex.writeBatch(keptVecs, cents2, s"$dir/ivf_f1", 1L)
+    assert(gateMulti(b, fams, nprobe = 2) == first,
+      "full-append replay must admit the same set")
+  }
+
   test("a tombstoned index entry is invisible: the takedown un-blocks " +
     "future equivalents immediately") {
     val dir = java.nio.file.Files.createTempDirectory("ssd5").toString
