@@ -685,7 +685,167 @@ object Queries23 {
         "knee, oracle replays all three trainings end to end")
   }
 
+  // ---------------------------------------------- q175_sharded_family_dial
+  /** The COMPOSED deployment point, oracle-checked: content-sharded
+    * SemDeDup × the quantizer-families dial
+    * ([[graft.operators.Similarity.semDedupHierShardedByContentMulti]]).
+    * q169/q172 price the shard key, q174 prices the families dial on
+    * the flat form; a recall-sensitive sharded deployment runs BOTH —
+    * content sharding closes the cross-shard miss, per-shard families
+    * close the within-shard cell straddle — and this query replays the
+    * composition end to end in both engines: the 1-plane hyperplane
+    * shard split (2 shards, the q169 bucket arithmetic at plane 0),
+    * then per (shard, family) a FULL independent hierarchical
+    * training + pair pass (4 trainings total at families = 2, seed
+    * pairs (31, 37) and (1031, 1037) — the `semDedupHierMulti` seed
+    * convention applied per shard).
+    *
+    * Fixture: the q174 shape on an independent 1/4 hash sample (key
+    * 175) + the q169 planted pairs from the sample's 64 md5-smallest
+    * rows. One `families = 2` run; the `families = 1` row is the
+    * family-0 prefix (provably monotone from the one run). The oracle
+    * replays the shard assignment and all four trainings through
+    * shard-suffixed `trainAssignCtesHierP` CTE families.
+    *
+    * Scale shape: one shard-code map pass + per-shard chains whose
+    * every cost term is evaluated at n/shards — the
+    * [[graft.operators.Similarity.semDedupHierShardedByContent]]
+    * linear-regime rail, times the families constant; the 100×
+    * composed receipt (BASELINE round-18 contentfam table) carries
+    * the measured wall.
+    */
+  val q175ShardedFamilyDial = {
+    import KmeansSql.{sqlCos, trainAssignCtesHierP}
+    val TestN = 64
+    QueryDef(
+      "q175_sharded_family_dial",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.GraftFunctions.hash64
+        import graft.operators.Similarity
+
+        val sub = t(s, dir, "embeddings")
+          .filter(hash64($"vec_id".cast("string"), 175) % 4 === 0)
+          .select($"vec_id",
+            transform($"embedding", _.cast("double")).as("embedding"))
+        val amp = (lit(5L) + ($"vec_id" % 6) * 10L).cast("double") / 100.0
+        // two selects: perturb under the ORIGINAL id, then shift the
+        // id (the q173 lateral-capture note)
+        val vplant = sub
+          .withColumn("_h", hash64($"vec_id".cast("string"), 169))
+          .orderBy($"_h", $"vec_id").limit(TestN).drop("_h")
+          .select($"vec_id",
+            transform($"embedding", (x, i) => x + amp *
+              ((hash64(concat($"vec_id".cast("string"), lit(":"),
+                i.cast("string")), 8) % 1000L).cast("double") / 1000.0 - 0.5))
+              .as("embedding"))
+          .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+        val corpus = sub.unionByName(vplant).localCheckpoint(true)
+        val multi = Similarity.semDedupHierShardedByContentMulti(corpus,
+            "embedding", "vec_id", dims = 64, targetCell = 64L, tau = 0.8,
+            shardPlanes = 1, tables = 1, families = 2)
+          .select($"family", $"vec_id").localCheckpoint(true)
+        def statsFor(k: Int): DataFrame = multi
+          .filter($"family" < k)
+          .select($"vec_id").distinct()
+          .agg(count(lit(1)).cast("long").as("drops"),
+            coalesce(sum(when($"vec_id" >= 1000000000L, 1L)), lit(0L))
+              .cast("long").as("plants_caught"))
+          .select(lit(k.toLong).as("families"), $"drops", $"plants_caught",
+            round($"plants_caught".cast("double") / TestN, 6).as("recall"))
+        statsFor(1).unionByName(statsFor(2)).orderBy($"families")
+      },
+      Some(s"""
+        WITH sub AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+          FROM embeddings
+          WHERE CAST(('0x' || substr(md5('175:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 = 0),
+        vsel AS (
+          SELECT vec_id, embedding FROM (
+            SELECT vec_id, embedding, row_number() OVER (ORDER BY
+              CAST(('0x' || substr(md5('169:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+              vec_id) AS rn
+            FROM sub) WHERE rn <= $TestN),
+        vperturb AS (
+          SELECT vec_id, list_transform(range(0, 64), d ->
+            embedding[d+1]::DOUBLE + ((5 + (vec_id % 6) * 10) / 100.0) *
+              (CAST(('0x' || substr(md5('8:' || vec_id || ':' || d), 1, 15)) AS BIGINT)
+                 % 1000 / 1000.0 - 0.5)) AS embedding
+          FROM vsel),
+        ec AS MATERIALIZED (
+          SELECT vec_id, embedding FROM sub
+          UNION ALL
+          SELECT vec_id + 1000000000 AS vec_id, embedding FROM vperturb),
+        hp0 AS (
+          SELECT list_transform(range(0, 64), d ->
+            CAST(('0x' || substr(md5('0:0:' || d), 1, 15)) AS BIGINT)
+              % 1000 / 1000.0 - 0.5) AS pv),
+        eb AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding,
+                 CASE WHEN round(list_reduce(list_transform(range(0, 64),
+                   d -> e.embedding[d+1] * h.pv[d+1]), (x, y) -> x + y), 6) > 0
+                 THEN 1 ELSE 0 END AS shard
+          FROM ec e CROSS JOIN hp0 h),
+        s0 AS MATERIALIZED (SELECT vec_id, embedding FROM eb WHERE shard = 0),
+        s1 AS MATERIALIZED (SELECT vec_id, embedding FROM eb WHERE shard = 1),
+        ${trainAssignCtesHierP("a0", "s0", 64L, 31, 37)},
+        ${trainAssignCtesHierP("a1", "s1", 64L, 31, 37)},
+        ${trainAssignCtesHierP("b0", "s0", 64L, 1031, 1037)},
+        ${trainAssignCtesHierP("b1", "s1", 64L, 1031, 1037)},
+        a0d AS (
+          SELECT DISTINCT b.vec_id
+          FROM a0hfin a JOIN a0hfin b
+            ON a.gid = b.gid AND a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN ec ea ON ea.vec_id = a.vec_id
+          JOIN ec e2 ON e2.vec_id = b.vec_id
+          WHERE ${sqlCos("ea.embedding", "e2.embedding")} >= 0.8),
+        a1d AS (
+          SELECT DISTINCT b.vec_id
+          FROM a1hfin a JOIN a1hfin b
+            ON a.gid = b.gid AND a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN ec ea ON ea.vec_id = a.vec_id
+          JOIN ec e2 ON e2.vec_id = b.vec_id
+          WHERE ${sqlCos("ea.embedding", "e2.embedding")} >= 0.8),
+        b0d AS (
+          SELECT DISTINCT b.vec_id
+          FROM b0hfin a JOIN b0hfin b
+            ON a.gid = b.gid AND a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN ec ea ON ea.vec_id = a.vec_id
+          JOIN ec e2 ON e2.vec_id = b.vec_id
+          WHERE ${sqlCos("ea.embedding", "e2.embedding")} >= 0.8),
+        b1d AS (
+          SELECT DISTINCT b.vec_id
+          FROM b1hfin a JOIN b1hfin b
+            ON a.gid = b.gid AND a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN ec ea ON ea.vec_id = a.vec_id
+          JOIN ec e2 ON e2.vec_id = b.vec_id
+          WHERE ${sqlCos("ea.embedding", "e2.embedding")} >= 0.8),
+        u AS (
+          SELECT 1 AS families, vec_id FROM
+            (SELECT vec_id FROM a0d UNION SELECT vec_id FROM a1d)
+          UNION ALL
+          SELECT 2 AS families, vec_id FROM
+            (SELECT vec_id FROM a0d UNION SELECT vec_id FROM a1d
+             UNION SELECT vec_id FROM b0d UNION SELECT vec_id FROM b1d)),
+        scaffold AS (SELECT * FROM (VALUES (1), (2)) s(families))
+        SELECT CAST(s.families AS BIGINT) AS families,
+               CAST(count(u.vec_id) AS BIGINT) AS drops,
+               CAST(coalesce(sum(CASE WHEN u.vec_id >= 1000000000
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS plants_caught,
+               round(coalesce(sum(CASE WHEN u.vec_id >= 1000000000
+                 THEN 1 ELSE 0 END), 0) / $TestN.0, 6) AS recall
+        FROM scaffold s LEFT JOIN u ON u.families = s.families
+        GROUP BY s.families ORDER BY families"""),
+      notes = "content-sharded SemDeDup x per-shard quantizer families, " +
+        "oracle-checked end to end: 1-plane shard split (q169 bucket " +
+        "arithmetic) then an independent hierarchical training + pair " +
+        "pass per (shard, family) — drops, plants caught and recall at " +
+        "families = 1/2 from one run; the oracle replays the split and " +
+        "all four trainings")
+  }
+
   def all: Seq[QueryDef] =
     Seq(q169ShardColocation, q170LineDedup, q171BoilerplateScrub,
-      q172ShardDepthDial, q173CurationSavings, q174FamilyDial)
+      q172ShardDepthDial, q173CurationSavings, q174FamilyDial,
+      q175ShardedFamilyDial)
 }

@@ -228,7 +228,15 @@ object Receipts {
         sort_array(collect_list(col("vec_id"))))).as("h"))
       .head().getString(0)
 
-  private def timeCount(df: DataFrame): (Double, Long) = {
+  /** Wall + row count, bracketing COMPOSITION as well as the count:
+    * `df` is by-name because the sharded forms do eager work at
+    * composition time (the matPath materialization write; with
+    * parallelism > 1 every per-shard chain runs and pins there) — an
+    * evaluated argument would exclude exactly the work being measured
+    * (the round-17 id-hash mat rows excluded the materialization
+    * write this way; re-measured in round 18).
+    */
+  private def timeCount(df: => DataFrame): (Double, Long) = {
     val t0 = System.nanoTime()
     val n = df.count()
     ((System.nanoTime() - t0) / 1e9, n)
