@@ -619,7 +619,22 @@ object Contamination {
                        textCol: String, minKeepTokens: Int = 1,
                        maxPasses: Int = 8,
                        broadcastLimit: Long = DefaultBroadcastLimit,
-                       broadcastBytes: Long = DefaultBroadcastBytes): DataFrame = {
+                       broadcastBytes: Long = DefaultBroadcastBytes): DataFrame =
+    exciseToFixpointPinned(corpus, pool, idCol, textCol, minKeepTokens,
+      maxPasses, broadcastLimit, broadcastBytes)._1
+
+  /** [[exciseToFixpoint]] that also returns the FINAL pins its result
+    * frame reads lazily (`touched` + the last pass's rewrite) so a
+    * caller that materializes the result can release them — the
+    * per-batch lifecycle the streaming gate needs; the public form
+    * discards the handles (reference-tracking cleanup reclaims them,
+    * the documented final-pin contract). Per-pass matched pins are
+    * already released inside the loop.
+    */
+  private def exciseToFixpointPinned(corpus: DataFrame, pool: DataFrame,
+      idCol: String, textCol: String, minKeepTokens: Int,
+      maxPasses: Int, broadcastLimit: Long,
+      broadcastBytes: Long): (DataFrame, Seq[DataFrame]) = {
     require(maxPasses >= 1, "maxPasses must be >= 1")
     val id = col(idCol)
     val touched = Checkpoints.pin(corpus
@@ -657,10 +672,12 @@ object Contamination {
       pass += 1
     }
     // `touched` and the final `dirty` pin are read lazily by the
-    // returned frame — they cannot be released here (the Checkpoints
-    // final-pin contract; reference-tracking cleanup reclaims them)
-    clean.unionByName(
-      dirty.drop("n_excised").withColumnRenamed("_acc", "n_excised"))
+    // returned frame — they cannot be released HERE; they are the
+    // returned handles (a caller releases them once the result is
+    // materialized, or reference-tracking cleanup reclaims them)
+    (clean.unionByName(
+      dirty.drop("n_excised").withColumnRenamed("_acc", "n_excised")),
+      Seq(touched, dirty))
   }
 
   // ---- frozen-benchmark gate (streaming entry / repeated batch cuts) ------
@@ -789,7 +806,30 @@ object Contamination {
                 minJaccard: Double = 0.5, minCos: Double = 0.9,
                 minCoverage: Double = 0.9, excise: Boolean = false,
                 minKeepTokens: Int = 1,
-                exciseFixpoint: Boolean = false): DataFrame = {
+                exciseFixpoint: Boolean = false): DataFrame =
+    gateBatchReleasable(batch, probes, idCol, textCol, vec,
+      minOverlapFrac, minJaccard, minCos, minCoverage, excise,
+      minKeepTokens, exciseFixpoint)._1
+
+  /** [[gateBatch]] that also returns a RELEASE thunk for the
+    * batch-sized pins its excise mode creates (the matched set, or the
+    * fixpoint's touched + final rewrite): a long-lived stream calling
+    * the gate per micro-batch would otherwise accumulate one pinned
+    * match set per batch until GC-driven cleanup ran — the
+    * [[graft.streaming.StreamingCurationChain]] calls this form and
+    * releases in its per-batch finally, after the chain's own pin of
+    * the gated output has materialized everything downstream reads.
+    * Call the thunk ONLY once nothing will read the returned frame's
+    * un-pinned lineage again. No-op in non-excise mode (the rung
+    * verdicts are lazy broadcast probes, nothing is pinned).
+    */
+  def gateBatchReleasable(batch: DataFrame, probes: BenchmarkProbes,
+                idCol: String, textCol: String, vec: Column,
+                minOverlapFrac: Double = 0.8,
+                minJaccard: Double = 0.5, minCos: Double = 0.9,
+                minCoverage: Double = 0.9, excise: Boolean = false,
+                minKeepTokens: Int = 1,
+                exciseFixpoint: Boolean = false): (DataFrame, () => Unit) = {
     require(minOverlapFrac > 0.0 && minOverlapFrac <= 1.0,
       "minOverlapFrac must be in (0, 1]")
     require(minJaccard > 0.0 && minJaccard <= 1.0,
@@ -856,7 +896,7 @@ object Contamination {
         .select(id)
       val bad = r1.unionByName(r2).unionByName(r3).unionByName(r4)
         .distinct()
-      batch.join(broadcast(bad), Seq(idCol), "left_anti")
+      (batch.join(broadcast(bad), Seq(idCol), "left_anti"), () => ())
     } else {
       // EXCISE mode: rungs 1-3 refuse whole-document leaks FIRST (an
       // edited or rephrased copy must die, not shrink into a residue),
@@ -871,14 +911,18 @@ object Contamination {
       // point). Schema is preserved (n_excised is not emitted).
       val bad = r1.unionByName(r2).unionByName(r3).distinct()
       val survivors = batch.join(broadcast(bad), Seq(idCol), "left_anti")
-      val cleaned =
+      val (cleaned, pins) =
         if (exciseFixpoint)
-          exciseToFixpoint(survivors, probes.shinglePool, idCol, textCol,
-            minKeepTokens)
-        else
-          exciseWithPool(survivors, probes.shinglePool, idCol, textCol,
-            minKeepTokens)
-      cleaned.drop("n_excised")
+          exciseToFixpointPinned(survivors, probes.shinglePool, idCol,
+            textCol, minKeepTokens, maxPasses = 8,
+            DefaultBroadcastLimit, DefaultBroadcastBytes)
+        else {
+          val (out, matched) = exciseWithPoolPinned(survivors,
+            probes.shinglePool, idCol, textCol, minKeepTokens,
+            DefaultBroadcastLimit, DefaultBroadcastBytes)
+          (out, Seq(matched))
+        }
+      (cleaned.drop("n_excised"), () => pins.foreach(Checkpoints.release))
     }
   }
 }

@@ -164,10 +164,13 @@ object StreamingCurationChain {
     // instead of rung 4 dropping it). Both forms are deterministic
     // against frozen probes, hence replay-safe like the tombstone
     // filter above.
-    val gated = gate.fold(tombFree)(g => Contamination.gateBatch(
-      tombFree, g.probes, "doc_id", "text", g.vec, g.minOverlapFrac,
-      g.minJaccard, g.minCos, g.minCoverage, g.excise, g.minKeepTokens,
-      g.exciseFixpoint))
+    val (gated, gateRelease) = gate.fold(
+        (tombFree, () => ())) { g =>
+      Contamination.gateBatchReleasable(
+        tombFree, g.probes, "doc_id", "text", g.vec, g.minOverlapFrac,
+        g.minJaccard, g.minCos, g.minCoverage, g.excise, g.minKeepTokens,
+        g.exciseFixpoint)
+    }
     // optional LINE CURATION between the gate and dedup: boilerplate
     // lines (frozen pool, never a per-batch frequency pass) and
     // within-doc repeats are stripped BEFORE fingerprinting, so two
@@ -271,6 +274,10 @@ object StreamingCurationChain {
       entrySnap.foreach(Checkpoints.release)
       if (livePinned) Checkpoints.release(live)
       if (kept != null) Checkpoints.release(kept)
+      // the gate's excise-mode pins (matched set / fixpoint state) are
+      // batch-sized and fully consumed once `live` materialized — a
+      // long-lived stream must not accumulate one per batch
+      gateRelease()
     }
   }
 

@@ -485,6 +485,55 @@ class ContaminationSpec extends SparkSpec {
     } finally Contamination.releaseProbes(probes)
   }
 
+  test("gateBatchReleasable: verdicts identical to gateBatch, and the " +
+    "release thunk frees the excise pins a per-batch stream would " +
+    "otherwise accumulate") {
+    import org.apache.spark.sql.functions.{element_at, split}
+    val bench = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val vec = graft.streaming.StreamingCurationChain.textEmbedding(
+      element_at(split(col("text"), " "), 1), dims = 8)
+    val probes = Contamination.buildProbes(bench, "doc_id", "text",
+      vec, dims = 8, planes = 4)
+    try {
+      val batch = Seq(
+        (1L, "host quotes a b c inside other words"),
+        (3L, "totally unrelated words here")).toDF("doc_id", "text")
+      def run(fix: Boolean): Unit = {
+        val (out, release) = Contamination.gateBatchReleasable(batch,
+          probes, "doc_id", "text", vec, excise = true,
+          exciseFixpoint = fix)
+        val rows = out.collect().map(r =>
+          r.getLong(0) -> r.getString(1)).toMap
+        val plain = Contamination.gateBatch(batch, probes, "doc_id",
+            "text", vec, excise = true, exciseFixpoint = fix)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(rows == plain, s"releasable form must equal gateBatch " +
+          s"(fixpoint=$fix): $rows vs $plain")
+        release()
+        // the release is REAL, observed deterministically: the pins
+        // are localCheckpoints (truncated lineage), so once their
+        // blocks are unpersisted a FRESH plan over the returned frame
+        // cannot recompute them and must fail. Fresh plan each probe
+        // (`where(lit(true))` makes a new Dataset): re-collecting the
+        // SAME Dataset instance would reuse its already-built
+        // broadcast of the matched set and never touch the blocks.
+        // unpersist is async — poll until the failure lands (bounded),
+        // ignoring interim successes while blocks drain. No global RDD
+        // counting here: concurrent suites pin/release their own.
+        val deadline = System.nanoTime() + 30000000000L
+        var freed = false
+        while (!freed && System.nanoTime() < deadline) {
+          try { out.where(lit(true)).collect(); Thread.sleep(100) }
+          catch { case _: org.apache.spark.SparkException => freed = true }
+        }
+        assert(freed,
+          s"release must actually free the pinned blocks (fixpoint=$fix)")
+      }
+      run(fix = false)
+      run(fix = true)
+    } finally Contamination.releaseProbes(probes)
+  }
+
   test("buildProbes maxDf: the frozen pool drops boilerplate shingles " +
     "measured against the reference corpus") {
     import org.apache.spark.sql.functions.{element_at, split}
