@@ -4,7 +4,8 @@
 # Env (SPARK_GRAFT_*) passes through.
 set -euo pipefail
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
-exec java -Xmx100g -XX:+UseG1GC \
+# SPARK_GRAFT_XMX overrides the heap (e.g. 48g for two concurrent JVMs)
+exec java -Xmx"${SPARK_GRAFT_XMX:-100g}" -XX:+UseG1GC \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \

@@ -844,8 +844,170 @@ object Queries23 {
         "all four trainings")
   }
 
+  // ---------------------------------------------- q176_sharded_range_split
+  /** The CROSS-JVM fan-out rail, oracle-checked PER SHARD RANGE: the
+    * q175 composition re-run through
+    * [[graft.operators.Similarity.semDedupHierShardedByContentFromMat]]
+    * — the shard materialization is written ONCE
+    * ([[graft.operators.Similarity.materializeContentShards]]) and two
+    * INDEPENDENT ranged runs (shard 0 alone, shard 1 alone — the two
+    * "JVMs" of the orchestrator recipe, here in one session so the
+    * driver gate can check them) each produce their own verdict; the
+    * query reports each ranged run's drop stats AND their union's.
+    * The oracle replays the shard split and all four (shard, family)
+    * trainings like q175, but checks the DECOMPOSITION: run 0 must
+    * equal the shard-0 CTE family's drops exactly (both families),
+    * run 1 shard 1's, and the union row their distinct union — i.e.
+    * the per-shard-range independence the cross-JVM fan-out rests on
+    * is itself the oracle-checked semantics, not just the composed
+    * total.
+    *
+    * Scale shape: the materialization is one input pass + one
+    * tables-sized write; each ranged run reads only its own pruned
+    * partitions (planning-time `PartitionFilters`), which is what
+    * makes the JVM split read-efficient — total read across any JVM
+    * count stays one write + one read of the corpus (the BASELINE
+    * round-19 two-JVM receipt carries the measured wall and the
+    * verdict_md5 identity at the 64-shard deployment point).
+    */
+  val q176ShardedRangeSplit = {
+    import KmeansSql.{sqlCos, trainAssignCtesHierP}
+    val TestN = 64
+    QueryDef(
+      "q176_sharded_range_split",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.GraftFunctions.hash64
+        import graft.operators.Similarity
+
+        val sub = t(s, dir, "embeddings")
+          .filter(hash64($"vec_id".cast("string"), 175) % 4 === 0)
+          .select($"vec_id",
+            transform($"embedding", _.cast("double")).as("embedding"))
+        val amp = (lit(5L) + ($"vec_id" % 6) * 10L).cast("double") / 100.0
+        val vplant = sub
+          .withColumn("_h", hash64($"vec_id".cast("string"), 169))
+          .orderBy($"_h", $"vec_id").limit(TestN).drop("_h")
+          .select($"vec_id",
+            transform($"embedding", (x, i) => x + amp *
+              ((hash64(concat($"vec_id".cast("string"), lit(":"),
+                i.cast("string")), 8) % 1000L).cast("double") / 1000.0 - 0.5))
+              .as("embedding"))
+          .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+        val corpus = sub.unionByName(vplant).localCheckpoint(true)
+        val mat = java.nio.file.Files
+          .createTempDirectory("graft-q176-mat").toString + "/shards"
+        Similarity.materializeContentShards(corpus, "embedding", 64,
+          shardPlanes = 1, tables = 1, mat)
+        // the two "JVMs": one ranged run per shard, fully independent
+        def ranged(shard: Int): DataFrame =
+          Similarity.semDedupHierShardedByContentFromMat(s, mat,
+              "embedding", "vec_id", targetCell = 64L, tau = 0.8,
+              shardPlanes = 1, tables = 1, families = 2,
+              shardLo = shard, shardHi = shard)
+            .select($"vec_id").distinct().localCheckpoint(true)
+        val r0 = ranged(0); val r1 = ranged(1)
+        def statsFor(run: Int, d: DataFrame): DataFrame = d
+          .agg(count(lit(1)).cast("long").as("drops"),
+            coalesce(sum(when($"vec_id" >= 1000000000L, 1L)), lit(0L))
+              .cast("long").as("plants_caught"))
+          .select(lit(run.toLong).as("run"), $"drops", $"plants_caught")
+        statsFor(0, r0).unionByName(statsFor(1, r1))
+          .unionByName(statsFor(2, r0.unionByName(r1).distinct()))
+          .orderBy($"run")
+      },
+      Some(s"""
+        WITH sub AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+          FROM embeddings
+          WHERE CAST(('0x' || substr(md5('175:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 = 0),
+        vsel AS (
+          SELECT vec_id, embedding FROM (
+            SELECT vec_id, embedding, row_number() OVER (ORDER BY
+              CAST(('0x' || substr(md5('169:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+              vec_id) AS rn
+            FROM sub) WHERE rn <= $TestN),
+        vperturb AS (
+          SELECT vec_id, list_transform(range(0, 64), d ->
+            embedding[d+1]::DOUBLE + ((5 + (vec_id % 6) * 10) / 100.0) *
+              (CAST(('0x' || substr(md5('8:' || vec_id || ':' || d), 1, 15)) AS BIGINT)
+                 % 1000 / 1000.0 - 0.5)) AS embedding
+          FROM vsel),
+        ec AS MATERIALIZED (
+          SELECT vec_id, embedding FROM sub
+          UNION ALL
+          SELECT vec_id + 1000000000 AS vec_id, embedding FROM vperturb),
+        hp0 AS (
+          SELECT list_transform(range(0, 64), d ->
+            CAST(('0x' || substr(md5('0:0:' || d), 1, 15)) AS BIGINT)
+              % 1000 / 1000.0 - 0.5) AS pv),
+        eb AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding,
+                 CASE WHEN round(list_reduce(list_transform(range(0, 64),
+                   d -> e.embedding[d+1] * h.pv[d+1]), (x, y) -> x + y), 6) > 0
+                 THEN 1 ELSE 0 END AS shard
+          FROM ec e CROSS JOIN hp0 h),
+        s0 AS MATERIALIZED (SELECT vec_id, embedding FROM eb WHERE shard = 0),
+        s1 AS MATERIALIZED (SELECT vec_id, embedding FROM eb WHERE shard = 1),
+        ${trainAssignCtesHierP("a0", "s0", 64L, 31, 37)},
+        ${trainAssignCtesHierP("a1", "s1", 64L, 31, 37)},
+        ${trainAssignCtesHierP("b0", "s0", 64L, 1031, 1037)},
+        ${trainAssignCtesHierP("b1", "s1", 64L, 1031, 1037)},
+        a0d AS (
+          SELECT DISTINCT b.vec_id
+          FROM a0hfin a JOIN a0hfin b
+            ON a.gid = b.gid AND a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN ec ea ON ea.vec_id = a.vec_id
+          JOIN ec e2 ON e2.vec_id = b.vec_id
+          WHERE ${sqlCos("ea.embedding", "e2.embedding")} >= 0.8),
+        a1d AS (
+          SELECT DISTINCT b.vec_id
+          FROM a1hfin a JOIN a1hfin b
+            ON a.gid = b.gid AND a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN ec ea ON ea.vec_id = a.vec_id
+          JOIN ec e2 ON e2.vec_id = b.vec_id
+          WHERE ${sqlCos("ea.embedding", "e2.embedding")} >= 0.8),
+        b0d AS (
+          SELECT DISTINCT b.vec_id
+          FROM b0hfin a JOIN b0hfin b
+            ON a.gid = b.gid AND a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN ec ea ON ea.vec_id = a.vec_id
+          JOIN ec e2 ON e2.vec_id = b.vec_id
+          WHERE ${sqlCos("ea.embedding", "e2.embedding")} >= 0.8),
+        b1d AS (
+          SELECT DISTINCT b.vec_id
+          FROM b1hfin a JOIN b1hfin b
+            ON a.gid = b.gid AND a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN ec ea ON ea.vec_id = a.vec_id
+          JOIN ec e2 ON e2.vec_id = b.vec_id
+          WHERE ${sqlCos("ea.embedding", "e2.embedding")} >= 0.8),
+        u AS (
+          SELECT 0 AS run, vec_id FROM
+            (SELECT vec_id FROM a0d UNION SELECT vec_id FROM b0d)
+          UNION ALL
+          SELECT 1 AS run, vec_id FROM
+            (SELECT vec_id FROM a1d UNION SELECT vec_id FROM b1d)
+          UNION ALL
+          SELECT 2 AS run, vec_id FROM
+            (SELECT vec_id FROM a0d UNION SELECT vec_id FROM b0d
+             UNION SELECT vec_id FROM a1d UNION SELECT vec_id FROM b1d)),
+        scaffold AS (SELECT * FROM (VALUES (0), (1), (2)) s(run))
+        SELECT CAST(s.run AS BIGINT) AS run,
+               CAST(count(u.vec_id) AS BIGINT) AS drops,
+               CAST(coalesce(sum(CASE WHEN u.vec_id >= 1000000000
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS plants_caught
+        FROM scaffold s LEFT JOIN u ON u.run = s.run
+        GROUP BY s.run ORDER BY run"""),
+      notes = "the cross-JVM fan-out rail oracle-checked per shard " +
+        "range: one shared materialization, two independent ranged " +
+        "runs (shard 0 / shard 1, families = 2 each) + their union — " +
+        "the oracle replays the split and all four trainings and " +
+        "checks each range's verdict separately, pinning the " +
+        "per-shard-range independence the orchestrator recipe rests on")
+  }
+
   def all: Seq[QueryDef] =
     Seq(q169ShardColocation, q170LineDedup, q171BoilerplateScrub,
       q172ShardDepthDial, q173CurationSavings, q174FamilyDial,
-      q175ShardedFamilyDial)
+      q175ShardedFamilyDial, q176ShardedRangeSplit)
 }

@@ -37,7 +37,27 @@ import graft.operators.Similarity
   *  - `streamsem <dir> <nprobe> [families]` — streaming semantic gate:
   *    soak index from the embeddings table (plus an independently
   *    seeded second quantizer tree per extra family), one 64-plant +
-  *    16-clean batch gated, in-stream recall + per-batch wall.
+  *    16-clean batch gated, in-stream recall + per-batch wall;
+  *  - `streamsem2 <dir> <nprobe> [families] [fillers]` — the RE-ARMED
+  *    gate fixture (round 19): the amplitude-spread plants saturated at
+  *    families = 3 (recall 1.0 — a harness that can no longer fail
+  *    measures nothing), so these plants are τ-ADJACENT — each
+  *    perturbation is sized by per-plant bisection so cos(source,
+  *    plant) lands at 0.8005 + 0.01·(id % 5), i.e. {0.80..0.84} hard
+  *    against τ = 0.8 — and the batch is DILUTED with a filler band of
+  *    synthetic novel vectors (default 256; all must be admitted, the
+  *    zero-false-drop pin at volume);
+  *  - `contentmat <dir> <planes> <tables> <matPath>` — write the
+  *    content-shard materialization (plants aboard) ONCE for a
+  *    cross-JVM fan-out;
+  *  - `contentrun <dir> <planes> <tables> <matPath> <lo-hi> <outPath>
+  *    [families] [parallelism]` — run ONE JVM's shard range against an
+  *    existing materialization
+  *    ([[graft.operators.Similarity.semDedupHierShardedByContentFromMat]]),
+  *    verdict written to `outPath`;
+  *  - `contentmd5 <outPath> [outPath…]` — union the per-JVM verdicts
+  *    and print drops/plants/verdict_md5 (compare against the
+  *    single-JVM run's md5 — byte-identity across the JVM split).
   */
 object Receipts {
   private val TestN = 64
@@ -110,7 +130,10 @@ object Receipts {
           val c = d.filter(col("vec_id") >= 1000000000L).count()
           s"""{"families":$k,"drops":$nD,"plants_caught":$c}"""
         }
-        s"""{"cmd":"contentfam","planes":$planes,"tables":$tables,"families":$families,"parallelism":$par,"wall_sec":$wall,"plants":$TestN,"per_prefix":[${rows.mkString(",")}]}"""
+        // byte-identity of the FULL (all-family) drop set across
+        // parallelism levels — the round-18 content-mode pin applied here
+        val vmd5 = verdictMd5(all.select(col("vec_id")).distinct())
+        s"""{"cmd":"contentfam","planes":$planes,"tables":$tables,"families":$families,"parallelism":$par,"wall_sec":$wall,"plants":$TestN,"verdict_md5":"$vmd5","per_prefix":[${rows.mkString(",")}]}"""
       case "family" =>
         val families = args(2).toInt
         val vecs = withPlants(spark, dir).persist()
@@ -134,44 +157,159 @@ object Receipts {
       case "streamsem" =>
         val nprobe = args(2).toInt
         val families = if (args.length > 3) args(3).toInt else 1
-        val vecs = embeddings(spark, dir).persist()
-        val n = vecs.count()
-        // soak index: per FAMILY an independently seeded trained coarse
-        // quantizer at the semDedup target occupancy (the
-        // semDedupHierMulti seed convention, seed = f·1000), whole
-        // corpus admitted as batch 0 into every family's own tree
-        val k = Similarity.coarseCells(n, 64L)
-        val fams = (0 until families).map { f =>
-          val cents = Similarity.kmeans(vecs, "embedding", "vec_id",
-            k = k, iters = 2, seed = 1000 * f).localCheckpoint(true)
-          val ivf = tmp(s"streamsem-f$f")
-          graft.streaming.StreamingVectorIndex.writeBatch(
-            vecs.select(col("vec_id").as("cand_id"),
-              col("embedding").as("cv")),
-            cents, ivf, 0L)
-          graft.streaming.StreamingSemanticDedup.QuantizerFamily(cents, ivf)
-        }
         val batch = plantBatch(spark, dir).persist()
-        batch.count()
+        streamGate(spark, dir, nprobe, families, batch, nClean = 16,
+          cmd = "streamsem")
+      case "streamsem2" =>
+        val nprobe = args(2).toInt
+        val families = if (args.length > 3) args(3).toInt else 1
+        val fillers = if (args.length > 4) args(4).toInt else 256
+        val batch = plantsTauAdjacent(spark, dir)
+          .unionByName(fillerBand(spark, fillers)).persist()
+        streamGate(spark, dir, nprobe, families, batch, nClean = fillers,
+          cmd = "streamsem2")
+      case "contentmat" =>
+        val planes = args(2).toInt; val tables = args(3).toInt
+        val matPath = args(4)
+        val vecs = withPlants(spark, dir).persist()
+        vecs.count()
         val t0 = System.nanoTime()
-        val admitted = graft.streaming.StreamingSemanticDedup.gateBatchMulti(
-            spark, batch, "vec_id", "embedding", fams,
-            tau = 0.8, nprobe = nprobe)
-          .select(col("vec_id")).persist()
-        val nAdm = admitted.count()
+        Similarity.materializeContentShards(vecs, "embedding", 64,
+          planes, tables, matPath)
         val wall = (System.nanoTime() - t0) / 1e9
-        val plantsAdmitted = admitted
-          .filter(col("vec_id") >= 1000000000L &&
-            col("vec_id") < 2000000000L).count()
-        val cleanAdmitted = admitted
-          .filter(col("vec_id") >= 2000000000L).count()
-        val caught = TestN - plantsAdmitted
-        s"""{"cmd":"streamsem","nprobe":$nprobe,"families":$families,"corpus":$n,"cells":$k,"wall_sec":$wall,"batch":${TestN + 16},"admitted":$nAdm,"plants_caught":$caught,"plants":$TestN,"clean_admitted":$cleanAdmitted}"""
+        s"""{"cmd":"contentmat","planes":$planes,"tables":$tables,"matPath":"$matPath","wall_sec":$wall}"""
+      case "contentrun" =>
+        val planes = args(2).toInt; val tables = args(3).toInt
+        val matPath = args(4)
+        val Array(lo, hi) = args(5).split("-").map(_.toInt)
+        val outPath = args(6)
+        val families = if (args.length > 7) args(7).toInt else 1
+        val par = if (args.length > 8) args(8).toInt else 1
+        val t0 = System.nanoTime()
+        Similarity.semDedupHierShardedByContentFromMat(spark, matPath,
+            "embedding", "vec_id", targetCell = 64L, tau = 0.8,
+            shardPlanes = planes, tables = tables, families = families,
+            shardLo = lo, shardHi = hi, parallelism = par)
+          .write.mode("overwrite").parquet(outPath)
+        val wall = (System.nanoTime() - t0) / 1e9
+        s"""{"cmd":"contentrun","planes":$planes,"tables":$tables,"shards":"$lo-$hi","families":$families,"parallelism":$par,"wall_sec":$wall,"out":"$outPath"}"""
+      case "contentmd5" =>
+        val drops = args.drop(1).map(spark.read.parquet(_))
+          .reduce(_ unionByName _)
+          .select(col("vec_id")).distinct().persist()
+        val nDrops = drops.count()
+        val caught = drops.filter(col("vec_id") >= 1000000000L).count()
+        val vmd5 = verdictMd5(drops)
+        s"""{"cmd":"contentmd5","drops":$nDrops,"plants_caught":$caught,"plants":$TestN,"verdict_md5":"$vmd5"}"""
       case other => sys.error(s"unknown receipt: $other")
     }
     println(out)
     spark.stop()
   }
+
+  /** The shared streaming-gate protocol (streamsem / streamsem2): per
+    * FAMILY an independently seeded trained coarse quantizer at the
+    * semDedup target occupancy (the semDedupHierMulti seed convention,
+    * seed = f·1000), whole corpus admitted as batch 0 into every
+    * family's own tree, then ONE timed `gateBatchMulti` pass over the
+    * already-persisted `batch`. Plants carry ids in [10⁹, 2·10⁹),
+    * clean/filler probes ids ≥ 2·10⁹.
+    */
+  private def streamGate(spark: SparkSession, dir: String, nprobe: Int,
+                         families: Int, batch: DataFrame, nClean: Int,
+                         cmd: String): String = {
+    val vecs = embeddings(spark, dir).persist()
+    val n = vecs.count()
+    val k = Similarity.coarseCells(n, 64L)
+    val fams = (0 until families).map { f =>
+      val cents = Similarity.kmeans(vecs, "embedding", "vec_id",
+        k = k, iters = 2, seed = 1000 * f).localCheckpoint(true)
+      val ivf = tmp(s"$cmd-f$f")
+      graft.streaming.StreamingVectorIndex.writeBatch(
+        vecs.select(col("vec_id").as("cand_id"),
+          col("embedding").as("cv")),
+        cents, ivf, 0L)
+      graft.streaming.StreamingSemanticDedup.QuantizerFamily(cents, ivf)
+    }
+    batch.count()
+    val t0 = System.nanoTime()
+    val admitted = graft.streaming.StreamingSemanticDedup.gateBatchMulti(
+        spark, batch, "vec_id", "embedding", fams,
+        tau = 0.8, nprobe = nprobe)
+      .select(col("vec_id")).persist()
+    val nAdm = admitted.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val plantsAdmitted = admitted
+      .filter(col("vec_id") >= 1000000000L &&
+        col("vec_id") < 2000000000L).count()
+    val cleanAdmitted = admitted
+      .filter(col("vec_id") >= 2000000000L).count()
+    val caught = TestN - plantsAdmitted
+    s"""{"cmd":"$cmd","nprobe":$nprobe,"families":$families,"corpus":$n,"cells":$k,"wall_sec":$wall,"batch":${TestN + nClean},"admitted":$nAdm,"plants_caught":$caught,"plants":$TestN,"clean_admitted":$cleanAdmitted,"clean":$nClean}"""
+  }
+
+  /** The RE-ARMED plant set (round 19): the same 64 md5-smallest source
+    * rows and the same deterministic unit-noise direction as [[plants]],
+    * but each plant's amplitude is sized by BISECTION so cos(source,
+    * plant) lands at `0.8005 + 0.01·(vec_id % 5)` — hard against the
+    * τ = 0.8 the gate verifies at (the 5·10⁻⁴ offset keeps the
+    * round-to-6 verification unambiguous), instead of the
+    * amplitude-spread recipe whose 64 plants the families dial
+    * saturated (recall 1.0 — BASELINE round-18). 64 rows collect to the
+    * driver for the bisection: fixture arithmetic, not an operator —
+    * the search is deterministic double arithmetic on hash-derived
+    * noise, so every run rebuilds the identical plants.
+    */
+  private def plantsTauAdjacent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = embeddings(spark, dir)
+      .withColumn("_h", hash64(col("vec_id").cast("string"), 169))
+      .orderBy(col("_h"), col("vec_id")).limit(TestN).drop("_h")
+      .withColumn("_u", transform(col("embedding"), (x, i) =>
+        (hash64(concat(col("vec_id").cast("string"), lit(":"),
+          i.cast("string")), 8) % 1000L).cast("double") / 1000.0 - 0.5))
+    val planted = base.select(col("vec_id"), col("embedding"), col("_u"))
+      .collect().toSeq.map { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Double](1).toArray
+        val u = r.getSeq[Double](2).toArray
+        val target = 0.8005 + 0.01 * (id % 5)
+        def cosAt(a: Double): Double = {
+          var vv = 0.0; var vp = 0.0; var pp = 0.0; var i = 0
+          while (i < v.length) {
+            val p = v(i) + a * u(i)
+            vv += v(i) * v(i); vp += v(i) * p; pp += p * p; i += 1
+          }
+          vp / math.sqrt(vv * pp)
+        }
+        var hiA = 1.0
+        while (cosAt(hiA) > target && hiA < 1e6) hiA *= 2
+        var loA = 0.0
+        var it = 0
+        while (it < 80) {
+          val mid = (loA + hiA) / 2
+          if (cosAt(mid) > target) loA = mid else hiA = mid
+          it += 1
+        }
+        val a = (loA + hiA) / 2
+        (id + 1000000000L, v.indices.map(i => v(i) + a * u(i)).toSeq)
+      }
+    planted.toDF("vec_id", "embedding")
+  }
+
+  /** The filler band: `n` synthetic NOVEL vectors (hash-noise
+    * components, centered) — random 64-dim directions sit at |cos| ≈
+    * 0.125·Z of anything, so every filler must be admitted (P[any
+    * false drop] < 10⁻⁵ across the band at τ = 0.8); ids ≥ 2·10⁹, the
+    * clean-probe range.
+    */
+  private def fillerBand(spark: SparkSession, n: Int): DataFrame =
+    spark.range(n).select(
+      (col("id") + 2000000000L).as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        (hash64(concat(lit("fill:"), col("id").cast("string"), lit(":"),
+          d.cast("string")), 19) % 1000L).cast("double") / 1000.0 - 0.5)
+        .as("embedding"))
 
   private def tmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-receipt-$tag")

@@ -463,6 +463,15 @@ object Contamination {
     * heavily-quoted-long-host regime where a 4M-row gate would wave
     * multiple GB of text through. 256 MB sits inside any executor
     * broadcast budget with room for the exchange's copies.
+    *
+    * Pricing caveats, explicit: the ~8 B/token estimate assumes
+    * ASCII-dominant tokens (average English token ≈ 5 chars + space +
+    * array overhead) and under-prices multi-byte UTF-8 text by up to
+    * ~1.5× — a CJK-heavy corpus should scale this ceiling down (or
+    * the caller its `broadcastBytes`) by its measured bytes-per-token
+    * factor. String ids add their summed length to both estimates in
+    * the same aggregate pass; other non-fixed-width id types are
+    * priced at the 16/24 B/row constants (a numeric id assumption).
     */
   val DefaultBroadcastBytes: Long = 256L << 20
 
@@ -534,15 +543,24 @@ object Contamination {
     // rewritten the full rewritten TEXT (bounded by the original token
     // count, `_wn`, priced at ~8 bytes/token) — a row count alone
     // cannot see a few million 16k-token hosts.
+    // string ids ship their payload too — a wide string id's bytes are
+    // exactly the regime the gate exists to catch, so sum(length(id))
+    // joins the estimate; fixed-width ids stay priced by the 16/24 B
+    // per-row constants (the documented numeric-id assumption)
+    val idBytes = matched.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        coalesce(sum(length(id)), lit(0L))
+      case _ => coalesce(sum(lit(0L)), lit(0L))
+    }
     val st = matched.agg(count(lit(1)),
       coalesce(sum(size(col("_mj"))), lit(0L)),
-      coalesce(sum(col("_wn")), lit(0L))).head()
-    val (rows, positions, toksTotal) =
-      (st.getLong(0), st.getLong(1), st.getLong(2))
+      coalesce(sum(col("_wn")), lit(0L)), idBytes).head()
+    val (rows, positions, toksTotal, idB) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
     val smallM = rows <= broadcastLimit &&
-      rows * 16L + positions * 4L <= broadcastBytes
+      rows * 16L + positions * 4L + idB <= broadcastBytes
     val smallR = rows <= broadcastLimit &&
-      rows * 24L + toksTotal * 8L <= broadcastBytes
+      rows * 24L + toksTotal * 8L + idB <= broadcastBytes
     // LINEAR rewrite: a matched shingle starting at j covers tokens
     // {j, j+1, j+2} (every start position is <= n-3, so the covered
     // positions are always in range); the kept positions come from ONE

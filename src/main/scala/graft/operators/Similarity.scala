@@ -400,6 +400,18 @@ object Similarity {
     * are final pins read lazily by the returned union — storage is
     * verdict-sized (drops only) and reclaimed by reference-tracking
     * cleanup, the [[Checkpoints.pin]] final-pin contract.
+    *
+    * ABORT path, explicit: when any slice chain throws, the fan-out
+    * does not leave the other chains running against a dead caller —
+    * every in-flight chain's Spark jobs are cancelled (each pool
+    * thread tags its jobs with a per-fan-out job group;
+    * `cancelJobGroup` interrupts them), queued chains that have not
+    * started refuse to (the abort flag), the settle wait for the
+    * now-cancelled threads is BOUNDED (10 min — a backstop, the
+    * cancellation is what actually unsticks a stalled chain), and the
+    * pins of every slice that DID complete are released before the
+    * original failure rethrows — an aborted fan-out leaks neither
+    * running jobs nor pinned verdict frames.
     */
   private def unionSlices(slices: Seq[() => DataFrame],
                           parallelism: Int): DataFrame = {
@@ -407,16 +419,43 @@ object Similarity {
     if (parallelism == 1) slices.map(_()).reduce(_ unionByName _)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.duration.{Duration, DurationInt}
+      import scala.util.{Success, Try}
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(parallelism, slices.size))
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
+      val group = s"graft-fanout-${java.util.UUID.randomUUID()}"
+      val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val futures = slices.map { s => Future {
+        if (aborted.get())
+          throw new InterruptedException("fan-out aborted by a failed slice")
+        // tag this thread's jobs BEFORE the slice runs — the chains do
+        // their eager work (trainings, pair passes) inside s(), and
+        // untagged jobs would survive an abort's cancelJobGroup
+        val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+        sc.setJobGroup(group, "graft sharded fan-out slice",
+          interruptOnCancel = true)
+        try Checkpoints.pin(s()) finally sc.clearJobGroup()
+      } }
       try
-        Await.result(
-          Future.sequence(slices.map(s => Future(Checkpoints.pin(s())))),
-          Duration.Inf).reduce(_ unionByName _)
-      finally pool.shutdown()
+        Await.result(Future.sequence(futures), Duration.Inf)
+          .reduce(_ unionByName _)
+      catch { case e: Throwable =>
+        aborted.set(true)
+        Try(org.apache.spark.sql.SparkSession.active.sparkContext
+          .cancelJobGroup(group))
+        // settle every thread (bounded — cancellation is the unstick),
+        // then free the completed slices' pins before rethrowing
+        Try(Await.result(
+            Future.sequence(futures.map(_.transform(Success(_)))),
+            10.minutes))
+          .toOption.toSeq.flatten.foreach {
+            case Success(df) => Try(Checkpoints.release(df))
+            case _           => ()
+          }
+        throw e
+      } finally pool.shutdown()
     }
   }
 
@@ -462,8 +501,11 @@ object Similarity {
     * round 17 — shardPlanes 11–16 calls that used to be accepted now
     * throw, deliberately: 2^16 chains per table is not a regime one
     * driver loop sustains; past 10, run the per-shard chains as
-    * separate jobs over the `matPath` materialization, which any
-    * orchestrator can fan out by partition directory).
+    * separate JVMs over the `matPath` materialization via
+    * [[semDedupHierShardedByContentFromMat]] shard ranges — the
+    * runnable `Receipts contentmat`/`contentrun`/`contentmd5` recipe
+    * in that scaladoc, receipted in BASELINE.md with two concurrent
+    * JVMs verdict_md5-identical to the single-JVM run).
     * `parallelism` > 1 runs that many chains concurrently from a
     * bounded thread pool WITHIN this driver (the
     * [[semDedupHierSharded]] note: verdicts pinned per thread,
@@ -531,16 +573,93 @@ object Similarity {
         // ONE input pass: multiTableBuckets fans each row into its
         // `tables` (table, code) rows with the identical per-table
         // plane-slice arithmetic the filter form evaluates per shard
-        val keyed = multiTableBuckets(vectors, vecCol, dims, shardPlanes,
-          tables, "_tbl", "_shard")
-        keyed.write.mode("overwrite").partitionBy("_tbl", "_shard").parquet(p)
+        val schema = materializeContentShards(vectors, vecCol, dims,
+          shardPlanes, tables, p)
         // explicit schema: inference-free, and an empty corpus reads
         // back empty instead of failing inference (the id-hash note)
-        val mat = vectors.sparkSession.read.schema(keyed.schema).parquet(p)
+        val mat = vectors.sparkSession.read.schema(schema).parquet(p)
         (tbl, s) => mat
           .filter(col("_tbl") === tbl && col("_shard") === s)
           .select(cols.map(col): _*)
     }
+  }
+
+  /** Write the content-shard materialization the sharded forms read —
+    * `tables` rows per input row, `_tbl=/_shard=` partitioned parquet
+    * at `path` (a SCRATCH path owned by this call — pre-existing data
+    * is destroyed). Public so an ORCHESTRATOR can write it once and
+    * fan the per-shard chains out as separate JVMs over
+    * [[semDedupHierShardedByContentFromMat]] shard ranges; returns the
+    * written schema (pass it back to the readers for inference-free,
+    * empty-safe reads — optional, the readers infer when not given).
+    */
+  def materializeContentShards(vectors: DataFrame, vecCol: String,
+      dims: Int, shardPlanes: Int, tables: Int,
+      path: String): org.apache.spark.sql.types.StructType = {
+    val keyed = multiTableBuckets(vectors, vecCol, dims, shardPlanes,
+      tables, "_tbl", "_shard")
+    keyed.write.mode("overwrite").partitionBy("_tbl", "_shard").parquet(path)
+    keyed.schema
+  }
+
+  /** The CROSS-JVM half of the content-sharded fan-out: run the
+    * per-(family, table, shard) [[semDedupHier]] chains for an
+    * EXISTING [[materializeContentShards]] materialization — read-only
+    * against `matPath`, covering only shards in `[shardLo, shardHi]`
+    * (all tables × all families of that range) — so independent JVMs
+    * can split one materialization by shard range and their unioned
+    * verdicts equal the single-JVM
+    * [[semDedupHierShardedByContentMulti]] run over the same input
+    * (row-identical per (family, tbl, shard) — every chain is
+    * deterministic in the slice alone; spec-pinned, and the 100×
+    * receipt pins the unioned verdict_md5 across 1-vs-2 JVMs). The
+    * runnable recipe, exactly as the BASELINE receipt executes it:
+    *
+    * {{{
+    * # once: Receipts contentmat /tmp/soak100 6 2 /tmp/mat
+    * # then, one JVM per shard range, concurrently:
+    * #   Receipts contentrun /tmp/soak100 6 2 /tmp/mat 0-31  /tmp/v0 1 8
+    * #   Receipts contentrun /tmp/soak100 6 2 /tmp/mat 32-63 /tmp/v1 1 8
+    * # finally: Receipts contentmd5 /tmp/v0 /tmp/v1
+    * }}}
+    *
+    * `parallelism` fans this JVM's own range out in-process (the
+    * [[semDedupHierSharded]] thread-pool note) — the two dials
+    * compose: JVMs × threads-per-JVM chains are in flight. Each JVM's
+    * result schema is [[semDedupHierShardedByContentMulti]]'s
+    * (leading `family`, `tbl`, `shard`).
+    */
+  def semDedupHierShardedByContentFromMat(spark: org.apache.spark.sql.SparkSession,
+      matPath: String, vecCol: String, idCol: String, targetCell: Long,
+      tau: Double, shardPlanes: Int, tables: Int = 1, families: Int = 1,
+      shardLo: Int = 0, shardHi: Int = -1, iters: Int = 2,
+      seedCoarse: Int = 31, seedFine: Int = 37,
+      kmax: Int = Int.MaxValue, parallelism: Int = 1,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    require(shardPlanes >= 1 && shardPlanes <= 10,
+      "shardPlanes must be in [1, 10]")
+    require(tables >= 1, "tables must be >= 1")
+    require(families >= 1, "families must be >= 1")
+    val shards = 1 << shardPlanes
+    val hi = if (shardHi < 0) shards - 1 else shardHi
+    require(shardLo >= 0 && hi < shards && shardLo <= hi,
+      s"shard range [$shardLo, $hi] must sit inside [0, ${shards - 1}]")
+    val reader = spark.read
+    val mat = schema.fold(reader.parquet(matPath))(s =>
+      reader.schema(s).parquet(matPath))
+    val dataCols = mat.columns.filterNot(Set("_tbl", "_shard")).toSeq
+    val slice = (tbl: Int, s: Int) => mat
+      .filter(col("_tbl") === tbl && col("_shard") === s)
+      .select(dataCols.map(col): _*)
+    unionSlices(
+      (for { f <- 0 until families; tbl <- 0 until tables;
+             s <- shardLo to hi } yield { () =>
+        semDedupHier(slice(tbl, s), vecCol, idCol, targetCell, tau, iters,
+          seedCoarse + 1000 * f, seedFine + 1000 * f, kmax)
+          .select(lit(f).as("family"), lit(tbl).as("tbl"),
+            lit(s.toLong).as("shard"), col("coarse"), col("cell"),
+            col(idCol), col("dup_of"), col("cos"))
+      }), parallelism)
   }
 
   /** [[semDedupHierShardedByContent]] × the quantizer-FAMILIES dial —

@@ -222,9 +222,15 @@ object StreamingCurationChain {
     // BASELINE.md round-16; batch-sized, released in the finally)
     val livePinned = gate.nonEmpty || lineCuration.nonEmpty ||
       semanticDedup.nonEmpty
-    val live = if (livePinned) Checkpoints.pin(gatedLive) else gatedLive
+    var live: DataFrame = null
     var kept: DataFrame = null
     try {
+      // the pin JOB runs the whole gate → curation → semantic lineage —
+      // inside the try, so a failure DURING the pin still reaches the
+      // finally's gateRelease() and the gate's excise pins never fall
+      // back to GC-driven cleanup (the accumulation this release exists
+      // to prevent)
+      live = if (livePinned) Checkpoints.pin(gatedLive) else gatedLive
       StreamingContentDedup.processBatch(spark,
         live.select(col("doc_id"), col("text")), prefix,
         s"$keptDir/batch=$batchId", jaccardMin, buckets)
@@ -272,7 +278,7 @@ object StreamingCurationChain {
       // experiment measured that accumulation compounding into
       // storage-pool pressure (BASELINE.md round-13)
       entrySnap.foreach(Checkpoints.release)
-      if (livePinned) Checkpoints.release(live)
+      if (livePinned && live != null) Checkpoints.release(live)
       if (kept != null) Checkpoints.release(kept)
       // the gate's excise-mode pins (matched set / fixpoint state) are
       // batch-sized and fully consumed once `live` materialized — a
@@ -340,7 +346,12 @@ object StreamingCurationChain {
     *     kept batch are re-derived from the post-scrub kept partitions
     *     (per-batch overwrite, the replay-idempotent write each stage
     *     already uses) — scrubbing changes text, and text is what all
-    *     three describe;
+    *     three describe; derived-tree partitions whose kept batch no
+    *     longer exists are then PRUNED (a crash during a maintain's
+    *     per-dir compaction — the folds are not atomic across dirs —
+    *     can strand one, and a stranded partition would keep its
+    *     pre-scrub vectors/postings through the re-derivation
+    *     silently);
     *  3. the band index is re-fingerprinted from the scrubbed kept
     *     store ([[StreamingContentDedup.rebuildIndexFrom]]) — nav
     *     chrome lives in the old shingles, and leaving them would keep
@@ -356,7 +367,12 @@ object StreamingCurationChain {
     * the never-crashed artifacts. Runs under the
     * [[graft.operators.MaintenanceLock]] with the STREAM STOPPED (it
     * rewrites what a live batch would read); `onStep(k)` fires after
-    * step k, the crash-injection seam. `embed`/`dims` must match the
+    * step k, the crash-injection seam, and `onFamilyTree(b, f)` fires
+    * inside step 2 after batch `b`'s family-`f` vector tree rebuilt
+    * (f = 0 the main tree, f = i+1 the i-th extra family) — the
+    * FINER seam that lets the spec crash BETWEEN family-tree rebuilds
+    * and pin that a re-run plus a gated batch matches the
+    * never-crashed universe. `embed`/`dims` must match the
     * chain's config, or step 2's vectors would not describe what the
     * gate probes; `extraFamilies` re-derives each extra quantizer
     * family's tree ([[SemanticDedup.extraFamilies]]).
@@ -368,7 +384,8 @@ object StreamingCurationChain {
                        dedupWithin: Boolean = true,
                        embed: Option[Column => Column] = None,
                        extraFamilies: Seq[(DataFrame, String)] = Nil,
-                       onStep: Int => Unit = _ => ()): Unit = {
+                       onStep: Int => Unit = _ => (),
+                       onFamilyTree: (Long, Int) => Unit = (_, _) => ()): Unit = {
     import graft.operators.{MaintenanceLock, TextAnalysis}
     MaintenanceLock.withLock(spark, prefix) {
       healSwaps(spark, keptDir)
@@ -397,13 +414,32 @@ object StreamingCurationChain {
         val vecs = kept.select(col("doc_id").as("cand_id"),
           embedFn(col("text")).as("cv"))
         StreamingVectorIndex.writeBatch(vecs, centroids, indexDir, b)
-        extraFamilies.foreach { case (cents, dir) =>
-          StreamingVectorIndex.writeBatch(vecs, cents, dir, b) }
+        onFamilyTree(b, 0)
+        extraFamilies.zipWithIndex.foreach { case ((cents, dir), i) =>
+          StreamingVectorIndex.writeBatch(vecs, cents, dir, b)
+          onFamilyTree(b, i + 1) }
         StreamingPostingsIndex.writeBatch(
           kept.select(col("doc_id"), col("text")), "doc_id", "text",
           postingsDir, b)
         MaintenanceLock.heartbeat(spark, prefix)
       }
+      // prune derived-tree partitions the kept store no longer has: a
+      // crash during an earlier maintain's per-dir compaction (the
+      // folds are not atomic ACROSS dirs) can leave a derived tree with
+      // batch partitions keptDir folded away — their pre-scrub
+      // vectors/postings would survive the re-derivation above
+      // silently, since step 2 only overwrites partitions present
+      // under keptDir
+      val keptSet = batches.toSet
+      (Seq(cardDir, indexDir, postingsDir) ++ extraFamilies.map(_._2))
+        .foreach { d =>
+          StreamingBatchDirs.list(spark, d).filterNot(keptSet).foreach {
+            stale =>
+              val p = new Path(s"$d/batch=$stale")
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .delete(p, true)
+          }
+        }
       onStep(2)
       // 3. re-fingerprint the band index from the scrubbed store
       if (batches.nonEmpty)

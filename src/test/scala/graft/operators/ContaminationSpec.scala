@@ -432,6 +432,37 @@ class ContaminationSpec extends SparkSpec {
       s"both hints strip at 50 B: ${nHints(bcast)} vs ${nHints(keyedBoth)}")
   }
 
+  test("excision byte gate prices STRING id payloads: wide ids tip the " +
+    "estimate over the ceiling the fixed-width constants would miss") {
+    // 3 short hosts, but each id is a 200-char string — the 16/24 B
+    // per-row constants see ~200 B total, the real broadcast ships
+    // 600 B of ids
+    val wideIds = (0 until 3).map { i =>
+      (s"doc-${"x" * 196}$i", s"some words around quoted span here $i")
+    }.toDF("doc_id", "text")
+    val bench = Seq((100L, "quoted span here")).toDF("doc_id", "text")
+    val pool = bench
+      .select(org.apache.spark.sql.functions.explode(
+        Contamination.shingleSet(col("text"))).as("h")).distinct()
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+    def nHints(d: org.apache.spark.sql.DataFrame) =
+      "ResolvedHint".r.findAllIn(d.queryExecution.analyzed.toString).length
+    val bcast = Contamination.exciseWithPool(wideIds, pool,
+      "doc_id", "text")
+    // without the id term: matched ≈ 3·16 + 3·4 = 60 B, rewritten ≈
+    // 3·24 + 21·8 = 240 B — both under 450; the 600 B of string ids
+    // push both estimates over, so both hints must strip
+    val keyed = Contamination.exciseWithPool(wideIds, pool,
+      "doc_id", "text", broadcastBytes = 450L)
+    assert(rows(keyed) == rows(bcast),
+      "the id-priced degraded path must rewrite identically")
+    assert(nHints(bcast) == nHints(keyed) + 2,
+      s"both hints strip once id bytes are priced: ${nHints(bcast)} vs " +
+        s"${nHints(keyed)}")
+  }
+
   test("spanExcise maxDf drops high-document-frequency pool shingles " +
     "from the probe") {
     // the benchmark's first shingle ("a b c") is boilerplate — it

@@ -509,4 +509,75 @@ class SemDedupSpec extends SparkSpec {
       assert(cos >= 0.97)
     }
   }
+
+  test("semDedupHierShardedByContentFromMat: shard-range runs over an " +
+    "existing materialization union to the single-run verdict exactly") {
+    val df = (0 until 32).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.19), math.sin(i * 0.19), 0.04 * (i % 3)))
+    }.toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("semdedup-frommat")
+      .toString + "/shards"
+    // the in-JVM composed run writes the materialization it reads
+    val full = Similarity.semDedupHierShardedByContentMulti(df, "embedding",
+        "vec_id", dims = 3, targetCell = 2L, tau = 0.97, shardPlanes = 2,
+        tables = 2, families = 2, matPath = Some(p))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7))).toSet
+    def ranged(lo: Int, hi: Int) =
+      Similarity.semDedupHierShardedByContentFromMat(spark, p, "embedding",
+          "vec_id", targetCell = 2L, tau = 0.97, shardPlanes = 2,
+          tables = 2, families = 2, shardLo = lo, shardHi = hi)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getDouble(7))).toSet
+    // one "JVM" covering everything reproduces the single-run verdict
+    assert(ranged(0, 3) == full,
+      "the FromMat full range must replay the in-JVM composed run")
+    // a shard-range split (the cross-JVM recipe) unions to the same set
+    val unioned = ranged(0, 1) ++ ranged(2, 3)
+    assert(unioned == full,
+      s"range split must union to the full verdict: " +
+        s"${unioned -- full} vs ${full -- unioned}")
+    // the reader is read-only: a second ranged run still sees the same
+    // materialization (nothing re-wrote or destroyed the scratch path)
+    assert(ranged(0, 3) == full, "FromMat must not mutate the matPath")
+  }
+
+  test("parallel fan-out abort: a failing slice rethrows (no hang), " +
+    "completed slices' pins are released, the session stays healthy") {
+    val clean = (0 until 40).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.17), math.sin(i * 0.17), 0.03 * (i % 4)))
+    }.toDF("vec_id", "embedding")
+    // poison exactly one id of shard 3 of 4 — the LAST slice submitted,
+    // and the sleep lets the other three slices complete and PIN before
+    // the failure, so the abort path has real pins to release
+    val shardOf = graft.functions.GraftFunctions.hash64(
+      $"vec_id".cast("string"), 5) % 4
+    val bad = clean.withColumn("_s", shardOf).filter($"_s" === 3L)
+      .select($"vec_id").head().getLong(0)
+    val poison = udf { (id: Long, emb: Seq[Double]) =>
+      if (id == bad) { Thread.sleep(3000); sys.error(s"poisoned id $id") }
+      emb
+    }
+    val poisoned = clean.withColumn("embedding",
+      poison($"vec_id", $"embedding"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val thrown = intercept[Exception] {
+      Similarity.semDedupHierSharded(poisoned, "embedding", "vec_id",
+        targetCell = 2L, tau = 0.97, shards = 4, parallelism = 2).count()
+    }
+    assert(thrown != null, "the slice failure must rethrow to the caller")
+    // completed slices' pins release explicitly on abort; the FAILED
+    // slice's mid-train kmeans pin is reclaimed by reference-tracking
+    // once its frame is unreachable — nudge GC and poll for both
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getPersistentRDDs.size > before &&
+        System.nanoTime() < deadline) { System.gc(); Thread.sleep(200) }
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      s"aborted fan-out must not leak pinned storage: " +
+        s"${spark.sparkContext.getPersistentRDDs.size} vs $before")
+    // the session is still healthy after the job-group cancellation
+    assert(clean.count() == 40L)
+  }
 }

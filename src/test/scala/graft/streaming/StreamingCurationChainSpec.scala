@@ -723,4 +723,123 @@ class StreamingCurationChainSpec extends SparkSpec {
       "a repeated scrub must be a fixed point")
     Checkpoints.release(poolV2)
   }
+
+  test("retroactiveScrub × FAMILIES: a crash between family-tree " +
+    "rebuilds, re-run, then a gated batch — admissions match the " +
+    "never-crashed universe") {
+    import graft.operators.TextAnalysis
+    // embeds keyed on content words (not the footer): 'alpha' and
+    // 'bravo' docs straddle the main quantizer's 45° boundary; the
+    // rotated extra family co-cells them (the in-chain FAMILIES test's
+    // geometry, here composed with the scrub)
+    val embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => transform(sequence(lit(0), lit(7)), d =>
+        when(t.contains("alpha"),
+          when(d === 0, 1.0).when(d === 1, 0.999).otherwise(0.0))
+        .when(t.contains("bravo"),
+          when(d === 0, 0.999).when(d === 1, 1.0).otherwise(0.0))
+        .when(t.contains("delta"),
+          when(d === 3, 1.0).otherwise(0.0))
+        .otherwise(when(d === 2, 1.0).otherwise(0.0)))
+    val cents2 = Seq(
+      (0L, Seq(1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(-1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    ).toDF("centroid_id", "centroid_vec")
+    val poolV1 = TextAnalysis.boilerplateLinePool(
+      Seq((0L, "unrelated reference text")).toDF("doc_id", "text"),
+      "text", maxDf = 1L).localCheckpoint(true)
+    // one universe = (dir, prefix); crashAt injects the family-rebuild
+    // crash into the FIRST scrub attempt, which then re-runs
+    def universe(tag: String, crash: Boolean): (String, Seq[Long], Seq[Long]) = {
+      val d = java.nio.file.Files.createTempDirectory(s"chainfrs-$tag")
+        .toString
+      val prefix = s"graft_spec_chain_frs_$tag"
+      val extra = Seq((cents2, s"$d/ivf_f1"))
+      val sd = StreamingCurationChain.SemanticDedup(tau = 0.99,
+        embed = Some(embed), extraFamilies = extra)
+      def runBatch(id: Long, docs: ChainDoc*): Unit =
+        StreamingCurationChain.processBatch(spark, docs.toDF(), prefix,
+          s"$d/kept", s"$d/card", s"$d/ivf", s"$d/post", centroids, id,
+          lineCuration = Some(StreamingCurationChain.LineCuration(poolV1)),
+          semanticDedup = Some(sd))
+      StreamingContentDedup.bootstrapIndex(spark, prefix, buckets = 8)
+      runBatch(0L, ChainDoc(20L,
+        "NEW TEMPLATE FOOTER\nalpha content travels here", "en", "web"))
+      runBatch(1L, ChainDoc(21L,
+        "NEW TEMPLATE FOOTER\ngamma body goes its own way", "de", "web"))
+      val poolV2 = StreamingCurationChain.retrainLinePool(spark,
+        s"$d/kept", maxDf = 1L)
+      def scrub(onFam: (Long, Int) => Unit): Unit =
+        StreamingCurationChain.retroactiveScrub(spark, poolV2, prefix,
+          s"$d/kept", s"$d/card", s"$d/ivf", s"$d/post", centroids,
+          buckets = 8, embed = Some(embed), extraFamilies = extra,
+          onFamilyTree = onFam)
+      if (crash) {
+        // die after batch 1's MAIN tree rebuilt, before its extra
+        // family's — exactly "between family-tree rebuilds"
+        intercept[RuntimeException] {
+          scrub((b, f) => if (b == 1L && f == 0)
+            throw new RuntimeException("injected between families"))
+        }
+        scrub((_, _) => ())
+      } else scrub((_, _) => ())
+      // the post-scrub gate: 30 straddles the main quantizer's cells
+      // against admitted doc 20 — only the (rebuilt) extra family can
+      // refuse it; 31 is orthogonal and must pass
+      runBatch(2L,
+        ChainDoc(30L, "bravo straddles the quantizer boundary", "en", "web"),
+        ChainDoc(31L, "delta is fresh and unrelated content", "en", "web"))
+      val kept = spark.read.parquet(s"$d/kept")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val famTree = StreamingVectorIndex.lists(spark, s"$d/ivf_f1")
+        .select("cand_id").as[Long].collect().sorted.toSeq
+      (d, kept, famTree)
+    }
+    val (_, keptA, famA) = universe("clean", crash = false)
+    val (_, keptB, famB) = universe("crash", crash = true)
+    assert(keptA == keptB,
+      s"crashed-and-rerun universe must admit identically: $keptB vs $keptA")
+    assert(famA == famB,
+      s"extra family trees must converge: $famB vs $famA")
+    // the composition is live, not vacuous: the straddler was refused
+    // THROUGH the re-derived extra family, the fresh doc admitted
+    assert(!keptA.contains(30L) && keptA.contains(31L),
+      s"fixture must exercise the extra family post-scrub: $keptA")
+  }
+
+  test("retroactiveScrub prunes derived-tree partitions whose kept " +
+    "batch no longer exists (stale pre-scrub artifacts cannot survive)") {
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("chainprune").toString
+    val prefix = "graft_spec_chain_prune"
+    def runBatch(id: Long, docs: ChainDoc*): Unit =
+      StreamingCurationChain.processBatch(spark, docs.toDF(), prefix,
+        s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post",
+        centroids, id)
+    StreamingContentDedup.bootstrapIndex(spark, prefix, buckets = 8)
+    runBatch(0L, ChainDoc(40L, "alpha words live in batch zero", "en", "web"))
+    runBatch(1L, ChainDoc(41L, "beta words live in batch one", "en", "web"))
+    // a stranded derived partition: batch 99 exists in the vector and
+    // postings trees but NOT under kept — the torn state a crash
+    // during a per-dir compaction fold leaves behind
+    StreamingVectorIndex.writeBatch(
+      Seq((99L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+        .toDF("cand_id", "cv"), centroids, s"$dir/ivf", 99L)
+    StreamingPostingsIndex.writeBatch(
+      Seq((99L, "stale stranded text")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/post", 99L)
+    val pool = StreamingCurationChain.retrainLinePool(spark,
+      s"$dir/kept", maxDf = 1L)
+    StreamingCurationChain.retroactiveScrub(spark, pool, prefix,
+      s"$dir/kept", s"$dir/card", s"$dir/ivf", s"$dir/post",
+      centroids, buckets = 8)
+    val keptB = StreamingBatchDirs.list(spark, s"$dir/kept")
+    assert(StreamingBatchDirs.list(spark, s"$dir/ivf") == keptB,
+      "stranded vector partitions must be pruned")
+    assert(StreamingBatchDirs.list(spark, s"$dir/post") == keptB,
+      "stranded postings partitions must be pruned")
+    assert(StreamingVectorIndex.lists(spark, s"$dir/ivf")
+        .filter($"cand_id" === 99L).isEmpty,
+      "the stale vectors must be gone from the live view")
+  }
 }
