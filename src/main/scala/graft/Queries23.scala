@@ -601,8 +601,12 @@ object Queries23 {
               .as("embedding"))
           .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
         val corpus = sub.unionByName(vplant).localCheckpoint(true)
+        // parallelism = families: the three chains are independent by
+        // design (guide §2.6 — overlap independent jobs); row-identical
+        // to sequential, spec-pinned
         val multi = Similarity.semDedupHierMulti(corpus, "embedding",
-            "vec_id", targetCell = 64L, tau = 0.8, families = 3)
+            "vec_id", targetCell = 64L, tau = 0.8, families = 3,
+            parallelism = 3)
           .select($"family", $"vec_id").localCheckpoint(true)
         def statsFor(k: Int): DataFrame = multi
           .filter($"family" < k)
@@ -741,9 +745,11 @@ object Queries23 {
               .as("embedding"))
           .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
         val corpus = sub.unionByName(vplant).localCheckpoint(true)
+        // parallelism = the 4 (shard, family) chains — independent by
+        // design (guide §2.6); row-identical to sequential, spec-pinned
         val multi = Similarity.semDedupHierShardedByContentMulti(corpus,
             "embedding", "vec_id", dims = 64, targetCell = 64L, tau = 0.8,
-            shardPlanes = 1, tables = 1, families = 2)
+            shardPlanes = 1, tables = 1, families = 2, parallelism = 4)
           .select($"family", $"vec_id").localCheckpoint(true)
         def statsFor(k: Int): DataFrame = multi
           .filter($"family" < k)
@@ -904,9 +910,25 @@ object Queries23 {
           Similarity.semDedupHierShardedByContentFromMat(s, mat,
               "embedding", "vec_id", targetCell = 64L, tau = 0.8,
               shardPlanes = 1, tables = 1, families = 2,
-              shardLo = shard, shardHi = shard)
+              shardLo = shard, shardHi = shard, parallelism = 2)
             .select($"vec_id").distinct().localCheckpoint(true)
-        val r0 = ranged(0); val r1 = ranged(1)
+        // run the two ranged chains CONCURRENTLY (round 19; guide §2.6)
+        // — they are the two independent "JVMs" of the orchestrator
+        // recipe, so overlapping them in-session models the deployment
+        // even more faithfully than back-to-back runs; each chain is
+        // deterministic in its shard slice alone, so the verdicts are
+        // identical to the sequential composition
+        val Seq(r0, r1) = {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          try Await.result(
+            Future.sequence(Seq(0, 1).map(sh => Future(ranged(sh)))),
+            Duration.Inf)
+          finally pool.shutdown()
+        }
         def statsFor(run: Int, d: DataFrame): DataFrame = d
           .agg(count(lit(1)).cast("long").as("drops"),
             coalesce(sum(when($"vec_id" >= 1000000000L, 1L)), lit(0L))

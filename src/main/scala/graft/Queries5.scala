@@ -365,12 +365,20 @@ object Queries5 {
         import graft.operators.CountMin
         val ngr = t(s, dir, "documents")
           .select(explode(shingles(words($"text"), 3)).as("ngram"))
+        // ONE corpus explode pass (round 19; guide §1.2): the n-gram
+        // histogram — Heaps'-law-sized, bounded — feeds BOTH the sketch
+        // (buildWeighted: identical cells, each distinct n-gram hashed
+        // depth× once instead of once per occurrence) and the exact
+        // truth top-20; the previous shape ran the corpus explode and
+        // the per-occurrence md5s twice
+        val hist = ngr.groupBy($"ngram").agg(count(lit(1)).as("n_true"))
+          .persist()
         // ≤ depth·width cells by construction — pinning it is bounded at
         // ANY corpus size, and without it each of estimate's 3 broadcast
-        // reads plus the N read would re-run the corpus n-gram explode
-        val sketch = CountMin.build(ngr, $"ngram", Depth, Width).persist()
-        val truth = ngr.groupBy($"ngram").agg(count(lit(1)).as("n_true"))
-          .orderBy($"n_true".desc, $"ngram").limit(20)
+        // reads plus the N read would re-run the histogram
+        val sketch = CountMin.buildWeighted(hist, $"ngram", $"n_true",
+          Depth, Width).persist()
+        val truth = hist.orderBy($"n_true".desc, $"ngram").limit(20)
         // N = total occurrence mass = the cell sum of any one sketch row
         // (every occurrence lands in exactly one bucket per row) — read
         // it from the sketch instead of a third pass over the explode

@@ -44,6 +44,27 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[build]] from a pre-aggregated HISTOGRAM: `items` carries one row
+    * per distinct key with its multiplicity `weight`, and the cells sum
+    * weights instead of counting rows — `buildWeighted(hist(raw))`
+    * equals `build(raw)` cell for cell (integer sums of the same
+    * multiset), while each distinct key is md5-hashed `depth` times
+    * once, instead of once per OCCURRENCE. Callers that already
+    * aggregate the same keys exactly (q69's truth top-k) share the one
+    * histogram pass between both consumers — guide §1.2, don't compute
+    * things twice.
+    */
+  def buildWeighted(items: DataFrame, key: Column, weight: Column,
+                    depth: Int, width: Int,
+                    seedBase: Int = DefaultSeedBase): DataFrame = {
+    require(depth >= 1 && width >= 2, "depth >= 1 and width >= 2")
+    items
+      .select(weight.as("_w"), posexplode(array((0 until depth).map(r =>
+        bucket(key, r, width, seedBase)): _*)).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("_w")).as("cnt"))
+  }
+
   /** Attach `estCol` = the count-min estimate of each probe `key`:
     * `least` over the `depth` row cells the key hashes to. A key whose
     * cell was never touched estimates 0 (it never occurred). Probe side

@@ -100,7 +100,16 @@ object ScaleJoins {
         org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite").format("parquet")
+    // Cluster rows to their bucket BEFORE the write (round 19; guide
+    // §6 small-files): repartition(buckets, key) uses the same
+    // pmod(murmur3, n) arithmetic as Spark's bucket-id assignment, so
+    // each write task holds exactly one whole bucket and emits ONE
+    // file — without it every task writes a file per bucket it
+    // happens to hold (tasks × buckets tiny files at scale: slower
+    // build, slower probe opens, heavier listing). Same rows, same
+    // bucketed layout, strictly fewer files.
+    df.repartition(buckets, col(bucketCol))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
     table

@@ -94,6 +94,56 @@ object Similarity {
     g.toInt
   }
 
+  /** A codebook collapsed to ONE array-of-structs column `_cents` —
+    * entry `(c = centroid id, v = centroid vec, n = its l2 norm,
+    * precomputed once per centroid)` — per `keys` group (no keys: one
+    * global row). The [[bestCell]] fold consumes it: together they
+    * re-express the single-cell assignment argmax as a NARROW map pass
+    * (guide §2.4, remove the shuffle outright) instead of the old
+    * [candidate crossJoin fan-out → Exchange → Sort → row_number
+    * window] chain. `collect_list` order is irrelevant — see
+    * [[bestCell]]'s strict-improvement argument.
+    */
+  private def centArray(centroids: DataFrame, keys: Seq[String]): DataFrame = {
+    val entry = struct(col("centroid_id").as("c"),
+      col("centroid_vec").as("v"), l2norm(col("centroid_vec")).as("n"))
+    if (keys.isEmpty) centroids.agg(collect_list(entry).as("_cents"))
+    else centroids.groupBy(keys.map(col): _*)
+      .agg(collect_list(entry).as("_cents"))
+  }
+
+  /** The single-cell argmax over a [[centArray]] `_cents` column as a
+    * per-row fold — no candidate fan-out, no shuffle, no sort, at any
+    * corpus size. Each candidate is scored with the IDENTICAL round-6
+    * cosine arithmetic the crossJoin form evaluated (the same
+    * `dot / (nv · nc)` expression tree, with the norms hoisted: `nv`
+    * once per row via the caller's column, `nc` once per centroid
+    * inside the array), then a strict-improvement fold keeps the
+    * winner: take the candidate iff `s > best.s` OR (`s = best.s` AND
+    * `c < best.c`). That predicate selects the unique (max score,
+    * smallest id) element, so the fold is order-independent and the
+    * `collect_list` order never matters; NaN scores rank largest
+    * (Spark's NaN ordering), the same pick the old
+    * `orderBy(_ccos.desc, centroid_id)` window made. Why the fold
+    * beats both the window AND a max(struct) aggregate (measured,
+    * round 19): the window materializes n·k joined rows (each copying
+    * both 64-double arrays) and sorts them; the aggregate avoids the
+    * sortless-ness but copies the array payload into its buffer per
+    * improving row — the fold materializes nothing but a 2-field
+    * scalar struct per candidate.
+    */
+  private def bestCell(vec: Column, nv: Column): Column = {
+    val scored = transform(col("_cents"), x =>
+      struct(round(dot(vec, x.getField("v")) / (nv * x.getField("n")), 6)
+        .as("s"), x.getField("c").as("c")))
+    aggregate(scored,
+      struct(lit(-2.0).as("s"), lit(Long.MaxValue).as("c")),
+      (acc, x) => when(x.getField("s") > acc.getField("s") ||
+        (x.getField("s") === acc.getField("s") &&
+          x.getField("c") < acc.getField("c")), x).otherwise(acc))
+      .getField("c")
+  }
+
   /** Per-group spherical k-means, all groups BATCHED in one frame —
     * [[pqTrain]]'s batching applied to data-dependent groups instead of
     * fixed subspaces: every `groupCol` value trains an INDEPENDENT
@@ -139,14 +189,18 @@ object Similarity {
         col(vecCol).as("centroid_vec"))
     var cent = Checkpoints.pin(init)
     for (_ <- 0 until iters) {
-      val wAssign = Window.partitionBy(id)
-        .orderBy(col("_ccos").desc, col("centroid_id"))
+      // [[bestCell]] narrow-fold assignment: each vector joins its own
+      // group's COLLECTED codebook row and folds to its argmax in
+      // place — the per-group candidate fan-out, its exchange, its
+      // sort and its window are all gone (same round-6 cosine argmax,
+      // ties to the smallest centroid id). The per-group arrays keep
+      // the equi-join-on-the-group-key scale shape: AQE broadcasts
+      // them while small, shuffle-joins past that.
       val assigned = vectors.select(g, id, col(vecCol))
-        .join(cent, Seq(groupCol))
-        .withColumn("_ccos", round(cosine(col(vecCol), col("centroid_vec")), 6))
-        .withColumn("_arn", row_number().over(wAssign))
-        .filter(col("_arn") === 1)
-        .select(g, col("centroid_id").as("cell"), col(vecCol))
+        .join(centArray(cent, Seq(groupCol)), Seq(groupCol))
+        .withColumn("_nv", l2norm(col(vecCol)))
+        .withColumn("cell", bestCell(col(vecCol), col("_nv")))
+        .select(g, col("cell"), col(vecCol))
       val updated = assigned
         .select(g, col("cell"), posexplode(col(vecCol)).as(Seq("_d", "_x")))
         .groupBy(g, col("cell"), col("_d"))
@@ -217,8 +271,6 @@ object Similarity {
       .withColumnRenamed("cell", "_coarse")
     val fine = kmeansGrouped(asg, vecCol, idCol, "_coarse", targetCell,
       iters = iters, seed = seedFine, maxCells = kmax)
-    val wAssign = Window.partitionBy(col(idCol))
-      .orderBy(col("_ccos").desc, col("centroid_id"))
     // NOT pinned, on measurement: the pair join consumes the assignment
     // twice (a/b sides), and caching it here was tried and is ~20%
     // SLOWER at sf0.1 AND at the 100× soak scale — materializing
@@ -227,12 +279,17 @@ object Similarity {
     // overlaps the pair join's own shuffle. Recorded in BASELINE.md
     // round-11 (the literal-centroid precedent: measure, keep the
     // faster shape, write the negative result down).
-    val cells = asg.join(fine, Seq("_coarse"))
-      .withColumn("_ccos", round(cosine(col(vecCol), col("centroid_vec")), 6))
-      .withColumn("_arn", row_number().over(wAssign))
-      .filter(col("_arn") === 1)
-      .select(col("_coarse"), col("centroid_id").as("_cell"), col(idCol),
-        col(vecCol), l2norm(col(vecCol)).as("_n"))
+    // Fine assignment via the [[bestCell]] narrow fold: each vector
+    // joins its coarse cell's collected fine codebook and folds to its
+    // argmax in place (same round-6 cosine argmax, ties to the
+    // smallest cid) — no fine-candidate fan-out, no assignment
+    // exchange/sort/window; `_n` is the same per-row l2norm the fold
+    // hoists, reused as the pair pass's norm.
+    val cells = asg.join(centArray(fine, Seq("_coarse")), Seq("_coarse"))
+      .withColumn("_n", l2norm(col(vecCol)))
+      .withColumn("_cell", bestCell(col(vecCol), col("_n")))
+      .select(col("_coarse"), col("_cell"), col(idCol),
+        col(vecCol), col("_n"))
     val a = cells.select(col("_coarse"), col("_cell"), col(idCol).as("id_a"),
       col(vecCol).as("_va"), col("_n").as("_na"))
     val b = cells.select(col("_coarse"), col("_cell"), col(idCol).as("id_b"),
@@ -242,12 +299,18 @@ object Similarity {
       .withColumn("cos",
         round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
       .filter(col("cos") >= tau)
-    val w = Window.partitionBy(col("id_b")).orderBy(col("id_a"))
+    // keep-smallest-partner as a partial-aggregable min(struct): id_a
+    // is unique per id_b (each id holds one (coarse, cell) slot), so
+    // the later fields are payload, never compared — same row the old
+    // id_a-ordered row_number window kept, with the duplicate-pair
+    // shuffle combined map-side instead of sorted
     dup
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("_coarse").as("coarse"), col("_cell").as("cell"),
-        col("id_b").as(idCol), col("id_a").as("dup_of"), col("cos"))
+      .groupBy(col("id_b"))
+      .agg(min(struct(col("id_a"), col("cos"),
+        col("_coarse"), col("_cell"))).as("_b"))
+      .select(col("_b._coarse").as("coarse"), col("_b._cell").as("cell"),
+        col("id_b").as(idCol), col("_b.id_a").as("dup_of"),
+        col("_b.cos").as("cos"))
   }
 
   /** MULTI-FAMILY [[semDedupHier]] — the OR-of-quantizers recall dial
@@ -277,19 +340,29 @@ object Similarity {
     * contract): each family re-reads the input for its own count,
     * trainings and pair pass, so an unpinned frame pays its full
     * lineage `families ×` — q174 and `Receipts` both pin.
+    *
+    * `parallelism` > 1 runs that many family chains CONCURRENTLY from
+    * a bounded thread pool (the [[semDedupHierSharded]] fan-out note:
+    * each family's count + trainings + pair pass is an independent,
+    * fully deterministic job chain, its verdict pinned in its thread) —
+    * the families share nothing by design, so overlapping them
+    * back-fills the executor idle the sequential form leaves between
+    * each chain's many small stages. Row-identical to the sequential
+    * form (spec-pinned via [[unionSlices]]'s contract).
     */
   def semDedupHierMulti(vectors: DataFrame, vecCol: String, idCol: String,
                         targetCell: Long, tau: Double, families: Int,
                         iters: Int = 2, seedCoarse: Int = 31,
                         seedFine: Int = 37,
-                        kmax: Int = Int.MaxValue): DataFrame = {
+                        kmax: Int = Int.MaxValue,
+                        parallelism: Int = 1): DataFrame = {
     require(families >= 1, "families must be >= 1")
-    (0 until families).map { f =>
+    unionSlices((0 until families).map { f => () =>
       semDedupHier(vectors, vecCol, idCol, targetCell, tau, iters,
         seedCoarse + 1000 * f, seedFine + 1000 * f, kmax)
         .select(lit(f).as("family"), col("coarse"), col("cell"),
           col(idCol), col("dup_of"), col("cos"))
-    }.reduce(_ unionByName _)
+    }, parallelism)
   }
 
   /** SHARDED [[semDedupHier]] — the fully corpus-LINEAR regime for
@@ -903,15 +976,27 @@ object Similarity {
   def ivfAssign(vectors: DataFrame, vecCol: String, idCol: String,
                 centroids: DataFrame, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
-    val joined = vectors.crossJoin(broadcast(centroids))
-      .withColumn("_ccos", round(cosine(col(vecCol), col("centroid_vec")), 6))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("_ccos").desc, col("centroid_id"))
-    joined
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= nprobe)
-      .drop("_rn", "_ccos", "centroid_vec")
-      .withColumnRenamed("centroid_id", "cell")
+    if (nprobe == 1) {
+      // single-cell assignment = the [[bestCell]] narrow fold over the
+      // one-row collected codebook: no candidate fan-out, no exchange,
+      // no sort — same argmax (highest round-6 cosine, ties to the
+      // smallest centroid id), one map pass at any corpus size
+      vectors.crossJoin(broadcast(centArray(centroids, Nil)))
+        .withColumn("_nv", l2norm(col(vecCol)))
+        .withColumn("cell", bestCell(col(vecCol), col("_nv")))
+        .select((vectors.columns.toSeq :+ "cell").map(col): _*)
+    } else {
+      val joined = vectors.crossJoin(broadcast(centroids))
+        .withColumn("_ccos",
+          round(cosine(col(vecCol), col("centroid_vec")), 6))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("_ccos").desc, col("centroid_id"))
+      joined
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= nprobe)
+        .drop("_rn", "_ccos", "centroid_vec")
+        .withColumnRenamed("centroid_id", "cell")
+    }
   }
 
   /** IVF top-k: probes search the inverted lists of their `nprobe`
@@ -1118,13 +1203,16 @@ object Similarity {
         col("_sub").as("centroid_vec"))
     var cent = Checkpoints.pin(init)
     for (_ <- 0 until iters) {
-      val wAssign = Window.partitionBy(id, col("subspace"))
-        .orderBy(col("_ccos").desc, col("centroid_id"))
-      val assigned = sub.join(broadcast(cent), Seq("subspace"))
-        .withColumn("_ccos", round(cosine(col("_sub"), col("centroid_vec")), 6))
-        .withColumn("_arn", row_number().over(wAssign))
-        .filter(col("_arn") === 1)
-        .select(col("subspace"), col("centroid_id").as("cell"), col("_sub"))
+      // [[bestCell]] narrow-fold assignment per (row, subspace): each
+      // subvector joins its subspace's collected codebook row
+      // (broadcast — m rows by construction) and folds to its argmax
+      // in place (same round-6 cosine argmax, ties to the smallest
+      // centroid id) — no k-candidate fan-out, no window
+      val assigned = sub
+        .join(broadcast(centArray(cent, Seq("subspace"))), Seq("subspace"))
+        .withColumn("_nv", l2norm(col("_sub")))
+        .withColumn("cell", bestCell(col("_sub"), col("_nv")))
+        .select(col("subspace"), col("cell"), col("_sub"))
       val updated = assigned
         .select(col("subspace"), col("cell"), posexplode(col("_sub")).as(Seq("_d", "_x")))
         .groupBy(col("subspace"), col("cell"), col("_d"))
@@ -1323,12 +1411,13 @@ object Similarity {
       .withColumn("cos",
         round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
       .filter(col("cos") >= tau)
-    val w = Window.partitionBy(col("id_b")).orderBy(col("id_a"))
+    // keep-smallest-partner via min(struct) — the [[semDedupHier]]
+    // pair-pass rewrite: id_a unique per id_b, payload never compared
     dup
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("cell"), col("id_b").as(idCol), col("id_a").as("dup_of"),
-        col("cos"))
+      .groupBy(col("id_b"))
+      .agg(min(struct(col("id_a"), col("cos"), col("cell"))).as("_b"))
+      .select(col("_b.cell").as("cell"), col("id_b").as(idCol),
+        col("_b.id_a").as("dup_of"), col("_b.cos").as("cos"))
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, emit

@@ -296,21 +296,32 @@ object TextAnalysis {
                                     sep: String = "\n"): DataFrame = {
     val q = java.util.regex.Pattern.quote(sep)
     val id = col(idCol)
-    val docLines = corpus.select(id, split(col(textCol), q).as("_ls"))
-    val matched = docLines
-      .select(id, posexplode(col("_ls")).as(Seq("_j", "_l")))
+    val matched = corpus
+      .select(id, posexplode(split(col(textCol), q)).as(Seq("_j", "_l")))
       .select(id, col("_j"), hash64(col("_l"), 17).as("lh"))
       .join(broadcast(pool), "lh")
       .groupBy(id).agg(collect_set(col("_j")).as("_mj"))
+    // ONE id-keyed join (round 19): the old shape joined a docLines
+    // projection to the matches and then the corpus to THAT — two
+    // id-keyed exchanges of text-heavy rows and a third evaluation of
+    // the corpus. The rewrite expression is per-row over the staged
+    // `_ls` split (staged as a column so the transform lambda reads it
+    // from the row instead of re-splitting per element); untouched
+    // docs (no match row) keep their text through the `when`.
     val kept = transform(
       array_except(sequence(lit(0), size(col("_ls")) - 1), col("_mj")),
       p => element_at(col("_ls"), p + 1))
-    val rewritten = docLines.join(matched, Seq(idCol))
-      .select(id, array_join(kept, sep).as("_newtext"),
-        size(col("_mj")).cast("long").as("_nsc"))
-    corpus.join(rewritten, Seq(idCol), "left")
-      .withColumn(textCol, coalesce(col("_newtext"), col(textCol)))
-      .withColumn("n_scrubbed", coalesce(col("_nsc"), lit(0L)))
-      .drop("_newtext", "_nsc")
+    corpus
+      .withColumn("_ls", split(col(textCol), q))
+      .join(matched, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("_mj").isNotNull, array_join(kept, sep))
+          .otherwise(col(textCol)))
+      .withColumn("n_scrubbed",
+        // size(NULL) is -1 under the legacy default, so guard on the
+        // match row's presence rather than coalescing the size
+        when(col("_mj").isNotNull, size(col("_mj")).cast("long"))
+          .otherwise(lit(0L)))
+      .drop("_ls", "_mj")
   }
 }

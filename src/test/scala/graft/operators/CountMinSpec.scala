@@ -32,6 +32,19 @@ class CountMinSpec extends SparkSpec {
       s"65536 buckets over 31 keys should be exact: ${wide.toSeq}")
   }
 
+  test("buildWeighted over the key histogram equals build over the raw " +
+    "multiset, cell for cell") {
+    // the q69 one-pass shape: a pre-aggregated (key, count) histogram
+    // must produce the IDENTICAL sketch the per-occurrence build does
+    val hist = items.groupBy($"key").agg(count(lit(1)).as("n"))
+    val viaHist = CountMin.buildWeighted(hist, $"key", $"n", 3, 512)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaRaw = CountMin.build(items, $"key", 3, 512)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaHist == viaRaw,
+      s"weighted build diverged: ${viaHist.toSeq.diff(viaRaw.toSeq).take(5)}")
+  }
+
   test("depth=1 sketch estimates without crashing (single-row least)") {
     val truth = items.groupBy($"key").agg(count(lit(1)).as("n_true"))
     val out = CountMin.estimate(truth, $"key",

@@ -41,6 +41,39 @@ class KMeansSpec extends SparkSpec {
     assert(c1 == c2, "codebook must be deterministic across runs")
   }
 
+  test("ivfAssign nprobe=1 aggregate argmax equals the sort-window " +
+    "reference (ties to the smallest centroid id)") {
+    // round-19: the single-cell assignment was re-expressed as a
+    // partial-aggregable max(struct) (guide §2.3). Pin it row-for-row
+    // against the window form it replaced, on a codebook with EXACT
+    // cosine ties (duplicate centroids) so the smallest-cid tie-break
+    // is actually exercised.
+    import org.apache.spark.sql.expressions.Window
+    val cent = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)), // duplicate of 0: forced tie
+      (3L, Seq(0.0, 0.0, 1.0, 0.0))
+    ).toDF("centroid_id", "centroid_vec")
+    val got = Similarity.ivfAssign(blobs, "embedding", "vec_id", cent)
+      .select($"vec_id", $"cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"_ccos".desc, $"centroid_id")
+    val ref = blobs.crossJoin(broadcast(cent))
+      .withColumn("_ccos", round(
+        graft.functions.GraftFunctions.cosine($"embedding", $"centroid_vec"), 6))
+      .withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1)
+      .select($"vec_id", $"centroid_id".as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref, s"aggregate argmax diverged from the window " +
+      s"reference: ${got.toSeq.diff(ref.toSeq).take(5)}")
+    // the tie really fired: axis-0 blob members must sit in cell 0,
+    // never the duplicate cell 2
+    assert(got.collect { case (id, c) if id % 3 == 0 => c }.toSet == Set(0L))
+  }
+
   test("empty cells keep their previous centroid (codebook size stable)") {
     // k=5 over 3 blobs: at least 2 cells end up empty after the first
     // assignment; they must survive with k rows in the codebook
